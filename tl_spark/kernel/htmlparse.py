@@ -1,0 +1,658 @@
+"""Byte-exact re-implementation of the reference HTML parser semantics.
+
+The reference (y21/tl, /root/reference) is a spec-relaxed, single-pass,
+byte-level HTML parser. This module reproduces its *stable-build*
+observable behavior — including the documented quirks — in pure Python,
+designed so that whole Arrow batches can be parsed inside one Python
+call (see tl_spark.functions.extract).
+
+Semantics replicated (citations into /root/reference):
+
+- identifier charset ``[0-9A-Za-z\\-_:+/]`` (src/util.rs:1-11); note
+  ``/`` is an ident char so ``<br/>`` parses as tag name ``br/``.
+- tag-level whitespace is ONLY space and ``\\n`` (src/parser/base.rs:76-78).
+- void tags: 15-entry, case-sensitive list WITHOUT ``command``
+  (src/parser/constants.rs:2-5); the serializer's void list has 16
+  entries WITH ``command`` (src/parser/tag.rs:12-15).
+- a tag missing its final ``>`` is silently dropped
+  (src/parser/base.rs:333).
+- closing tag pops only on byte-exact match with top-of-stack
+  (src/parser/base.rs:218-273); id/class maps populate only at close.
+- duplicate non-id/class attributes: kept while <=2 attrs (inline
+  storage, first-wins on get), deduped last-wins once the map spills
+  to the heap at >2 (src/inline/hashmap.rs:263-294).
+- comments end at any ``--`` immediately followed by ``>``
+  (src/parser/base.rs:128-150); unterminated comment => empty comment.
+- only ``<!doctype html>`` (ASCII-CI) sets HTML5; any other doctype
+  ident leaves version None, and the byte after the second ident is
+  skipped unconditionally (doctype residue leak,
+  src/parser/base.rs:296-307).
+- no entity decoding, no whitespace normalization anywhere
+  (see SURVEY.md §1.5).
+
+All extraction (inner_text / inner_html / outer_html) is ITERATIVE —
+the reference parser is iterative but its extraction is recursive
+(src/parser/tag.rs:387-420); we must survive adversarial 10k-deep
+nesting inside executors.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = [
+    "parse",
+    "TlDom",
+    "Attrs",
+    "KIND_TAG",
+    "KIND_RAW",
+    "KIND_COMMENT",
+    "VOID_TAGS",
+    "HTML_VOID_ELEMENTS",
+]
+
+# node kinds
+KIND_TAG = 0
+KIND_RAW = 1
+KIND_COMMENT = 2
+
+# tag-node field offsets: [kind, name, attrs, children, raw_start, raw_end]
+_NAME = 1
+_ATTRS = 2
+_CHILDREN = 3
+_RS = 4
+_RE = 5
+# raw/comment field offsets: [kind, start, end]
+_S = 1
+_E = 2
+
+# parser's void list: 15 entries, no "command" (src/parser/constants.rs:2-5)
+VOID_TAGS = frozenset(
+    (
+        b"area", b"base", b"br", b"col", b"embed", b"hr", b"img", b"input",
+        b"keygen", b"link", b"meta", b"param", b"source", b"track", b"wbr",
+    )
+)
+# serializer's void list: 16 entries incl. "command" (src/parser/tag.rs:12-15)
+HTML_VOID_ELEMENTS = frozenset(
+    (
+        "area", "base", "br", "col", "command", "embed", "hr", "img", "input",
+        "keygen", "link", "meta", "param", "source", "track", "wbr",
+    )
+)
+
+# first byte NOT in the ident set [0-9A-Za-z\-_:+/] (src/util.rs:1-11)
+_NON_IDENT = re.compile(rb"[^0-9A-Za-z\-_:+/]")
+# first byte that is not space/\n (src/parser/base.rs:76-78)
+_NON_WS = re.compile(rb"[^ \n]")
+# unquoted attribute value terminators (src/parser/base.rs:166)
+_ATTR_END4 = re.compile(rb"[ \n/>]")
+# Rust's str::split_ascii_whitespace set: space \t \n \f \r (no \x0b)
+_ASCII_WS_SPLIT = re.compile(r"[ \t\n\x0c\r]+")
+
+_MISSING = object()
+
+_LT = 0x3C  # <
+_GT = 0x3E  # >
+_SLASH = 0x2F  # /
+_BANG = 0x21  # !
+_EQ = 0x3D  # =
+_DQ = 0x22  # "
+_SQ = 0x27  # '
+
+
+class Attrs:
+    """Attribute collection mirroring the reference's ``Attributes``.
+
+    ``id`` / ``class`` live in dedicated slots (src/parser/base.rs:187-191);
+    everything else goes into ``raw`` which emulates the reference's
+    InlineHashMap: a plain list while <=2 entries (duplicates kept,
+    first-wins on get, insertion order on iter), spilling to a dict
+    (dedup last-wins) when a third entry is inserted
+    (src/inline/hashmap.rs:263-294).
+    """
+
+    __slots__ = ("id", "class_", "raw")
+
+    def __init__(self):
+        self.id = None  # bytes | None
+        self.class_ = None  # bytes | None
+        self.raw = []  # list[(bytes, bytes|None)] or dict[bytes, bytes|None]
+
+    def insert_raw(self, k, v):
+        raw = self.raw
+        if type(raw) is dict:
+            raw[k] = v
+        elif len(raw) >= 2:
+            d = {}
+            for ek, ev in raw:
+                d[ek] = ev
+            d[k] = v
+            self.raw = d
+        else:
+            raw.append((k, v))
+
+    def get(self, key):
+        """Returns _MISSING if absent, None if valueless, else bytes."""
+        if key == b"id":
+            return self.id if self.id is not None else _MISSING
+        if key == b"class":
+            return self.class_ if self.class_ is not None else _MISSING
+        raw = self.raw
+        if type(raw) is dict:
+            return raw.get(key, _MISSING)
+        for k, v in raw:
+            if k == key:
+                return v
+        return _MISSING
+
+    def contains(self, key):
+        return self.get(key) is not _MISSING
+
+    def iter_all(self):
+        """(key, value) in serialization order: raw map, then id, then class
+        (src/parser/tag.rs:173-193)."""
+        raw = self.raw
+        if type(raw) is dict:
+            yield from raw.items()
+        else:
+            yield from raw
+        if self.id is not None:
+            yield (b"id", self.id)
+        if self.class_ is not None:
+            yield (b"class", self.class_)
+
+    def n_attrs(self):
+        n = len(self.raw)
+        if self.id is not None:
+            n += 1
+        if self.class_ is not None:
+            n += 1
+        return n
+
+    def class_members(self):
+        """Whitespace-split class tokens as bytes; [] when the class value
+        is missing or not valid UTF-8 (Bytes::try_as_utf8_str gate,
+        src/parser/tag.rs:206-211)."""
+        if self.class_ is None:
+            return []
+        try:
+            s = self.class_.decode("utf-8")
+        except UnicodeDecodeError:
+            return []
+        return [t.encode("utf-8") for t in _ASCII_WS_SPLIT.split(s) if t]
+
+    def is_class_member(self, member):
+        return member in self.class_members()
+
+
+class _Parser:
+    __slots__ = (
+        "buf", "n", "i", "nodes", "ast", "stack",
+        "ids", "classes", "version", "track_ids", "track_classes",
+    )
+
+    def __init__(self, buf, track_ids=False, track_classes=False):
+        self.buf = buf
+        self.n = len(buf)
+        self.i = 0
+        self.nodes = []
+        self.ast = []
+        self.stack = []
+        self.ids = {}
+        self.classes = {}
+        self.version = None
+        self.track_ids = track_ids
+        self.track_classes = track_classes
+
+    # -- scanning primitives (C-speed via bytes.find / compiled regex) --
+
+    def _skip_ws(self):
+        m = _NON_WS.search(self.buf, self.i)
+        self.i = m.start() if m else self.n
+
+    def _read_ident(self):
+        m = _NON_IDENT.search(self.buf, self.i)
+        end = m.start() if m else self.n
+        ident = self.buf[self.i:end]
+        self.i = end
+        return ident
+
+    # -- parse loop --
+
+    def parse(self):
+        buf, n = self.buf, self.n
+        while self.i < n:
+            if buf[self.i] == _LT:
+                self._parse_tag()
+            else:
+                j = buf.find(b"<", self.i)
+                if j < 0:
+                    j = n
+                handle = len(self.nodes)
+                self.nodes.append([KIND_RAW, self.i, j])
+                self._add_to_parent(handle)
+                self.i = j
+
+    def _add_to_parent(self, handle):
+        if self.stack:
+            self.nodes[self.stack[-1]][_CHILDREN].append(handle)
+        else:
+            self.ast.append(handle)
+
+    def _parse_tag(self):
+        # src/parser/base.rs:313-355
+        buf = self.buf
+        start = self.i
+        self.i += 1  # skip <
+        self._skip_ws()
+        if self.i >= self.n:
+            return
+        c = buf[self.i]
+        if c == _SLASH:
+            self._read_end()
+            return
+        if c == _BANG:
+            self._read_markdown()
+            return
+
+        name = self._read_ident()
+        self._skip_ws()
+        attrs = self._parse_attributes()
+        if attrs is None:
+            return  # tag silently dropped (EOF inside attributes)
+        is_self_closing = False
+        if self.i < self.n and buf[self.i] == _SLASH:
+            is_self_closing = True
+            self.i += 1
+        if self.i >= self.n or buf[self.i] != _GT:
+            return  # missing '>': tag silently dropped (base.rs:333)
+        self.i += 1
+
+        handle = len(self.nodes)
+        self.nodes.append([KIND_TAG, name, attrs, [], start, self.i])
+        self._add_to_parent(handle)
+        if not is_self_closing and name not in VOID_TAGS:
+            self.stack.append(handle)
+
+    def _parse_attributes(self):
+        # src/parser/base.rs:172-200; returns None <=> EOF (tag dropped)
+        buf, n = self.buf, self.n
+        attrs = Attrs()
+        while True:
+            self._skip_ws()
+            if self.i >= n:
+                return None
+            c = buf[self.i]
+            if c == _SLASH or c == _GT:
+                return attrs
+            k, v = self._parse_attribute()
+            if k == b"id":
+                attrs.id = v
+            elif k == b"class":
+                attrs.class_ = v
+            else:
+                attrs.insert_raw(k, v)
+            if self.i >= n:
+                return None
+            c = buf[self.i]
+            if c != _SLASH and c != _GT:
+                self.i += 1
+
+    def _parse_attribute(self):
+        # src/parser/base.rs:152-170
+        buf, n = self.buf, self.n
+        name = self._read_ident()
+        self._skip_ws()
+        if self.i >= n or buf[self.i] != _EQ:
+            return (name, None)
+        self.i += 1
+        self._skip_ws()
+        if self.i < n and (buf[self.i] == _DQ or buf[self.i] == _SQ):
+            q = buf[self.i]
+            self.i += 1
+            j = buf.find(q, self.i)
+            if j < 0:
+                j = n
+            value = buf[self.i:j]
+            self.i = j  # left AT the closing quote (consumed by caller)
+        else:
+            m = _ATTR_END4.search(buf, self.i)
+            j = m.start() if m else n
+            value = buf[self.i:j]
+            self.i = j
+        return (name, value)
+
+    def _read_end(self):
+        # src/parser/base.rs:218-273
+        buf, n = self.buf, self.n
+        self.i += 1  # skip /
+        j = buf.find(b">", self.i)
+        if j < 0:
+            j = n
+        closing_name = buf[self.i:j]
+        self.i = j
+        if self.i < n and buf[self.i] == _GT:
+            self.i += 1
+
+        stack = self.stack
+        if not stack:
+            return
+        top = self.nodes[stack[-1]]
+        # top of stack is always a tag
+        if top[_NAME] != closing_name:
+            return  # mismatched close ignored (case/byte-sensitive)
+
+        handle = stack.pop()
+        tag = self.nodes[handle]
+        tag[_RE] = self.i  # rewrite raw span to cover <open>..</close>
+
+        if self.track_classes:
+            attrs = tag[_ATTRS]
+            if attrs.class_ is not None:
+                for cls in attrs.class_members():
+                    self.classes.setdefault(cls, []).append(handle)
+        if self.track_ids:
+            attrs = tag[_ATTRS]
+            if attrs.id is not None:
+                self.ids[attrs.id] = handle  # last-writer-wins in close order
+
+    def _read_markdown(self):
+        # src/parser/base.rs:275-311
+        buf, n = self.buf, self.n
+        start = self.i - 1  # position of the '<' (when no ws was skipped)
+        self.i += 1  # skip !
+        if buf[self.i:self.i + 2] == b"--":
+            span = self._skip_comment(start)
+            handle = len(self.nodes)
+            self.nodes.append([KIND_COMMENT, span[0], span[1]])
+            self._add_to_parent(handle)
+            return
+        tag = self._read_ident()
+        self._skip_ws()
+        if len(tag) == 7 and tag.lower() == b"doctype":
+            doctype = self._read_ident()
+            if len(doctype) == 4 and doctype.lower() == b"html":
+                self.version = "HTML5"
+            self._skip_ws()
+            self.i += 1  # skip '>' unconditionally (residue-leak quirk)
+
+    def _skip_comment(self, start):
+        # src/parser/base.rs:128-150: comment ends at '--' followed by '>'
+        buf, n = self.buf, self.n
+        i = self.i
+        while True:
+            j = buf.find(b"--", i)
+            if j < 0:
+                self.i = n
+                return (0, 0)  # unterminated: empty comment
+            i = j + 2
+            if i < n and buf[i] == _GT:
+                i += 1
+                self.i = i
+                return (start, i)
+            if i >= n:
+                self.i = n
+                return (0, 0)
+            i = j + 3  # '--' without '>': advance 2 then 1 (base.rs:146)
+
+
+class TlDom:
+    """Parsed document; mirrors the reference's ``VDom`` read API."""
+
+    __slots__ = ("buf", "nodes", "ast", "ids", "classes", "version",
+                 "track_ids", "track_classes")
+
+    def __init__(self, parser):
+        self.buf = parser.buf
+        self.nodes = parser.nodes
+        self.ast = parser.ast
+        self.ids = parser.ids
+        self.classes = parser.classes
+        self.version = parser.version
+        self.track_ids = parser.track_ids
+        self.track_classes = parser.track_classes
+
+    # -- structure --
+
+    def children(self):
+        return self.ast
+
+    def node_kind(self, handle):
+        return self.nodes[handle][0]
+
+    def tag_name(self, handle):
+        return self.nodes[handle][_NAME]
+
+    def tag_attrs(self, handle):
+        return self.nodes[handle][_ATTRS]
+
+    def tag_children(self, handle):
+        return self.nodes[handle][_CHILDREN]
+
+    def raw_bytes(self, handle):
+        """Source bytes of a node: tag raw span / raw text / comment."""
+        node = self.nodes[handle]
+        if node[0] == KIND_TAG:
+            return self.buf[node[_RS]:node[_RE]]
+        return self.buf[node[_S]:node[_E]]
+
+    def boundaries(self, handle):
+        """(start, end) INCLUSIVE byte offsets (src/parser/tag.rs:374-381).
+
+        For Raw/Comment nodes the same pointer arithmetic applies to
+        their text span. An empty span yields end = start - 1.
+        """
+        node = self.nodes[handle]
+        if node[0] == KIND_TAG:
+            return (node[_RS], node[_RE] - 1)
+        return (node[_S], node[_E] - 1)
+
+    def find_last_node_handle(self, handle):
+        """Innermost last descendant (src/parser/tag.rs:592-606), iterative."""
+        nodes = self.nodes
+        node = nodes[handle]
+        if node[0] != KIND_TAG or not node[_CHILDREN]:
+            return None
+        h = node[_CHILDREN][-1]
+        while True:
+            child = nodes[h]
+            if child[0] == KIND_TAG and child[_CHILDREN]:
+                h = child[_CHILDREN][-1]
+            else:
+                return h
+
+    def subtree_range(self, handle):
+        """(start, end) handle range of a tag's descendants, or None.
+
+        Mirrors Children::boundaries (src/parser/tag.rs:536-540): start is
+        the first direct child, end the innermost last descendant. The
+        arena is document-ordered so the subtree is contiguous.
+        """
+        node = self.nodes[handle]
+        if node[0] != KIND_TAG or not node[_CHILDREN]:
+            return None
+        return (node[_CHILDREN][0], self.find_last_node_handle(handle))
+
+    def children_all(self, handle):
+        rng = self.subtree_range(handle)
+        if rng is None:
+            return []
+        return list(range(rng[0], rng[1] + 1))
+
+    # -- extraction (all iterative) --
+
+    def inner_text(self, handle, strip_tags=None):
+        """Concatenated descendant Raw text (src/parser/tag.rs:387-420):
+        comments contribute "", no separators, no entity decoding.
+
+        ``strip_tags``: optional set of tag names (bytes) whose whole
+        subtrees are skipped (pipeline boilerplate strip; not part of the
+        reference API).
+        """
+        nodes = self.nodes
+        buf = self.buf
+        out = []
+        node = nodes[handle]
+        if node[0] == KIND_RAW:
+            return buf[node[_S]:node[_E]].decode("utf-8", "replace")
+        if node[0] == KIND_COMMENT:
+            return ""
+        stack = [handle]
+        while stack:
+            h = stack.pop()
+            nd = nodes[h]
+            kind = nd[0]
+            if kind == KIND_RAW:
+                out.append(buf[nd[_S]:nd[_E]])
+            elif kind == KIND_TAG:
+                if h != handle and strip_tags is not None and nd[_NAME] in strip_tags:
+                    continue
+                children = nd[_CHILDREN]
+                for c in reversed(children):
+                    stack.append(c)
+        return b"".join(out).decode("utf-8", "replace")
+
+    def _open_tag_str(self, node):
+        parts = ["<", node[_NAME].decode("utf-8", "replace")]
+        for k, v in node[_ATTRS].iter_all():
+            parts.append(" ")
+            parts.append(k.decode("utf-8", "replace"))
+            if v is not None:
+                parts.append('="')
+                parts.append(v.decode("utf-8", "replace"))
+                parts.append('"')
+        parts.append(">")
+        return "".join(parts)
+
+    def outer_html(self, handle):
+        """Re-serialized markup (src/parser/tag.rs:293-335), iterative.
+
+        Unclosed tags get synthesized close tags; the 16-entry void list
+        (incl. ``command``) suppresses children and the close tag.
+        """
+        nodes = self.nodes
+        buf = self.buf
+        out = []
+        stack = [handle]
+        while stack:
+            item = stack.pop()
+            if type(item) is str:
+                out.append(item)
+                continue
+            nd = nodes[item]
+            kind = nd[0]
+            if kind != KIND_TAG:
+                out.append(buf[nd[_S]:nd[_E]].decode("utf-8", "replace"))
+                continue
+            name = nd[_NAME].decode("utf-8", "replace")
+            out.append(self._open_tag_str(nd))
+            if name in HTML_VOID_ELEMENTS:
+                continue
+            stack.append("</" + name + ">")
+            for c in reversed(nd[_CHILDREN]):
+                stack.append(c)
+        return "".join(out)
+
+    def inner_html(self, handle):
+        node = self.nodes[handle]
+        if node[0] != KIND_TAG:
+            return self.buf[node[_S]:node[_E]].decode("utf-8", "replace")
+        return "".join(self.outer_html(c) for c in node[_CHILDREN])
+
+    def dom_outer_html(self):
+        return "".join(self.outer_html(h) for h in self.ast)
+
+    def dom_inner_text(self, strip_tags=None):
+        """inner_text over all top-level nodes (pipeline flagship op).
+
+        Unlike :meth:`inner_text` (which never strips its own root, to
+        match the reference's per-tag semantics), a top-level node whose
+        tag name is in ``strip_tags`` is dropped entirely.
+        """
+        out = []
+        for h in self.ast:
+            node = self.nodes[h]
+            if (
+                strip_tags is not None
+                and node[0] == KIND_TAG
+                and node[_NAME] in strip_tags
+            ):
+                continue
+            out.append(self.inner_text(h, strip_tags))
+        return "".join(out)
+
+    # -- lookup --
+
+    def get_element_by_id(self, idv):
+        """src/vdom.rs:43-63 — map probe when tracking, else arena scan.
+
+        The two modes are observably different on unclosed tags.
+        """
+        if isinstance(idv, str):
+            idv = idv.encode("utf-8")
+        if self.track_ids:
+            return self.ids.get(idv)
+        for h, node in enumerate(self.nodes):
+            if node[0] == KIND_TAG and node[_ATTRS].id == idv:
+                return h
+        return None
+
+    def get_elements_by_class_name(self, cls):
+        if isinstance(cls, str):
+            cls = cls.encode("utf-8")
+        if self.track_classes:
+            return list(self.classes.get(cls, []))
+        return [
+            h
+            for h, node in enumerate(self.nodes)
+            if node[0] == KIND_TAG and node[_ATTRS].is_class_member(cls)
+        ]
+
+    def query_selector(self, selector):
+        """Document-scope selector query: lazy linear arena scan
+        (src/queryselector/iter.rs:44-62). Returns None on parse failure.
+        """
+        from tl_spark.kernel.selector import parse_selector, selector_matches
+
+        ast = parse_selector(selector)
+        if ast is None:
+            return None
+        return [
+            h for h in range(len(self.nodes)) if selector_matches(ast, self, h)
+        ]
+
+    def tag_query_selector(self, handle, selector):
+        """Subtree-scope selector query over the contiguous handle range
+        (src/queryselector/iterable.rs:50-77)."""
+        from tl_spark.kernel.selector import parse_selector, selector_matches
+
+        ast = parse_selector(selector)
+        if ast is None:
+            return None
+        rng = self.subtree_range(handle)
+        if rng is None:
+            return []
+        start = rng[0]
+        length = rng[1] - rng[0] + 1
+        n = len(self.nodes)
+        return [
+            h
+            for h in range(start, start + length)
+            if h < n and selector_matches(ast, self, h)
+        ]
+
+
+def parse(html, track_ids=False, track_classes=False):
+    """Parse an HTML document (str or bytes) into a :class:`TlDom`.
+
+    Mirrors ``tl::parse`` (src/lib.rs:49-53) with default options ==
+    both tracking flags off.
+    """
+    if isinstance(html, str):
+        buf = html.encode("utf-8")
+    else:
+        buf = bytes(html)
+    p = _Parser(buf, track_ids=track_ids, track_classes=track_classes)
+    p.parse()
+    return TlDom(p)
