@@ -1,0 +1,121 @@
+"""End-to-end Spark extraction: Arrow kernel == kernel-direct results."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tl_spark.functions.extract import extract_document, extract_main_content
+from tl_spark.pipeline import read_ledger, run_extraction_job, stable_ordered
+from tl_spark.sources.transcripts import synth_transcripts, write_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("transcripts") / "t.parquet")
+    df = synth_transcripts(spark, n_convs=60, median_turns=8, skew_mult=40)
+    write_transcripts(df, path)
+    return path
+
+
+def test_extract_matches_kernel_direct(spark, transcripts):
+    df = spark.read.parquet(transcripts)
+    ex = extract_main_content(df, passthrough=["conv_id", "turn_idx"])
+    rows = ex.collect()
+    src = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in df.select("conv_id", "turn_idx", "text").collect()
+    }
+    assert len(rows) == len(src) and len(rows) > 400
+    for r in rows:
+        text = src[(r["conv_id"], r["turn_idx"])]
+        want_text, want_spans, want_n, want_ver, want_err = extract_document(text)
+        assert r["extracted_text"] == want_text, (r["conv_id"], r["turn_idx"])
+        got_spans = (
+            None
+            if r["spans"] is None
+            else [{"start": s["start"], "end": s["end"]} for s in r["spans"]]
+        )
+        assert got_spans == want_spans
+        assert r["n_nodes"] == want_n
+        assert r["html_version"] == want_ver
+        assert r["error"] is None
+
+
+def test_boilerplate_actually_stripped(spark, transcripts):
+    df = spark.read.parquet(transcripts)
+    ex = extract_main_content(df, passthrough=["conv_id"])
+    bad = ex.filter(
+        F.col("extracted_text").contains("chrome nav")
+        | F.col("extracted_text").contains("color:red")
+        | F.col("extracted_text").contains("var x")
+    ).count()
+    assert bad == 0
+    # sanity: the nav/script templates do occur in the input
+    assert df.filter(F.col("text").contains("chrome nav")).count() > 0
+
+
+def test_column_pruning_reaches_scan(spark, transcripts):
+    df = spark.read.parquet(transcripts)
+    ex = extract_main_content(df, passthrough=["conv_id", "turn_idx"])
+    plan = ex._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "text" in read_schema and "conv_id" in read_schema
+    # untouched columns must NOT be read from parquet
+    assert "role" not in read_schema
+    assert "ts" not in read_schema
+
+
+def test_pipeline_job_and_resume(spark, transcripts, tmp_path):
+    out = str(tmp_path / "extracted")
+    report = run_extraction_job(
+        spark,
+        transcripts,
+        out,
+        n_buckets=8,
+        salt_k=4,
+        salt_threshold=50,
+        bucket_group_size=4,
+    )
+    n_in = spark.read.parquet(transcripts).count()
+    assert report["buckets_written"] == 8
+    assert report["rows_written"] == n_in
+    assert read_ledger(out) == set(range(8))
+
+    got = spark.read.parquet(out)
+    assert got.count() == n_in
+    # per-turn equality on the skewed conversation (conv c00000000)
+    skew = got.filter(F.col("conv_id") == "c00000000")
+    assert skew.count() == 8 * 40
+    sample = skew.orderBy("turn_idx").limit(20).collect()
+    src = (
+        spark.read.parquet(transcripts)
+        .filter(F.col("conv_id") == "c00000000")
+        .orderBy("turn_idx")
+        .limit(20)
+        .collect()
+    )
+    for got_r, src_r in zip(sample, src):
+        assert got_r["turn_idx"] == src_r["turn_idx"]
+        assert got_r["extracted_text"] == extract_document(src_r["text"])[0]
+
+    # resume: everything already in the ledger -> nothing re-written
+    report2 = run_extraction_job(
+        spark, transcripts, out, n_buckets=8, bucket_group_size=4
+    )
+    assert report2["buckets_written"] == 0
+    assert report2["buckets_skipped"] == 8
+    assert spark.read.parquet(out).count() == n_in
+
+
+def test_stable_ordering_window(spark, transcripts):
+    df = spark.read.parquet(transcripts).limit(0)
+    # helper shape check only (window path is for test-scale verification)
+    out = stable_ordered(spark.read.parquet(transcripts))
+    r = (
+        out.filter(F.col("conv_id") == "c00000001")
+        .orderBy("turn_seq")
+        .select("turn_idx")
+        .collect()
+    )
+    idxs = [x["turn_idx"] for x in r]
+    assert idxs == sorted(idxs)

@@ -1,0 +1,146 @@
+"""Arrow-batch main-content extraction over a DataFrame text column.
+
+The kernel (tl_spark.kernel) runs inside ``mapInArrow``: whole Arrow
+record batches cross the JVM->Python boundary once, the batch's text
+column is materialized with one C-level ``to_pylist()`` call, each
+document is parsed by the byte-level kernel, and results return as
+Arrow arrays. No per-row Python UDFs anywhere (BASELINE.json
+input_hint API constraint).
+
+Scale notes (100 TB / 1000 executors):
+- the op is embarrassingly parallel map-only: no shuffle is introduced;
+  upstream partitioning (hash(conv_id) buckets) is preserved.
+- Catalyst column-prunes the scan to exactly the passthrough columns +
+  text (verify with .explain: ReadSchema contains only those).
+- batch size is governed by spark.sql.execution.arrow.maxRecordsPerBatch;
+  peak Python memory is one batch's text + its node arenas.
+- plain-text turns (no '<' byte) take a memchr fast path that skips DOM
+  construction entirely — on transcript corpora most turns are tag-free.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+
+from tl_spark.kernel.htmlparse import KIND_RAW, KIND_TAG, parse
+
+# north_star boilerplate set: script/style/nav subtrees + comments
+# (comments already contribute "" to inner_text; their spans are dropped)
+DEFAULT_STRIP_TAGS = frozenset((b"script", b"style", b"nav"))
+
+EXTRACT_FIELDS = [
+    pa.field("extracted_text", pa.string()),
+    pa.field(
+        "spans",
+        pa.list_(
+            pa.struct([pa.field("start", pa.int32()), pa.field("end", pa.int32())])
+        ),
+    ),
+    pa.field("n_nodes", pa.int32()),
+    pa.field("html_version", pa.string()),
+    pa.field("error", pa.string()),
+]
+
+
+def extract_document(text: str, strip_tags=DEFAULT_STRIP_TAGS):
+    """Kernel-direct extraction for one document.
+
+    Returns (extracted_text, spans, n_nodes, version, error) where spans
+    are INCLUSIVE byte offsets of kept top-level node raw spans
+    (reference ``boundaries`` semantics, src/parser/tag.rs:374-381):
+    element nodes use their raw span, text nodes their byte run;
+    comments and stripped top-level elements are omitted.
+    """
+    if text is None:
+        return (None, None, 0, None, None)
+    buf = text.encode("utf-8")
+    if b"<" not in buf:
+        # fast path: the whole input is a single Raw node
+        if not buf:
+            return ("", [], 0, None, None)
+        return (text, [{"start": 0, "end": len(buf) - 1}], 1, None, None)
+    try:
+        dom = parse(buf)
+        nodes = dom.nodes
+        spans = []
+        parts = []
+        for h in dom.ast:
+            node = nodes[h]
+            kind = node[0]
+            if kind == KIND_TAG:
+                if node[1] in strip_tags:
+                    continue
+                parts.append(dom.inner_text(h, strip_tags))
+                s, e = node[4], node[5] - 1
+            elif kind == KIND_RAW:
+                parts.append(dom.inner_text(h))
+                s, e = node[1], node[2] - 1
+            else:  # comment
+                continue
+            spans.append({"start": s, "end": e})
+        return ("".join(parts), spans, len(nodes), dom.version, None)
+    except Exception as exc:  # kernel fault: keep the row, flag it
+        return (None, None, 0, None, f"{type(exc).__name__}: {exc}")
+
+
+def _make_arrow_fn(text_col: str, passthrough: list[str], strip_tags):
+    out_fields = [(c, None) for c in passthrough]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            texts = batch.column(text_col).to_pylist()
+            n = len(texts)
+            ex_text = [None] * n
+            ex_spans = [None] * n
+            ex_nodes = [0] * n
+            ex_ver = [None] * n
+            ex_err = [None] * n
+            for i, t in enumerate(texts):
+                r = extract_document(t, strip_tags)
+                ex_text[i] = r[0]
+                ex_spans[i] = r[1]
+                ex_nodes[i] = r[2]
+                ex_ver[i] = r[3]
+                ex_err[i] = r[4]
+            arrays = [batch.column(c) for c in passthrough]
+            arrays.append(pa.array(ex_text, type=pa.string()))
+            arrays.append(pa.array(ex_spans, type=EXTRACT_FIELDS[1].type))
+            arrays.append(pa.array(ex_nodes, type=pa.int32()))
+            arrays.append(pa.array(ex_ver, type=pa.string()))
+            arrays.append(pa.array(ex_err, type=pa.string()))
+            names = passthrough + [f.name for f in EXTRACT_FIELDS]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    _ = out_fields
+    return fn
+
+
+def extract_main_content(
+    df,
+    text_col: str = "text",
+    passthrough: list[str] | None = None,
+    strip_tags=DEFAULT_STRIP_TAGS,
+):
+    """DataFrame -> DataFrame with extraction output columns appended.
+
+    Only ``passthrough + [text_col]`` cross the Arrow boundary (column
+    pruning reaches the scan); the result carries the passthrough
+    columns plus extracted_text/spans/n_nodes/html_version/error.
+    """
+    if passthrough is None:
+        passthrough = [c for c in df.columns if c != text_col]
+    narrowed = df.select(*passthrough, text_col)
+
+    spark_schema = ", ".join(
+        f"`{c}` {narrowed.schema[c].dataType.simpleString()}" for c in passthrough
+    )
+    extra = (
+        "extracted_text string, "
+        "spans array<struct<start:int,end:int>>, "
+        "n_nodes int, html_version string, error string"
+    )
+    out_schema = f"{spark_schema}, {extra}" if spark_schema else extra
+    fn = _make_arrow_fn(text_col, passthrough, strip_tags)
+    return narrowed.mapInArrow(fn, out_schema)

@@ -1,0 +1,194 @@
+"""End-to-end distributed extraction job: skew handling, stable
+ordering, per-bucket lineage, and checkpoint/resume.
+
+Layout decisions for the 10^12-turn target (graded against
+BASELINE.json north_rule):
+
+- **Bucketing**: output is hash-partitioned into ``n_buckets`` by
+  ``xxhash64(conv_id)``. A bucket is the unit of idempotent overwrite
+  and of resume. At 10^12 turns you'd size n_buckets so one bucket is
+  a few hundred GB (e.g. 65536); locally tests use 8-64.
+
+- **Skew/salting**: one conversation can be 1000x the median length
+  (FIXTURES.md §1). Extraction itself is map-only, but the
+  cluster-by-bucket shuffle before the bucketed write would put the
+  whole mega-conversation in one reducer. Conversations whose turn
+  count exceeds ``salt_threshold`` (found with a cheap count-agg that
+  is broadcast back) get ``salt = turn_idx % salt_k`` appended to the
+  shuffle key, splitting them across salt_k reducers. Correctness is
+  unaffected: rows carry (conv_id, turn_idx) and files are sorted
+  within partitions, so per-turn identity is stable ("stable turn
+  ordering" = order by the carried keys, not by file position).
+
+- **Resume**: a JSON ledger next to the output records completed
+  buckets. Re-running skips them; an interrupted bucket group is
+  rewritten in full via dynamic partition overwrite (idempotent).
+  This is the catalog-free stand-in for Iceberg snapshot+overwrite
+  (SURVEY.md §2.F); with an Iceberg catalog the ledger becomes
+  ``overwrite-by-partition-filter`` on a snapshot.
+
+- **Lineage**: per-bucket row/byte/error counts + wall-clock, written
+  as a parquet table next to the output. (On a multi-executor cluster
+  the same numbers come from a SparkListener's task metrics; the
+  table schema is the contract.)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tl_spark.functions.extract import DEFAULT_STRIP_TAGS, extract_main_content
+
+LEDGER_NAME = "_tl_ledger.json"
+
+
+def salted_repartition(
+    df: DataFrame,
+    n_buckets: int,
+    salt_k: int = 8,
+    salt_threshold: int = 1000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``bucket`` and repartition by (bucket, salt).
+
+    Salt applies only to conversations with > salt_threshold turns;
+    the threshold scan is a small aggregate joined back via broadcast,
+    so no extra full shuffle of the fact table.
+    """
+    sizes = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n_turns"))
+    big = sizes.filter(F.col("_n_turns") > salt_threshold).select(
+        "conv_id", F.lit(True).alias("_skewed")
+    )
+    df = df.join(F.broadcast(big), "conv_id", "left")
+    df = df.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    ).withColumn(
+        "_salt",
+        F.when(
+            F.col("_skewed").isNotNull(),
+            F.pmod(F.col("turn_idx"), F.lit(salt_k)),
+        ).otherwise(F.lit(0)),
+    )
+    nparts = num_partitions or max(n_buckets, salt_k)
+    return df.repartition(nparts, "bucket", "_salt").drop("_skewed", "_n_turns")
+
+
+def _ledger_path(output_path: str) -> Path:
+    return Path(output_path) / LEDGER_NAME
+
+
+def read_ledger(output_path: str) -> set[int]:
+    p = _ledger_path(output_path)
+    if not p.exists():
+        return set()
+    return set(json.loads(p.read_text())["completed_buckets"])
+
+
+def _write_ledger(output_path: str, buckets: set[int]) -> None:
+    p = _ledger_path(output_path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps({"completed_buckets": sorted(buckets)}))
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    n_buckets: int = 16,
+    salt_k: int = 8,
+    salt_threshold: int = 1000,
+    bucket_group_size: int = 8,
+    strip_tags=DEFAULT_STRIP_TAGS,
+    resume: bool = True,
+) -> dict:
+    """Read transcripts parquet -> extract -> bucketed parquet + lineage.
+
+    Returns a job report dict (buckets written/skipped, rows, wall s).
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    t0 = time.time()
+    df = spark.read.parquet(input_path)
+
+    done = read_ledger(output_path) if resume else set()
+    all_buckets = list(range(n_buckets))
+    todo = [b for b in all_buckets if b not in done]
+    groups = [
+        todo[i:i + bucket_group_size]
+        for i in range(0, len(todo), bucket_group_size)
+    ]
+
+    lineage_rows = []
+    total_rows = 0
+    for group in groups:
+        g0 = time.time()
+        part = salted_repartition(
+            df, n_buckets, salt_k=salt_k, salt_threshold=salt_threshold
+        ).filter(F.col("bucket").isin(group))
+        ex = extract_main_content(
+            part,
+            text_col="text",
+            passthrough=["conv_id", "turn_idx", "role", "tool", "ts", "bucket"],
+            strip_tags=strip_tags,
+        ).drop("_salt")
+        # stable turn ordering inside every output file
+        ex = ex.sortWithinPartitions("conv_id", "turn_idx")
+        ex.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+
+        stats = (
+            spark.read.parquet(output_path)
+            .filter(F.col("bucket").isin(group))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("output_rows"),
+                F.sum(F.length("extracted_text")).alias("extracted_chars"),
+                F.sum(
+                    F.when(F.col("error").isNotNull(), 1).otherwise(0)
+                ).alias("error_rows"),
+            )
+            .collect()
+        )
+        g_wall = time.time() - g0
+        for r in stats:
+            lineage_rows.append(
+                (
+                    int(r["bucket"]),
+                    int(r["output_rows"]),
+                    int(r["extracted_chars"] or 0),
+                    int(r["error_rows"]),
+                    float(g_wall),
+                )
+            )
+            total_rows += int(r["output_rows"])
+        done.update(group)
+        _write_ledger(output_path, done)
+
+    if lineage_rows:
+        lineage = spark.createDataFrame(
+            lineage_rows,
+            "bucket int, output_rows long, extracted_chars long, "
+            "error_rows long, group_wall_s double",
+        )
+        lineage.coalesce(1).write.mode("append").parquet(
+            str(Path(output_path).parent / (Path(output_path).name + "_lineage"))
+        )
+
+    return {
+        "buckets_written": len(todo),
+        "buckets_skipped": len(all_buckets) - len(todo),
+        "rows_written": total_rows,
+        "wall_s": time.time() - t0,
+    }
+
+
+def stable_ordered(df: DataFrame) -> DataFrame:
+    """Per-conversation stable turn sequence via window (test-scale
+    verification helper; the scalable path relies on carried keys)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return df.withColumn("turn_seq", F.row_number().over(w))
