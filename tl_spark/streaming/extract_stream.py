@@ -1,0 +1,52 @@
+"""Structured Streaming variant of the extraction pipeline.
+
+The Arrow-batch kernel is stateless, so it drops into a streaming
+plan unchanged: readStream -> mapInArrow -> writeStream with exactly
+-once parquet sink semantics via the checkpoint. Late-data handling
+for the stateful aggregation helper uses an event-time watermark on
+``ts``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tl_spark.functions.extract import extract_main_content
+
+
+def run_streaming_extraction(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint: str,
+    passthrough: list[str] | None = None,
+) -> None:
+    """Drain ``input_path`` (parquet dir) through the extraction kernel
+    into ``output_path`` with availableNow semantics (batch-parity run;
+    on a live stream you'd use a processingTime trigger instead)."""
+    schema = spark.read.parquet(input_path).schema
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    ex = extract_main_content(
+        stream,
+        text_col="text",
+        passthrough=passthrough or ["conv_id", "turn_idx", "role", "tool", "ts"],
+    )
+    q = (
+        ex.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_turn_counts(stream_df: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """Windowed per-conversation turn counts with late-data watermark."""
+    return (
+        stream_df.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select("w.start", "w.end", "conv_id", "n_turns")
+    )
