@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship main-content-extraction query on
+sf0.001; ``queries()`` / ``oracle_sql()`` expose the operator battery
+from SURVEY.md §2 (relational dataflow ops, text analysis, dedup,
+similarity search, and the tl-parity extraction kernel). DuckDB-checked
+where ANSI-SQL can express the op; rows-only otherwise (the extraction
+kernel's real correctness gate is tests/test_goldens.py — byte-parity
+with the compiled reference on 474 documents).
 """
 
 from __future__ import annotations
@@ -13,26 +15,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import tl_spark.queries as _Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: HTML-wrap sf0.001 documents, run the Arrow-batch
+    extraction kernel (boilerplate strip + spans), return the result."""
+    return _Q.extract_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _Q.oracle_sql()

@@ -1,0 +1,78 @@
+"""Simulate the driver's correctness gate: Spark query vs DuckDB oracle.
+
+Mirrors the driver: same parquet tables registered as DuckDB views,
+column-name-sorted, order-insensitive, exact value comparison.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+import tl_spark.queries as Q
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(str(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+ORACLES = sorted(Q.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLES)
+def test_query_matches_oracle(spark, ddb, name):
+    qdf = Q.queries()[name](spark, SF_DIR)
+    spark_cols = qdf.columns
+    spark_rows = [tuple(r) for r in qdf.collect()]
+
+    res = ddb.execute(Q.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count"
+    a = normalize(spark_rows, spark_cols)
+    b = normalize(duck_rows, duck_cols)
+    mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+    assert not mism, (
+        f"{name}: {len(mism)} mismatched rows; first: "
+        f"{a[mism[0]]!r} vs {b[mism[0]]!r}"
+    )
+
+
+def test_rows_only_queries_run(spark):
+    only_rows = set(Q.queries()) - set(Q.oracle_sql())
+    assert only_rows  # the non-SQL ops exist
+    for name in sorted(only_rows):
+        df = Q.queries()[name](spark, "/root/testdata/sf0.001")
+        n = df.count()
+        assert n >= 0
+        df.limit(5).collect()
