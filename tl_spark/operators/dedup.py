@@ -66,17 +66,32 @@ def minhash_signatures(
     cluster sizes and runs.
     """
     sh = shingles_expr(text_col, shingle_k)
-    sig = F.array(
-        *[
-            F.expr(
-                f"coalesce(array_min(transform(_shingles, s -> xxhash64(s, {seed}))), {seed}L)"
-            )
-            for seed in range(n_hashes)
-        ]
+    # Formulated as explode -> n_hashes MIN aggregates rather than
+    # higher-order-function array folds: HOF lambdas evaluate
+    # interpreted (no whole-stage codegen) and were ~10x slower, while
+    # hash-aggregate MINs codegen and combine map-side, so the shuffle
+    # carries one partial signature per (id, partition) — the shape
+    # that survives a 100x scale-up. "Seeding" is xxhash64(shingle,
+    # seed_index) — hashing the pair. Docs shorter than shingle_k get
+    # the deterministic fallback signature [0, 1, ..., n_hashes-1]
+    # (explode_outer keeps them as a single null shingle).
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(sh).alias("_s")
     )
-    return (
-        df.select(F.col(id_col).alias("id"), sh.alias("_shingles"))
-        .select("id", sig.alias("sig"))
+    hashed = exploded.select(
+        "id",
+        *[
+            F.when(F.col("_s").isNull(), F.lit(i).cast("long"))
+            .otherwise(F.xxhash64("_s", F.lit(i)))
+            .alias(f"_h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    agg = hashed.groupBy("id").agg(
+        *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(n_hashes)]
+    )
+    return agg.select(
+        "id", F.array(*[f"_h{i}" for i in range(n_hashes)]).alias("sig")
     )
 
 
@@ -87,14 +102,28 @@ def minhash_lsh_candidates(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) via banded MinHash.
 
     est_jaccard = fraction of matching signature positions.
+
+    ``max_bucket_size`` drops pathological LSH buckets before the
+    self-join: a bucket with thousands of members means the band
+    carries no discriminating information for those rows (e.g. boiler-
+    plate-identical docs), and joining it is O(bucket^2). True near-dup
+    pairs in a dropped bucket still surface through their other
+    ``bands - 1`` band hashes. This cap is what bounds worst-case
+    shuffle volume at corpus scale; AQE's skew-join handles the
+    remaining moderate buckets.
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    # persist: the signature table is consumed 3x (bucket sizing + both
+    # sides of the self-join); without this the shingle+minhash pipeline
+    # re-runs each time. Size is n_docs x (8 + 8*n_hashes) bytes — tiny
+    # relative to the corpus, MEMORY_AND_DISK spills safely at scale.
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).persist()
 
     band_rows = sigs.select(
         "id",
@@ -112,6 +141,21 @@ def minhash_lsh_candidates(
         ).alias("e"),
     ).select("id", "sig", "e.band", "e.bh")
 
+    # the self-join + distinct shuffles ONLY (band, bh, id) — signatures
+    # are re-attached afterwards from the persisted table. A matching
+    # pair can collide in up to `bands` buckets; carrying the sig arrays
+    # through that pre-distinct blow-up would multiply shuffle bytes by
+    # ~8 * n_hashes.
+    band_rows = band_rows.drop("sig")
+    sizes = band_rows.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("_bsz")
+    )
+    band_rows = (
+        band_rows.join(sizes, ["band", "bh"])
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     pairs = (
@@ -121,13 +165,18 @@ def minhash_lsh_candidates(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        pairs.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
     )
     est = F.expr(
         "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) "
@@ -168,8 +217,7 @@ def ngram_jaccard_pairs(
     return out
 
 
-@pandas_udf("long")
-def _simhash64(texts: pd.Series) -> pd.Series:
+def _simhash64_impl(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens, vectorized per Arrow batch.
 
     Token hashes are md5-low64 (deterministic across processes — Python
@@ -206,9 +254,18 @@ def _simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(out.astype(np.int64))
 
 
+_simhash64 = None
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
+    # pandas_udf parses its DDL type against the ACTIVE session — build
+    # it lazily so importing this module never requires a SparkContext
+    # (spark-submit --py-files imports happen before session creation).
+    global _simhash64
+    if _simhash64 is None:
+        _simhash64 = pandas_udf("long")(_simhash64_impl)
     return df.select(
         F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("simhash")
     )
