@@ -1,0 +1,94 @@
+"""Multimodal plumbing + parse_nodes + embedding near-dup pairs."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_media_meta_and_image_features(spark):
+    from tl_spark.operators.multimodal import image_features, synth_media
+
+    media = synth_media(spark, n_rows=60)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = image_features(media, decode_stub="fake")
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert len(r["hist16"]) == 16
+        assert 0.0 <= r["mean_px"] <= 255.0
+        # histogram sums to pixel count (width*height from metadata)
+    # determinism: same seed -> same values
+    again = image_features(synth_media(spark, n_rows=60), decode_stub="fake")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_image_decode_stub_errors_by_default(spark):
+    from tl_spark.operators.multimodal import image_features, synth_media
+
+    media = synth_media(spark, n_rows=4)
+    with pytest.raises(Exception) as ei:
+        image_features(media).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_frame_sampling_row_expansion(spark):
+    from tl_spark.operators.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, n_rows=120)
+    n_videos = media.filter(F.col("media.media_type") == "video").count()
+    frames = sample_frames(media, every_k=10, decode_stub="fake")
+    got = frames.collect()
+    assert n_videos > 0
+    assert {r["media_id"] for r in got} == {
+        r["media_id"]
+        for r in media.filter(F.col("media.media_type") == "video").collect()
+    }
+    # every kept frame index is a multiple of k and within n_frames
+    meta = {
+        r["media_id"]: r["media"]["n_frames"]
+        for r in media.collect()
+    }
+    for r in got:
+        assert r["frame_idx"] % 10 == 0
+        assert r["frame_idx"] < meta[r["media_id"]]
+
+
+def test_parse_nodes_dataframe(spark):
+    from tl_spark.functions.extract import parse_nodes
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>test</p><div><span>test2</span></div>"),
+            (2, "plain"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = parse_nodes(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r["node_idx"])
+    assert [r["kind"] for r in d1] == [0, 1, 0, 0, 1]
+    assert [r["name"] for r in d1] == ["p", None, "div", "span", None]
+    assert [r["parent"] for r in d1] == [-1, 0, -1, 2, 3]
+    assert (d1[0]["start"], d1[0]["end"]) == (0, 10)
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["kind"] == 1
+    assert 3 not in by_doc  # empty doc -> zero nodes
+
+
+def test_embedding_neardup_pairs(spark):
+    from tl_spark.operators.similarity import embedding_neardup_pairs
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant an exact duplicate vector pair
+    twin = e.limit(1).select(
+        (F.col("vec_id") + 900000).alias("vec_id"),
+        F.col("embedding"),
+        F.col("label"),
+    )
+    base_id = e.limit(1).collect()[0]["vec_id"]
+    corpus = e.unionByName(twin)
+    pairs = embedding_neardup_pairs(corpus, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs.collect()}
+    assert (base_id, base_id + 900000) in got
+    assert abs(got[(base_id, base_id + 900000)] - 1.0) < 1e-5

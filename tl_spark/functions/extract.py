@@ -117,6 +117,95 @@ def _make_arrow_fn(text_col: str, passthrough: list[str], strip_tags):
     return fn
 
 
+def parse_nodes(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Secondary kernel: explode each document into its node arena.
+
+    One output row per DOM node, document order (node_idx == arena
+    handle; subtrees are contiguous index ranges). ``start``/``end``
+    are INCLUSIVE byte offsets (reference ``boundaries`` semantics).
+    Attribute entries preserve the reference's storage order (raw map,
+    then id, then class).
+
+    This is the tooling/test surface (SURVEY.md §1.6): the main
+    pipeline never materializes the DOM outside the kernel.
+    """
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from tl_spark.kernel.htmlparse import KIND_TAG as _TAG
+        from tl_spark.kernel.htmlparse import parse as _parse
+
+        attr_type = pa.list_(
+            pa.struct([pa.field("key", pa.string()), pa.field("value", pa.string())])
+        )
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            o_id, o_idx, o_kind, o_name = [], [], [], []
+            o_start, o_end, o_nkids, o_parent, o_attrs = [], [], [], [], []
+            for docid, t in zip(ids, texts):
+                dom = _parse(t or "")
+                parent = [-1] * len(dom.nodes)
+                for h, node in enumerate(dom.nodes):
+                    if node[0] == _TAG:
+                        for c in node[3]:
+                            parent[c] = h
+                for h, node in enumerate(dom.nodes):
+                    o_id.append(docid)
+                    o_idx.append(h)
+                    o_kind.append(node[0])
+                    s, e = dom.boundaries(h)
+                    o_start.append(s)
+                    o_end.append(e)
+                    o_parent.append(parent[h])
+                    if node[0] == _TAG:
+                        o_name.append(node[1].decode("utf-8", "replace"))
+                        o_nkids.append(len(node[3]))
+                        o_attrs.append(
+                            [
+                                {
+                                    "key": k.decode("utf-8", "replace"),
+                                    "value": None
+                                    if v is None
+                                    else v.decode("utf-8", "replace"),
+                                }
+                                for k, v in node[2].iter_all()
+                            ]
+                        )
+                    else:
+                        o_name.append(None)
+                        o_nkids.append(0)
+                        o_attrs.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, type=pa.int64()),
+                    pa.array(o_idx, type=pa.int32()),
+                    pa.array(o_kind, type=pa.int32()),
+                    pa.array(o_name, type=pa.string()),
+                    pa.array(o_start, type=pa.int32()),
+                    pa.array(o_end, type=pa.int32()),
+                    pa.array(o_nkids, type=pa.int32()),
+                    pa.array(o_parent, type=pa.int32()),
+                    pa.array(o_attrs, type=attr_type),
+                ],
+                names=[
+                    id_col, "node_idx", "kind", "name", "start", "end",
+                    "n_children", "parent", "attrs",
+                ],
+            )
+
+    narrowed = df.select(id_col, text_col)
+    return narrowed.mapInArrow(
+        fn,
+        f"{id_col} long, node_idx int, kind int, name string, start int, "
+        "end int, n_children int, parent int, "
+        "attrs array<struct<key:string,value:string>>",
+    )
+
+
 def extract_main_content(
     df,
     text_col: str = "text",

@@ -7,5 +7,12 @@ from tl_spark.operators.dedup import (  # noqa: F401
 )
 from tl_spark.operators.similarity import (  # noqa: F401
     cosine_topk_bruteforce,
+    embedding_neardup_pairs,
     lsh_bucket_candidates,
+)
+from tl_spark.operators.multimodal import (  # noqa: F401
+    attach_media_meta,
+    image_features,
+    sample_frames,
+    synth_media,
 )

@@ -72,6 +72,57 @@ def _make_lsh_udf(n_planes: int, dim: int, seed: int):
     return lsh_sig
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    Pairs are generated only within LSH sign-buckets (one shuffle on the
+    bucket id), then verified with the exact JVM-side cosine. Bucket-size
+    cap bounds the worst case exactly like the MinHash path.
+    """
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = len(first[0])
+    sig_udf = _make_lsh_udf(n_planes, dim, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        sig_udf(F.col(vec_col)).alias("_sig"),
+    )
+    sizes = b.groupBy("_sig").agg(F.count(F.lit(1)).alias("_bsz"))
+    b = b.join(sizes, "_sig").filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+
+    pa_, pb_ = b.alias("a"), b.alias("b")
+    pairs = pa_.join(
+        pb_,
+        (F.col("a._sig") == F.col("b._sig")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.v").alias("va"),
+        F.col("b.v").alias("vb"),
+    )
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (s, v) -> s + v)"
+    na = "sqrt(aggregate(transform(va, x -> x * x), cast(0.0 as double), (s, v) -> s + v))"
+    nb = "sqrt(aggregate(transform(vb, x -> x * x), cast(0.0 as double), (s, v) -> s + v))"
+    cos = F.expr(f"({dot}) / (({na}) * ({nb}))")
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_bucket_candidates(
     df: DataFrame,
     query: list[float],

@@ -488,6 +488,13 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_bucket_candidates(e, _QUERY_VEC, n_planes=8, k=20)
 
 
+def embedding_neardup(spark, sf_dir):
+    from tl_spark.operators.similarity import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.95).orderBy("id_a", "id_b")
+
+
 def dedup_minhash(spark, sf_dir):
     from tl_spark.operators.dedup import minhash_lsh_candidates
 
@@ -576,6 +583,32 @@ def extract_documents_text(spark, sf_dir):
     return out.select("doc_id", "extracted_text").orderBy("doc_id")
 
 
+def parse_nodes_docs(spark, sf_dir):
+    """Node-arena explosion of HTML-wrapped documents (rows-only)."""
+    from tl_spark.functions.extract import parse_nodes
+
+    html = _docs_as_html(spark, sf_dir)
+    out = parse_nodes(html)
+    return out.select(
+        "doc_id", "node_idx", "kind", "name", "start", "end",
+        "n_children", "parent",
+    ).orderBy("doc_id", "node_idx")
+
+
+def media_image_features(spark, sf_dir):
+    """Multimodal plumbing: deterministic media table + fake-decode
+    feature extraction (rows-only; codecs are stubbed in-container)."""
+    from tl_spark.operators.multimodal import image_features, synth_media
+
+    media = synth_media(spark, n_rows=500)
+    out = image_features(media, decode_stub="fake")
+    return out.select(
+        "media_id",
+        F.round("mean_px", 4).alias("mean_px"),
+        F.round("std_px", 4).alias("std_px"),
+    ).orderBy("media_id")
+
+
 def selector_counts(spark, sf_dir):
     """Per-document node/selector statistics via the kernel (rows-only)."""
     d = _t(spark, sf_dir, "documents")
@@ -636,6 +669,9 @@ def queries():
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "ann_lsh_topk": ann_lsh_topk,
+        "embedding_neardup": embedding_neardup,
+        "parse_nodes_docs": parse_nodes_docs,
+        "media_image_features": media_image_features,
     }
 
 
