@@ -83,6 +83,10 @@ HTML_VOID_ELEMENTS = frozenset(
 
 # first byte NOT in the ident set [0-9A-Za-z\-_:+/] (src/util.rs:1-11)
 _NON_IDENT = re.compile(rb"[^0-9A-Za-z\-_:+/]")
+# 256-entry membership table for the same ident set (hot-loop scanning)
+_IDENT_TABLE = bytes(
+    1 if re.match(rb"[0-9A-Za-z\-_:+/]", bytes([c])) else 0 for c in range(256)
+)
 # first byte that is not space/\n (src/parser/base.rs:76-78)
 _NON_WS = re.compile(rb"[^ \n]")
 # unquoted attribute value terminators (src/parser/base.rs:166)
@@ -219,20 +223,154 @@ class _Parser:
         return ident
 
     # -- parse loop --
+    #
+    # One monolithic loop with all scanning inlined: the naive
+    # method-per-production version spent ~40% of wall time on Python
+    # call dispatch (profiled). Control flow mirrors the reference
+    # exactly (src/parser/base.rs:313-369); goldens referee any change.
 
     def parse(self):
         buf, n = self.buf, self.n
-        while self.i < n:
-            if buf[self.i] == _LT:
-                self._parse_tag()
-            else:
-                j = buf.find(b"<", self.i)
+        nodes = self.nodes
+        ast = self.ast
+        stack = self.stack
+        ident = _IDENT_TABLE
+        find = buf.find
+        track = self.track_ids or self.track_classes
+        i = self.i
+        while i < n:
+            c = buf[i]
+            if c != _LT:
+                # text run up to the next '<' (base.rs:363-366)
+                j = find(b"<", i)
                 if j < 0:
                     j = n
-                handle = len(self.nodes)
-                self.nodes.append([KIND_RAW, self.i, j])
-                self._add_to_parent(handle)
-                self.i = j
+                h = len(nodes)
+                nodes.append([KIND_RAW, i, j])
+                if stack:
+                    nodes[stack[-1]][_CHILDREN].append(h)
+                else:
+                    ast.append(h)
+                i = j
+                continue
+
+            # --- tag dispatch (base.rs:313-355) ---
+            start = i
+            i += 1  # skip <
+            while i < n and (buf[i] == 0x20 or buf[i] == 0x0A):
+                i += 1
+            if i >= n:
+                break
+            c = buf[i]
+
+            if c == _SLASH:
+                # closing tag (base.rs:218-273)
+                i += 1
+                j = find(b">", i)
+                if j < 0:
+                    j = n
+                closing_name = buf[i:j]
+                i = j
+                if i < n:  # buf[i] is '>' by construction
+                    i += 1
+                if stack:
+                    top = nodes[stack[-1]]
+                    if top[_NAME] == closing_name:
+                        h = stack.pop()
+                        tag = nodes[h]
+                        tag[_RE] = i  # raw covers <open>..</close>
+                        if track:
+                            self._register_close(tag, h)
+                continue
+
+            if c == _BANG:
+                self.i = i
+                self._read_markdown()
+                i = self.i
+                continue
+
+            # open tag: name ident (charset incl. ':+/', so '<br/>'
+            # parses as name 'br/')
+            ns = i
+            while i < n and ident[buf[i]]:
+                i += 1
+            name = buf[ns:i]
+            while i < n and (buf[i] == 0x20 or buf[i] == 0x0A):
+                i += 1
+
+            # attributes (base.rs:152-200); EOF anywhere => tag dropped
+            attrs = None
+            dropped = False
+            while True:
+                while i < n and (buf[i] == 0x20 or buf[i] == 0x0A):
+                    i += 1
+                if i >= n:
+                    dropped = True
+                    break
+                c = buf[i]
+                if c == _SLASH or c == _GT:
+                    break
+                ks = i
+                while i < n and ident[buf[i]]:
+                    i += 1
+                k = buf[ks:i]
+                while i < n and (buf[i] == 0x20 or buf[i] == 0x0A):
+                    i += 1
+                if i < n and buf[i] == _EQ:
+                    i += 1
+                    while i < n and (buf[i] == 0x20 or buf[i] == 0x0A):
+                        i += 1
+                    if i < n and (buf[i] == _DQ or buf[i] == _SQ):
+                        q = buf[i]
+                        i += 1
+                        j = find(q, i)
+                        if j < 0:
+                            j = n
+                        v = buf[i:j]
+                        i = j  # left AT the closing quote
+                    else:
+                        m = _ATTR_END4.search(buf, i)
+                        j = m.start() if m else n
+                        v = buf[i:j]
+                        i = j
+                else:
+                    v = None
+                if attrs is None:
+                    attrs = Attrs()
+                if k == b"id":
+                    attrs.id = v
+                elif k == b"class":
+                    attrs.class_ = v
+                else:
+                    attrs.insert_raw(k, v)
+                if i >= n:
+                    dropped = True
+                    break
+                c = buf[i]
+                if c != _SLASH and c != _GT:
+                    i += 1
+            if dropped:
+                continue  # silently dropped; i == n ends the loop
+
+            is_self_closing = False
+            if buf[i] == _SLASH:  # i < n guaranteed by the break above
+                is_self_closing = True
+                i += 1
+            if i >= n or buf[i] != _GT:
+                continue  # missing '>': tag silently dropped (base.rs:333)
+            i += 1
+
+            if attrs is None:
+                attrs = Attrs()
+            h = len(nodes)
+            nodes.append([KIND_TAG, name, attrs, [], start, i])
+            if stack:
+                nodes[stack[-1]][_CHILDREN].append(h)
+            else:
+                ast.append(h)
+            if not is_self_closing and name not in VOID_TAGS:
+                stack.append(h)
+        self.i = i
 
     def _add_to_parent(self, handle):
         if self.stack:
@@ -240,113 +378,9 @@ class _Parser:
         else:
             self.ast.append(handle)
 
-    def _parse_tag(self):
-        # src/parser/base.rs:313-355
-        buf = self.buf
-        start = self.i
-        self.i += 1  # skip <
-        self._skip_ws()
-        if self.i >= self.n:
-            return
-        c = buf[self.i]
-        if c == _SLASH:
-            self._read_end()
-            return
-        if c == _BANG:
-            self._read_markdown()
-            return
-
-        name = self._read_ident()
-        self._skip_ws()
-        attrs = self._parse_attributes()
-        if attrs is None:
-            return  # tag silently dropped (EOF inside attributes)
-        is_self_closing = False
-        if self.i < self.n and buf[self.i] == _SLASH:
-            is_self_closing = True
-            self.i += 1
-        if self.i >= self.n or buf[self.i] != _GT:
-            return  # missing '>': tag silently dropped (base.rs:333)
-        self.i += 1
-
-        handle = len(self.nodes)
-        self.nodes.append([KIND_TAG, name, attrs, [], start, self.i])
-        self._add_to_parent(handle)
-        if not is_self_closing and name not in VOID_TAGS:
-            self.stack.append(handle)
-
-    def _parse_attributes(self):
-        # src/parser/base.rs:172-200; returns None <=> EOF (tag dropped)
-        buf, n = self.buf, self.n
-        attrs = Attrs()
-        while True:
-            self._skip_ws()
-            if self.i >= n:
-                return None
-            c = buf[self.i]
-            if c == _SLASH or c == _GT:
-                return attrs
-            k, v = self._parse_attribute()
-            if k == b"id":
-                attrs.id = v
-            elif k == b"class":
-                attrs.class_ = v
-            else:
-                attrs.insert_raw(k, v)
-            if self.i >= n:
-                return None
-            c = buf[self.i]
-            if c != _SLASH and c != _GT:
-                self.i += 1
-
-    def _parse_attribute(self):
-        # src/parser/base.rs:152-170
-        buf, n = self.buf, self.n
-        name = self._read_ident()
-        self._skip_ws()
-        if self.i >= n or buf[self.i] != _EQ:
-            return (name, None)
-        self.i += 1
-        self._skip_ws()
-        if self.i < n and (buf[self.i] == _DQ or buf[self.i] == _SQ):
-            q = buf[self.i]
-            self.i += 1
-            j = buf.find(q, self.i)
-            if j < 0:
-                j = n
-            value = buf[self.i:j]
-            self.i = j  # left AT the closing quote (consumed by caller)
-        else:
-            m = _ATTR_END4.search(buf, self.i)
-            j = m.start() if m else n
-            value = buf[self.i:j]
-            self.i = j
-        return (name, value)
-
-    def _read_end(self):
-        # src/parser/base.rs:218-273
-        buf, n = self.buf, self.n
-        self.i += 1  # skip /
-        j = buf.find(b">", self.i)
-        if j < 0:
-            j = n
-        closing_name = buf[self.i:j]
-        self.i = j
-        if self.i < n and buf[self.i] == _GT:
-            self.i += 1
-
-        stack = self.stack
-        if not stack:
-            return
-        top = self.nodes[stack[-1]]
-        # top of stack is always a tag
-        if top[_NAME] != closing_name:
-            return  # mismatched close ignored (case/byte-sensitive)
-
-        handle = stack.pop()
-        tag = self.nodes[handle]
-        tag[_RE] = self.i  # rewrite raw span to cover <open>..</close>
-
+    def _register_close(self, tag, handle):
+        """Cold path: id/class map registration at close time
+        (base.rs:248-272). Only called when tracking is enabled."""
         if self.track_classes:
             attrs = tag[_ATTRS]
             if attrs.class_ is not None:
