@@ -32,20 +32,32 @@ def main() -> None:
 
     from tl_spark.plans.session import get_spark
 
-    spark = get_spark(app_name="tl_spark_bench", master=f"local[{cpus}]")
+    # scan partitioning sized for GB-scale local inputs (the 128m
+    # default would bin-pack the whole transcripts table into ~2 tasks)
+    spark = get_spark(
+        app_name="tl_spark_bench",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import tl_spark.queries as Q
     from tl_spark.functions.extract import extract_main_content
     from tl_spark.sources.transcripts import synth_transcripts, write_transcripts
 
-    # transcripts input scaled by sf (untimed synth+write; deterministic)
-    n_convs = max(200, int(100_000 * sf))
+    # transcripts input scaled by sf (untimed synth+write; deterministic).
+    # ~10 turns/conv: sf0.1 -> ~1M turns, enough to amortize the ~2.5 s
+    # fixed job overhead that otherwise dominates the throughput figure.
+    n_convs = max(200, int(1_000_000 * sf))
     tpath = f"/tmp/tl_bench_transcripts_{n_convs}"
     if not Path(tpath, "_SUCCESS").exists():
         write_transcripts(
             synth_transcripts(spark, n_convs=n_convs, median_turns=10, skew_mult=100),
             tpath,
+            n_files=128,
         )
     n_turns = spark.read.parquet(tpath).count()
 

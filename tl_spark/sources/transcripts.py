@@ -120,11 +120,27 @@ def synth_transcripts(
     return df
 
 
-def write_transcripts(df: DataFrame, path: str, scramble: bool = True) -> None:
+def write_transcripts(
+    df: DataFrame, path: str, scramble: bool = True, n_files: int | None = None
+) -> None:
     """Write transcripts parquet, deliberately OUT of (conv, turn) order
-    so downstream stable ordering is actually exercised."""
+    so downstream stable ordering is actually exercised.
+
+    ``n_files``: parquet split granularity is the ROW GROUP, and each
+    output file here holds a single row group — so the file count is
+    the ceiling on scan/extract parallelism no matter what
+    maxPartitionBytes says. Size it to >= 4x the cores that will read
+    the table.
+    """
     if scramble:
-        df = df.orderBy(F.xxhash64("conv_id", "turn_idx"))
+        df = df.withColumn("_k", F.xxhash64("conv_id", "turn_idx"))
+        if n_files:
+            df = df.repartitionByRange(n_files, "_k")
+        else:
+            df = df.orderBy("_k")
+        df = df.drop("_k")
+    elif n_files:
+        df = df.repartition(n_files)
     df.write.mode("overwrite").parquet(path)
 
 

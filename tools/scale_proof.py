@@ -47,6 +47,7 @@ def build_input(n_convs: int) -> str:
                 spark, n_convs=n_convs, median_turns=10, skew_mult=1000
             ),
             path,
+            n_files=256,
         )
         spark.stop()
     return path
