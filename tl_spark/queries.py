@@ -329,6 +329,59 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def events_sessionized(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum windows; per-session rollup."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        1,
+    ).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = e.withColumn("sess_id", F.sum(new_sess).over(cum))
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec(F.round(F.col("value"), 4), 4))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("user_id", "sess_id")
+    )
+
+
+EVENTS_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_id
+  FROM marked
+)
+SELECT user_id, sess_id,
+       MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, sess_id
+ORDER BY user_id, sess_id
+"""
+
+
 # ---------------------------------------------------------------- text ops
 
 _TOKENS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
@@ -583,6 +636,40 @@ def extract_documents_text(spark, sf_dir):
     return out.select("doc_id", "extracted_text").orderBy("doc_id")
 
 
+def selector_extract_p(spark, sf_dir):
+    """Selector-driven extraction: inner_text + spans of every <p> in
+    the HTML-wrapped documents (rows-only; kernel-parity gated)."""
+    from tl_spark.functions.query import query_selector_extract
+
+    html = _docs_as_html(spark, sf_dir)
+    return query_selector_extract(html, "p", mode="inner_text").orderBy(
+        "doc_id", "node_idx"
+    )
+
+
+def lookup_by_id(spark, sf_dir):
+    """get_element_by_id over the wrapped docs (scan mode, the
+    reference default); every doc has <p id="t..."> absent, so probe
+    the template's absent id plus main-content extraction is separate.
+    Uses a present id: none in template -> synthesize one per doc."""
+    from tl_spark.functions.query import get_elements_by_id
+
+    d = _t(spark, sf_dir, "documents")
+    html = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div id="payload">'), F.col("text"), F.lit("</div>")
+        ).alias("text"),
+    )
+    return get_elements_by_id(html, "payload").orderBy("doc_id")
+
+
+LOOKUP_BY_ID_SQL = """
+SELECT doc_id, 0 AS node_idx, text AS inner_text
+FROM documents ORDER BY doc_id
+"""
+
+
 def parse_nodes_docs(spark, sf_dir):
     """Node-arena explosion of HTML-wrapped documents (rows-only)."""
     from tl_spark.functions.extract import parse_nodes
@@ -672,6 +759,9 @@ def queries():
         "embedding_neardup": embedding_neardup,
         "parse_nodes_docs": parse_nodes_docs,
         "media_image_features": media_image_features,
+        "events_sessionized": events_sessionized,
+        "selector_extract_p": selector_extract_p,
+        "lookup_by_id": lookup_by_id,
     }
 
 
@@ -693,6 +783,10 @@ def oracle_sql():
         "dedup_exact": DEDUP_EXACT_SQL,
         "embedding_cosine_topk": _cosine_sql(),
         "extract_documents_text": EXTRACT_DOCS_SQL,
+        "events_sessionized": EVENTS_SESSION_SQL,
+        # lookup_by_id is also SQL-expressible for THIS wrapper: every
+        # doc yields exactly one hit with node_idx 0 and the doc text
+        "lookup_by_id": LOOKUP_BY_ID_SQL,
         # extract_documents / selector_counts / dedup_minhash /
         # dedup_simhash / dedup_ngram_jaccard / ann_lsh_topk:
         # non-SQL-expressible -> rows-only driver check
