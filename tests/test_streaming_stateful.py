@@ -1,0 +1,78 @@
+"""Stateful streaming: state persists across micro-batches AND across
+separate availableNow runs sharing a checkpoint (stream resume)."""
+
+import pyspark.sql.functions as F
+
+
+def _run_stream(spark, inp, ckpt, schema, outp):
+    from tl_spark.streaming.stateful import conversation_progress
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(inp)
+    out = conversation_progress(stream)
+    q = (
+        out.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_state_survives_restart(spark, tmp_path):
+    from tl_spark.sources.transcripts import synth_transcripts
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+
+    df = synth_transcripts(spark, n_convs=10, median_turns=6, skew_mult=2)
+    first = df.filter(F.col("turn_idx") < 3)
+    rest = df.filter(F.col("turn_idx") >= 3)
+    first.coalesce(4).write.mode("overwrite").parquet(inp)
+    schema = spark.read.parquet(inp).schema
+
+    outp = str(tmp_path / "out")
+    _run_stream(spark, inp, ckpt, schema, outp)
+    got1 = {
+        r["conv_id"]: r["turns_seen"]
+        for r in spark.read.parquet(outp)
+        .groupBy("conv_id")
+        .agg(F.max("turns_seen").alias("turns_seen"))
+        .collect()
+    }
+    want1 = {
+        r["conv_id"]: r["cnt"]
+        for r in first.groupBy("conv_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got1 == want1
+
+    # append late data, resume from the same checkpoint: counters CONTINUE
+    rest.coalesce(4).write.mode("append").parquet(inp)
+    _run_stream(spark, inp, ckpt, schema, outp)
+    final = spark.read.parquet(outp)
+    got2 = {
+        r["conv_id"]: r["turns_seen"]
+        for r in final.groupBy("conv_id")
+        .agg(F.max("turns_seen").alias("turns_seen"))
+        .collect()
+    }
+    want_total = {
+        r["conv_id"]: r["cnt"]
+        for r in df.groupBy("conv_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got2 == want_total
+    # max_turn_idx reflects the full history
+    mti = {
+        r["conv_id"]: r["m"]
+        for r in final.groupBy("conv_id")
+        .agg(F.max("max_turn_idx").alias("m"))
+        .collect()
+    }
+    want_mti = {
+        r["conv_id"]: r["m"]
+        for r in df.groupBy("conv_id").agg(F.max("turn_idx").alias("m")).collect()
+    }
+    assert mti == want_mti
