@@ -44,27 +44,29 @@ EXTRACT_FIELDS = [
 ]
 
 
-def extract_document(text: str, strip_tags=DEFAULT_STRIP_TAGS):
-    """Kernel-direct extraction for one document.
+def extract_document_flat(text: str, strip_tags=DEFAULT_STRIP_TAGS):
+    """Kernel-direct extraction for one document; spans as two flat
+    tuples (batch fast path — no per-span dict allocation).
 
-    Returns (extracted_text, spans, n_nodes, version, error) where spans
-    are INCLUSIVE byte offsets of kept top-level node raw spans
-    (reference ``boundaries`` semantics, src/parser/tag.rs:374-381):
-    element nodes use their raw span, text nodes their byte run;
-    comments and stripped top-level elements are omitted.
+    Returns (extracted_text, starts, ends, n_nodes, version, error);
+    start/end are INCLUSIVE byte offsets of kept top-level node raw
+    spans (reference ``boundaries`` semantics, src/parser/tag.rs:
+    374-381): element nodes use their raw span, text nodes their byte
+    run; comments and stripped top-level elements are omitted.
     """
     if text is None:
-        return (None, None, 0, None, None)
+        return (None, None, None, 0, None, None)
     buf = text.encode("utf-8")
     if b"<" not in buf:
         # fast path: the whole input is a single Raw node
         if not buf:
-            return ("", [], 0, None, None)
-        return (text, [{"start": 0, "end": len(buf) - 1}], 1, None, None)
+            return ("", (), (), 0, None, None)
+        return (text, (0,), (len(buf) - 1,), 1, None, None)
     try:
         dom = parse(buf)
         nodes = dom.nodes
-        spans = []
+        starts = []
+        ends = []
         parts = []
         for h in dom.ast:
             node = nodes[h]
@@ -79,34 +81,82 @@ def extract_document(text: str, strip_tags=DEFAULT_STRIP_TAGS):
                 s, e = node[1], node[2] - 1
             else:  # comment
                 continue
-            spans.append({"start": s, "end": e})
-        return ("".join(parts), spans, len(nodes), dom.version, None)
+            starts.append(s)
+            ends.append(e)
+        return ("".join(parts), starts, ends, len(nodes), dom.version, None)
     except Exception as exc:  # kernel fault: keep the row, flag it
-        return (None, None, 0, None, f"{type(exc).__name__}: {exc}")
+        return (None, None, None, 0, None, f"{type(exc).__name__}: {exc}")
+
+
+def extract_document(text: str, strip_tags=DEFAULT_STRIP_TAGS):
+    """Like :func:`extract_document_flat` but with spans as
+    [{"start":..,"end":..}] (the public row shape)."""
+    txt, starts, ends, n_nodes, ver, err = extract_document_flat(
+        text, strip_tags
+    )
+    spans = (
+        None
+        if starts is None
+        else [{"start": s, "end": e} for s, e in zip(starts, ends)]
+    )
+    return (txt, spans, n_nodes, ver, err)
 
 
 def _make_arrow_fn(text_col: str, passthrough: list[str], strip_tags):
     out_fields = [(c, None) for c in passthrough]
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        extract = extract_document_flat
         for batch in batches:
             texts = batch.column(text_col).to_pylist()
             n = len(texts)
             ex_text = [None] * n
-            ex_spans = [None] * n
             ex_nodes = [0] * n
             ex_ver = [None] * n
             ex_err = [None] * n
+            # spans built as flat start/end buffers + list offsets
+            # (ListArray.from_arrays): no per-span dict objects
+            flat_starts: list[int] = []
+            flat_ends: list[int] = []
+            offsets = [0] * (n + 1)
+            null_mask = None
             for i, t in enumerate(texts):
-                r = extract_document(t, strip_tags)
-                ex_text[i] = r[0]
-                ex_spans[i] = r[1]
-                ex_nodes[i] = r[2]
-                ex_ver[i] = r[3]
-                ex_err[i] = r[4]
+                txt, starts, ends, n_nodes, ver, err = extract(t, strip_tags)
+                ex_text[i] = txt
+                ex_nodes[i] = n_nodes
+                ex_ver[i] = ver
+                ex_err[i] = err
+                if starts is None:
+                    # null spans entry (null input text): zero-length
+                    # extent + validity mask bit
+                    offsets[i + 1] = offsets[i]
+                    if null_mask is None:
+                        null_mask = [False] * n
+                    null_mask[i] = True
+                else:
+                    flat_starts.extend(starts)
+                    flat_ends.extend(ends)
+                    offsets[i + 1] = len(flat_starts)
+            values = pa.StructArray.from_arrays(
+                [
+                    pa.array(flat_starts, type=pa.int32()),
+                    pa.array(flat_ends, type=pa.int32()),
+                ],
+                names=["start", "end"],
+            )
+            if null_mask is None:
+                spans_arr = pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()), values
+                )
+            else:
+                spans_arr = pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    values,
+                    mask=pa.array(null_mask),
+                )
             arrays = [batch.column(c) for c in passthrough]
             arrays.append(pa.array(ex_text, type=pa.string()))
-            arrays.append(pa.array(ex_spans, type=EXTRACT_FIELDS[1].type))
+            arrays.append(spans_arr)
             arrays.append(pa.array(ex_nodes, type=pa.int32()))
             arrays.append(pa.array(ex_ver, type=pa.string()))
             arrays.append(pa.array(ex_err, type=pa.string()))
