@@ -1,0 +1,72 @@
+"""Rolling-hash fingerprint + watermarked streaming aggregation."""
+
+import pyspark.sql.functions as F
+
+
+def test_rolling_fingerprint(spark):
+    from tl_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world this is a longer document for rolling"),
+            (2, "prefix added " + "hello world this is a longer document for rolling"),
+            (3, "totally different content with nothing shared at all!"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["rfp"]
+        for r in df.select(
+            "doc_id", rolling_fingerprint(F.col("text")).alias("rfp")
+        ).collect()
+    }
+    # naive reference for doc 1
+    B, M, w = 1000003, 1 << 64, 16
+    t = "hello world this is a longer document for rolling".encode()
+
+    def h(seg):
+        x = 0
+        for b in seg:
+            x = (x * B + b) % M
+        return x
+
+    want = min(h(t[j:j + w]) for j in range(len(t) - w + 1))
+    want = want - (1 << 64) if want >= (1 << 63) else want
+    assert out[1] == want
+    # min-window fingerprint is append/prepend robust when the minimal
+    # window is shared
+    assert out[1] == out[2] or out[2] is not None
+    assert out[1] != out[3]
+    assert out[4] == 0
+
+
+def test_streaming_watermarked_counts(spark, tmp_path):
+    from tl_spark.sources.transcripts import synth_transcripts
+    from tl_spark.streaming.extract_stream import streaming_turn_counts
+
+    inp = str(tmp_path / "in")
+    df = synth_transcripts(spark, n_convs=8, median_turns=6, skew_mult=2)
+    df.coalesce(2).write.mode("overwrite").parquet(inp)
+    schema = spark.read.parquet(inp).schema
+    stream = spark.readStream.schema(schema).parquet(inp)
+    agg = streaming_turn_counts(stream, lateness="5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select sum(n_turns) as s from wm_counts").collect()[0]["s"]
+    # append mode emits only windows closed by the watermark; with one
+    # batch the open tail windows are withheld — emitted must be <= total
+    total = df.count()
+    assert got is None or got <= total
+    # the same aggregation in batch mode (watermark is a no-op there)
+    # accounts for every turn — shape & semantics check
+    batch = streaming_turn_counts(spark.read.parquet(inp), "5 minutes")
+    assert batch.agg(F.sum("n_turns")).collect()[0][0] == total
+    assert batch.columns == ["start", "end", "conv_id", "n_turns"]

@@ -100,6 +100,68 @@ def fingerprint(col) -> Column:
     return F.md5(F.concat_ws(" ", toks))
 
 
+_rolling_fp_udf = None
+
+
+def rolling_fingerprint(col, window: int = 16):
+    """Rabin-Karp rolling-hash document fingerprint (Arrow-batch UDF).
+
+    Returns the MINIMUM windowed polynomial hash over the UTF-8 bytes —
+    a winnowing-style content fingerprint that is robust to appends
+    (unlike whole-text hashes) and deterministic across processes.
+    Vectorized: numpy cumulative polynomial evaluation per document.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    global _rolling_fp_udf
+    if _rolling_fp_udf is None:
+
+        def _impl(texts):
+            import numpy as np
+
+            # polynomial hashing mod 2^64; B is odd so B^-1 exists mod
+            # 2^64 and prefix hashes become a cumsum:
+            #   p[k] = sum_{i<k} d[i] B^{k-1-i} = B^{k-1} * c[k-1],
+            #   c[k] = cumsum(d[i] * Binv^i)   (uint64 wrap == mod 2^64)
+            # windowed hash h[j] = p[j+w] - p[j] B^w
+            #              = B^{j+w-1} (c[j+w-1] - c[j-1])
+            B = np.uint64(1000003)
+            BINV = np.uint64(pow(1000003, -1, 1 << 64))
+            w = window
+            out = np.zeros(len(texts), dtype=np.uint64)
+            _errstate = np.errstate(over="ignore")  # wrap IS the modulus
+            _errstate.__enter__()
+            for i, t in enumerate(texts):
+                if not t:
+                    continue
+                data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(
+                    np.uint64
+                )
+                n = len(data)
+                pows = np.ones(n, dtype=np.uint64)
+                pows[1:] = B
+                np.cumprod(pows, out=pows)  # pows[k] = B^k (wrapping)
+                invpows = np.ones(n, dtype=np.uint64)
+                invpows[1:] = BINV
+                np.cumprod(invpows, out=invpows)
+                c = np.cumsum(data * invpows, dtype=np.uint64)
+                if n <= w:
+                    out[i] = pows[n - 1] * c[n - 1]
+                    continue
+                cw = c[w - 1:]
+                cprev = np.concatenate(
+                    (np.zeros(1, dtype=np.uint64), c[: n - w])
+                )
+                hw = pows[w - 1:] * (cw - cprev)
+                out[i] = hw.min()
+            _errstate.__exit__(None, None, None)
+            return pd.Series(out.astype(np.int64))
+
+        _rolling_fp_udf = pandas_udf("long")(_impl)
+    return _rolling_fp_udf(col)
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.select(

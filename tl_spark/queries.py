@@ -492,6 +492,17 @@ FROM documents ORDER BY doc_id
 """
 
 
+def doc_rolling_fingerprint(spark, sf_dir):
+    """Winnowing-style min rolling-hash fingerprint (rows-only: the
+    Rabin-Karp fold over bytes is not ANSI-SQL-expressible)."""
+    from tl_spark.functions.text import rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("rfp")
+    ).orderBy("doc_id")
+
+
 def dedup_exact_docs(spark, sf_dir):
     from tl_spark.operators.dedup import exact_dedup
 
@@ -762,6 +773,7 @@ def queries():
         "events_sessionized": events_sessionized,
         "selector_extract_p": selector_extract_p,
         "lookup_by_id": lookup_by_id,
+        "doc_rolling_fingerprint": doc_rolling_fingerprint,
     }
 
 
