@@ -367,3 +367,16 @@ def test_tag_scope_query_selector():  # tag.rs:459-467 doctest
     assert len(hits) == 3
     for h in hits:
         assert dom.inner_text(h) == "M"
+
+
+def test_find_node_dfs_vs_direct():  # tag.rs:655-678 vs tag.rs:473-485
+    dom = parse("<div><p>a</p><ul><li><b>deep</b></li></ul></div>")
+    div = dom.children()[0]
+    is_b = lambda d, h: d.nodes[h][0] == KIND_TAG and d.tag_name(h) == b"b"
+    # Node::find_node recurses depth-first
+    hit = dom.find_node(div, is_b)
+    assert hit is not None and dom.inner_text(hit) == "deep"
+    # HTMLTag::find_node checks DIRECT children only
+    assert dom.tag_find_node(div, is_b) is None
+    is_p = lambda d, h: d.nodes[h][0] == KIND_TAG and d.tag_name(h) == b"p"
+    assert dom.tag_find_node(div, is_p) == dom.find_node(div, is_p)

@@ -616,6 +616,35 @@ class TlDom:
             out.append(self.inner_text(h, strip_tags))
         return "".join(out)
 
+    def find_node(self, handle, pred):
+        """First descendant (DFS pre-order over children) for which
+        ``pred(dom, h)`` is truthy (Node::find_node,
+        src/parser/tag.rs:655-678). Iterative.
+        """
+        node = self.nodes[handle]
+        if node[0] != KIND_TAG:
+            return None
+        stack = list(reversed(node[_CHILDREN]))
+        while stack:
+            h = stack.pop()
+            if pred(self, h):
+                return h
+            child = self.nodes[h]
+            if child[0] == KIND_TAG:
+                stack.extend(reversed(child[_CHILDREN]))
+        return None
+
+    def tag_find_node(self, handle, pred):
+        """First DIRECT child matching ``pred`` (HTMLTag::find_node,
+        src/parser/tag.rs:473-485 — no recursion in the reference)."""
+        node = self.nodes[handle]
+        if node[0] != KIND_TAG:
+            return None
+        for h in node[_CHILDREN]:
+            if pred(self, h):
+                return h
+        return None
+
     # -- lookup --
 
     def get_element_by_id(self, idv):

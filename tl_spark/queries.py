@@ -681,6 +681,75 @@ FROM documents ORDER BY doc_id
 """
 
 
+def lookup_by_class(spark, sf_dir):
+    """get_elements_by_class_name over wrapped docs; the wrapper gives
+    every doc exactly one class hit whose inner_text is the doc text."""
+    from tl_spark.functions.query import get_elements_by_class
+
+    d = _t(spark, sf_dir, "documents")
+    html = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div class="msg user">'), F.col("text"), F.lit("</div>")
+        ).alias("text"),
+    )
+    return get_elements_by_class(html, "msg").orderBy("doc_id")
+
+
+LOOKUP_BY_CLASS_SQL = LOOKUP_BY_ID_SQL
+
+
+def doc_outer_html_roundtrip(spark, sf_dir):
+    """Serialization op: dom_outer_html of a properly-closed wrapper is
+    the identity — DuckDB-checkable as the same concat expression."""
+    from typing import Iterator as _It
+
+    def fn(batches):
+        from tl_spark.kernel.htmlparse import parse
+
+        for batch in batches:
+            ids = batch.column("doc_id")
+            texts = batch.column("text").to_pylist()
+            outs = [parse(t or "").dom_outer_html() for t in texts]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(outs, type=pa.string())],
+                names=["doc_id", "outer_html"],
+            )
+
+    html = _docs_as_html(spark, sf_dir)
+    return html.mapInArrow(fn, "doc_id long, outer_html string").orderBy(
+        "doc_id"
+    )
+
+
+DOC_OUTER_HTML_SQL = f"""
+SELECT doc_id,
+       '{_DOC_HTML_TMPL[0]}' || text || '{_DOC_HTML_TMPL[1].replace("'", "''")}'
+         AS outer_html
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_html_version(spark, sf_dir):
+    """Doctype detection plumbing: '<!doctype html>' prefix => HTML5."""
+    from tl_spark.functions.extract import extract_main_content
+
+    d = _t(spark, sf_dir, "documents")
+    html = d.select(
+        "doc_id",
+        F.concat(F.lit("<!doctype html><p>"), F.col("text"), F.lit("</p>")).alias(
+            "text"
+        ),
+    )
+    out = extract_main_content(html, passthrough=["doc_id"])
+    return out.select("doc_id", "html_version").orderBy("doc_id")
+
+
+DOC_HTML_VERSION_SQL = """
+SELECT doc_id, 'HTML5' AS html_version FROM documents ORDER BY doc_id
+"""
+
+
 def parse_nodes_docs(spark, sf_dir):
     """Node-arena explosion of HTML-wrapped documents (rows-only)."""
     from tl_spark.functions.extract import parse_nodes
@@ -773,6 +842,9 @@ def queries():
         "events_sessionized": events_sessionized,
         "selector_extract_p": selector_extract_p,
         "lookup_by_id": lookup_by_id,
+        "lookup_by_class": lookup_by_class,
+        "doc_outer_html_roundtrip": doc_outer_html_roundtrip,
+        "doc_html_version": doc_html_version,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
     }
 
@@ -799,6 +871,9 @@ def oracle_sql():
         # lookup_by_id is also SQL-expressible for THIS wrapper: every
         # doc yields exactly one hit with node_idx 0 and the doc text
         "lookup_by_id": LOOKUP_BY_ID_SQL,
+        "lookup_by_class": LOOKUP_BY_CLASS_SQL,
+        "doc_outer_html_roundtrip": DOC_OUTER_HTML_SQL,
+        "doc_html_version": DOC_HTML_VERSION_SQL,
         # extract_documents / selector_counts / dedup_minhash /
         # dedup_simhash / dedup_ngram_jaccard / ann_lsh_topk:
         # non-SQL-expressible -> rows-only driver check

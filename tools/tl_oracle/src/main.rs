@@ -127,6 +127,10 @@ fn dump_case(html: &str, selectors: &[String]) -> String {
             qs(&node.inner_text(parser))
         ));
         nj.push_str(&format!(
+            "\"inner_html\":{},",
+            qs(&node.inner_html(parser))
+        ));
+        nj.push_str(&format!(
             "\"outer_html\":{}",
             qs(&node.outer_html(parser))
         ));
@@ -194,7 +198,28 @@ fn dump_case(html: &str, selectors: &[String]) -> String {
             None => sel_json.push("null".into()),
         }
     }
-    out.push_str(&format!("\"selectors\":[{}]", sel_json.join(",")));
+    out.push_str(&format!("\"selectors\":[{}],", sel_json.join(",")));
+
+    // tag-scope selector queries from the FIRST tag node (subtree slice
+    // semantics, src/queryselector/iterable.rs:50-77)
+    let first_tag = dom.nodes().iter().find_map(|n| n.as_tag());
+    let mut tag_sel_json: Vec<String> = Vec::new();
+    if let Some(tag) = first_tag {
+        for sel in selectors {
+            match tag.query_selector(parser, sel) {
+                Some(iter) => {
+                    let hits: Vec<String> =
+                        iter.map(|h| h.get_inner().to_string()).collect();
+                    tag_sel_json.push(format!("[{}]", hits.join(",")));
+                }
+                None => tag_sel_json.push("null".into()),
+            }
+        }
+    }
+    out.push_str(&format!(
+        "\"tag_selectors\":[{}]",
+        tag_sel_json.join(",")
+    ));
     out.push('}');
     out
 }
