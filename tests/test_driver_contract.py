@@ -76,3 +76,15 @@ def test_rows_only_queries_run(spark):
         n = df.count()
         assert n >= 0
         df.limit(5).collect()
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(Q.oracle_sql()) <= set(Q.queries())
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert set(E.oracle_sql()) <= set(E.queries())

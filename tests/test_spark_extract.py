@@ -119,3 +119,32 @@ def test_stable_ordering_window(spark, transcripts):
     )
     idxs = [x["turn_idx"] for x in r]
     assert idxs == sorted(idxs)
+
+
+def test_pipeline_heals_incomplete_bucket(spark, transcripts, tmp_path):
+    """A bucket missing from the ledger (simulated crash mid-group) is
+    rewritten on resume; completed buckets are untouched."""
+    import json
+    from pathlib import Path
+
+    out = str(tmp_path / "extracted2")
+    run_extraction_job(
+        spark, transcripts, out, n_buckets=4, bucket_group_size=2
+    )
+    n_total = spark.read.parquet(out).count()
+
+    # simulate a crash: bucket 3 never made it into the ledger and its
+    # files are half-written (delete them outright)
+    ledger = Path(out) / "_tl_ledger.json"
+    ledger.write_text(json.dumps({"completed_buckets": [0, 1, 2]}))
+    import shutil
+
+    shutil.rmtree(Path(out) / "bucket=3")
+    assert spark.read.parquet(out).count() < n_total
+
+    report = run_extraction_job(
+        spark, transcripts, out, n_buckets=4, bucket_group_size=2
+    )
+    assert report["buckets_written"] == 1
+    assert report["buckets_skipped"] == 3
+    assert spark.read.parquet(out).count() == n_total
