@@ -148,3 +148,41 @@ def test_pipeline_heals_incomplete_bucket(spark, transcripts, tmp_path):
     assert report["buckets_written"] == 1
     assert report["buckets_skipped"] == 3
     assert spark.read.parquet(out).count() == n_total
+
+
+def test_salting_splits_mega_conversation(spark, tmp_path):
+    """Deterministic skew evidence: without salt, the mega conversation
+    lands in ONE shuffle partition; with salt it spreads over salt_k."""
+    from tl_spark.pipeline import salted_repartition
+
+    df = synth_transcripts(spark, n_convs=40, median_turns=5, skew_mult=200)
+    mega = "c00000000"  # 1000 turns vs ~5 for everyone else
+
+    unsalted = df.repartition(16, F.col("conv_id"))
+    u_parts = (
+        unsalted.filter(F.col("conv_id") == mega)
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert u_parts == 1
+
+    salted = salted_repartition(
+        df, n_buckets=16, salt_k=8, salt_threshold=100, num_partitions=64
+    )
+    s_parts = (
+        salted.filter(F.col("conv_id") == mega)
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert s_parts >= 4  # spread across (up to) salt_k reducers
+    # non-skewed conversations keep a single partition (no extra shuffle
+    # fan-out for the common case)
+    other = (
+        salted.filter(F.col("conv_id") == "c00000007")
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert other == 1

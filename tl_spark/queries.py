@@ -83,6 +83,22 @@ def q1_pricing_summary(spark, sf_dir):
             .alias("sum_base_price"),
             F.round(F.sum(_rev_dec()), 2).cast("double").alias("sum_disc_price"),
             F.round(F.sum(_charge_dec()), 2).cast("double").alias("sum_charge"),
+            # averages: exact decimal sum -> double, THEN one IEEE
+            # division — bit-identical in both engines. NO rounding
+            # (round() on doubles is engine-divergent) and never
+            # decimal division (engine-specific result scales).
+            (
+                F.sum(_dec(F.col("l_quantity"))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            (
+                F.sum(_dec(F.col("l_extendedprice"))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+            (
+                F.sum(_dec(F.col("l_discount"), 4)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -96,6 +112,9 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(ROUND(SUM({_REV_SQL}), 2) AS DOUBLE) AS sum_disc_price,
        CAST(ROUND(SUM({_CHARGE_SQL}), 2) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

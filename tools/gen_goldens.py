@@ -167,11 +167,30 @@ def rand_doc(rng, depth=0):
     return "".join(parts)
 
 
+FRAGMENTS = [
+    "<", ">", "</", "<!", "<!-", "<!--", "-->", "--", "=", '"', "'", "/",
+    "/>", " ", "\n", "\t", "\r", "a", "div", "p", "id", "class", "x=1",
+    'id="z"', "<p", "<div>", "</div>", "</p>", "<br>", "&amp;", "\x00",
+    "!", "doctype", "<!doctype html>", "<!DOCTYPE", "html", "=\"", "=='",
+    "<=", "=/", "<a href=", "?", "#", ".", "[", "]", "~=", "^=", "ü",
+]
+
+
+def rand_soup(rng):
+    """Adversarial structured byte soup: concatenated dangerous
+    fragments — exercises every tokenizer edge simultaneously."""
+    return "".join(
+        rng.choice(FRAGMENTS) for _ in range(rng.randrange(3, 40))
+    )
+
+
 def main():
     rng = random.Random(42)
     cases = fixed_cases()
     for _ in range(400):
         cases.append(rand_doc(rng))
+    for _ in range(300):
+        cases.append(rand_soup(rng))
 
     lines = []
     for html in cases:
