@@ -102,12 +102,114 @@ def extract_document(text: str, strip_tags=DEFAULT_STRIP_TAGS):
     return (txt, spans, n_nodes, ver, err)
 
 
+def _extract_bytes_flat(buf: bytes, strip_tags):
+    """Bytes-in/bytes-out extraction (Arrow fast path; input must be
+    valid UTF-8, which parquet/Arrow strings guarantee)."""
+    if b"<" not in buf:
+        if not buf:
+            return (b"", (), (), 0, None)
+        return (buf, (0,), (len(buf) - 1,), 1, None)
+    dom = parse(buf)
+    nodes = dom.nodes
+    starts = []
+    ends = []
+    parts = []
+    for h in dom.ast:
+        node = nodes[h]
+        kind = node[0]
+        if kind == KIND_TAG:
+            if node[1] in strip_tags:
+                continue
+            parts.append(dom.inner_text_bytes(h, strip_tags))
+            s, e = node[4], node[5] - 1
+        elif kind == KIND_RAW:
+            parts.append(buf[node[1]:node[2]])
+            s, e = node[1], node[2] - 1
+        else:  # comment
+            continue
+        starts.append(s)
+        ends.append(e)
+    return (b"".join(parts), starts, ends, len(nodes), dom.version)
+
+
 def _make_arrow_fn(text_col: str, passthrough: list[str], strip_tags):
     out_fields = [(c, None) for c in passthrough]
+
+    def fast_batch(batch: pa.RecordBatch):
+        """Zero-decode path: slice document bytes straight out of the
+        StringArray buffers, run the kernel on bytes, and build the
+        output StringArray from concatenated bytes + offsets — no
+        str decode/encode round-trip anywhere. Returns None when the
+        batch shape isn't eligible (nulls / non-utf8 storage type)."""
+        import array as _array
+
+        col = batch.column(text_col)
+        if col.null_count != 0 or not pa.types.is_string(col.type):
+            return None
+        n = len(col)
+        bufs = col.buffers()
+        offs = memoryview(bufs[1]).cast("i")
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        base = col.offset
+
+        ex_nodes = [0] * n
+        ex_ver = [None] * n
+        out_parts = []
+        out_off = _array.array("i", bytes(4 * (n + 1)))
+        flat_starts: list[int] = []
+        flat_ends: list[int] = []
+        sp_off = _array.array("i", bytes(4 * (n + 1)))
+        pos = 0
+        try:
+            for i in range(n):
+                s = offs[base + i]
+                e = offs[base + i + 1]
+                doc = bytes(data[s:e])
+                out, starts, ends, n_nodes, ver = _extract_bytes_flat(
+                    doc, strip_tags
+                )
+                out_parts.append(out)
+                pos += len(out)
+                out_off[i + 1] = pos
+                flat_starts.extend(starts)
+                flat_ends.extend(ends)
+                sp_off[i + 1] = len(flat_starts)
+                ex_nodes[i] = n_nodes
+                ex_ver[i] = ver
+        except Exception:
+            return None  # fall back to the row-tolerant slow path
+
+        text_arr = pa.Array.from_buffers(
+            pa.utf8(),
+            n,
+            [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(b"".join(out_parts))],
+        )
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(sp_off.tolist(), type=pa.int32()),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(flat_starts, type=pa.int32()),
+                    pa.array(flat_ends, type=pa.int32()),
+                ],
+                names=["start", "end"],
+            ),
+        )
+        arrays = [batch.column(c) for c in passthrough]
+        arrays.append(text_arr)
+        arrays.append(spans_arr)
+        arrays.append(pa.array(ex_nodes, type=pa.int32()))
+        arrays.append(pa.array(ex_ver, type=pa.string()))
+        arrays.append(pa.nulls(n, type=pa.string()))  # error column
+        names = passthrough + [f.name for f in EXTRACT_FIELDS]
+        return pa.RecordBatch.from_arrays(arrays, names=names)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         extract = extract_document_flat
         for batch in batches:
+            fast = fast_batch(batch)
+            if fast is not None:
+                yield fast
+                continue
             texts = batch.column(text_col).to_pylist()
             n = len(texts)
             ex_text = [None] * n

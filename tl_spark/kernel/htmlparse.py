@@ -547,6 +547,39 @@ class TlDom:
                     stack.append(c)
         return b"".join(out).decode("utf-8", "replace")
 
+    def inner_text_bytes(self, handle, strip_tags=None):
+        """inner_text as raw bytes (no per-slice lossy decode).
+
+        For valid-UTF-8 input this equals ``inner_text(...).encode()``:
+        every tokenizer split point is an ASCII byte (<, >, quotes,
+        space, \\n, =, /), so a raw-node boundary can never fall inside
+        a multi-byte UTF-8 sequence. The Arrow batch path uses this to
+        skip the str decode/encode round-trip (parquet strings are
+        always valid UTF-8). For INVALID UTF-8, per-slice lossy decode
+        (the reference's semantics) may differ — use inner_text there.
+        """
+        nodes = self.nodes
+        buf = self.buf
+        node = nodes[handle]
+        if node[0] == KIND_RAW:
+            return buf[node[_S]:node[_E]]
+        if node[0] == KIND_COMMENT:
+            return b""
+        out = []
+        stack = [handle]
+        while stack:
+            h = stack.pop()
+            nd = nodes[h]
+            kind = nd[0]
+            if kind == KIND_RAW:
+                out.append(buf[nd[_S]:nd[_E]])
+            elif kind == KIND_TAG:
+                if h != handle and strip_tags is not None and nd[_NAME] in strip_tags:
+                    continue
+                for c in reversed(nd[_CHILDREN]):
+                    stack.append(c)
+        return b"".join(out)
+
     def _open_tag_str(self, node):
         parts = ["<", node[_NAME].decode("utf-8", "replace")]
         for k, v in node[_ATTRS].iter_all():
