@@ -401,6 +401,85 @@ ORDER BY user_id, sess_id
 """
 
 
+def events_asof_last_view(spark, sf_dir):
+    """As-of join expressed as a running window: for every 'click',
+    the most recent 'view' at-or-before it for the same user.
+
+    Scalable shape: ONE shuffle on user_id, then a running
+    last-non-null inside each partition — no range-join blow-up
+    (this is the windowed formulation of ASOF JOIN; DuckDB oracle uses
+    the identical window so semantics match bit-for-bit).
+    """
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    out = (
+        e.withColumn("last_view_ts", prev_view)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "last_view_ts",
+            F.when(
+                F.col("last_view_ts").isNotNull(),
+                F.unix_timestamp("ts") - F.unix_timestamp("last_view_ts"),
+            ).alias("secs_since_view"),
+        )
+        .orderBy("event_id")
+    )
+    return out
+
+
+EVENTS_ASOF_SQL = """
+WITH marked AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_view_ts
+  FROM events
+)
+SELECT event_id, user_id, ts, last_view_ts,
+       CASE WHEN last_view_ts IS NOT NULL
+            THEN CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(last_view_ts)) AS BIGINT) END
+         AS secs_since_view
+FROM marked
+WHERE event_type = 'click'
+ORDER BY event_id
+"""
+
+
+def order_price_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per priority class."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------- text ops
 
 _TOKENS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
@@ -859,6 +938,8 @@ def queries():
         "parse_nodes_docs": parse_nodes_docs,
         "media_image_features": media_image_features,
         "events_sessionized": events_sessionized,
+        "events_asof_last_view": events_asof_last_view,
+        "order_price_percentiles": order_price_percentiles,
         "selector_extract_p": selector_extract_p,
         "lookup_by_id": lookup_by_id,
         "lookup_by_class": lookup_by_class,
@@ -887,6 +968,8 @@ def oracle_sql():
         "embedding_cosine_topk": _cosine_sql(),
         "extract_documents_text": EXTRACT_DOCS_SQL,
         "events_sessionized": EVENTS_SESSION_SQL,
+        "events_asof_last_view": EVENTS_ASOF_SQL,
+        "order_price_percentiles": PERCENTILES_SQL,
         # lookup_by_id is also SQL-expressible for THIS wrapper: every
         # doc yields exactly one hit with node_idx 0 and the doc text
         "lookup_by_id": LOOKUP_BY_ID_SQL,
