@@ -224,7 +224,47 @@ fn dump_case(html: &str, selectors: &[String]) -> String {
     out
 }
 
+fn bench_mode() {
+    // stdin: base64 docs, one per line. Parses the whole corpus 5x
+    // (default ParserOptions + inner_text of top-level nodes, i.e. the
+    // same work our extraction kernel does) and prints docs/s + MB/s.
+    let stdin = io::stdin();
+    let mut input = String::new();
+    stdin.lock().read_to_string(&mut input).unwrap();
+    let docs: Vec<String> = input
+        .lines()
+        .filter(|l| !l.is_empty())
+        .map(|l| String::from_utf8_lossy(&b64decode(l)).into_owned())
+        .collect();
+    let total_bytes: usize = docs.iter().map(|d| d.len()).sum();
+    let reps = 5;
+    let start = std::time::Instant::now();
+    let mut sink = 0usize;
+    for _ in 0..reps {
+        for d in &docs {
+            let dom = tl::parse(d, tl::ParserOptions::default()).unwrap();
+            let parser = dom.parser();
+            for h in dom.children() {
+                let node = h.get(parser).unwrap();
+                sink += node.inner_text(parser).len();
+            }
+        }
+    }
+    let secs = start.elapsed().as_secs_f64();
+    let n = docs.len() * reps;
+    println!(
+        "{{\"docs_per_sec\": {:.1}, \"mb_per_sec\": {:.2}, \"sink\": {}}}",
+        n as f64 / secs,
+        (total_bytes * reps) as f64 / secs / 1e6,
+        sink
+    );
+}
+
 fn main() {
+    if std::env::args().any(|a| a == "--bench") {
+        bench_mode();
+        return;
+    }
     let stdin = io::stdin();
     let mut input = String::new();
     stdin.lock().read_to_string(&mut input).unwrap();
