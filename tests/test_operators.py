@@ -128,3 +128,12 @@ def test_streaming_extraction(spark, tmp_path):
     got = spark.read.parquet(outp)
     assert got.count() == df.count()
     assert "extracted_text" in got.columns
+
+
+def test_minhash_deterministic_across_partitioning(spark, documents):
+    from tl_spark.operators.dedup import minhash_signatures
+
+    base = documents.select("doc_id", "text")
+    a = {r["id"]: tuple(r["sig"]) for r in minhash_signatures(base.repartition(1)).collect()}
+    b = {r["id"]: tuple(r["sig"]) for r in minhash_signatures(base.repartition(13)).collect()}
+    assert a == b
