@@ -186,3 +186,29 @@ def test_salting_splits_mega_conversation(spark, tmp_path):
         .count()
     )
     assert other == 1
+
+
+def test_kernel_fault_rows_are_flagged_not_fatal():
+    """A per-row kernel fault lands in the `error` column (row kept);
+    the zero-decode fast path falls back to the row-tolerant path."""
+    import pyarrow as pa
+
+    from tl_spark.functions.extract import _make_arrow_fn
+
+    class Boom:
+        def __contains__(self, _):
+            raise RuntimeError("boom")
+
+    fn = _make_arrow_fn("text", ["doc_id"], Boom())
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([1, 2], type=pa.int64()),
+            pa.array(["<p>x</p>", "plain"], type=pa.string()),
+        ],
+        names=["doc_id", "text"],
+    )
+    rows = list(fn(iter([batch])))[0].to_pylist()
+    assert rows[0]["error"] is not None and "boom" in rows[0]["error"]
+    assert rows[0]["extracted_text"] is None
+    assert rows[1]["error"] is None  # tag-free fast path unaffected
+    assert rows[1]["extracted_text"] == "plain"

@@ -200,7 +200,7 @@ def top_customers_per_segment(spark, sf_dir):
         F.desc("total_spend"), F.asc("c_custkey")
     )
     return (
-        totals.withColumn("rnk", F.row_number().over(w))
+        totals.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("c_mktsegment", "c_custkey", "c_name", "total_spend", "rnk")
         .orderBy("c_mktsegment", "rnk")
@@ -386,9 +386,9 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, ts, value,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS sess_id
+              AS BIGINT) AS sess_id
   FROM marked
 )
 SELECT user_id, sess_id,
@@ -491,9 +491,9 @@ def doc_token_stats(spark, sf_dir):
     c = F.col("text")
     return d.select(
         "doc_id",
-        token_count(c).alias("n_tokens"),
-        F.length(c).alias("n_chars_c"),
-        punct_count(c).alias("n_punct"),
+        token_count(c).cast("long").alias("n_tokens"),
+        F.length(c).cast("long").alias("n_chars_c"),
+        punct_count(c).cast("long").alias("n_punct"),
     ).orderBy("doc_id")
 
 
