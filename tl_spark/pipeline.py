@@ -47,27 +47,51 @@ from tl_spark.functions.extract import DEFAULT_STRIP_TAGS, extract_main_content
 LEDGER_NAME = "_tl_ledger.json"
 
 
+def find_skewed_conversations(
+    df: DataFrame, salt_threshold: int = 1000
+) -> DataFrame:
+    """Conversations whose turn count exceeds the salting threshold —
+    one small aggregate over the fact table; compute ONCE per job and
+    reuse across bucket groups."""
+    sizes = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n_turns"))
+    return sizes.filter(F.col("_n_turns") > salt_threshold).select(
+        "conv_id", F.lit(True).alias("_skewed")
+    )
+
+
 def salted_repartition(
     df: DataFrame,
     n_buckets: int,
     salt_k: int = 8,
     salt_threshold: int = 1000,
     num_partitions: int | None = None,
+    skewed: DataFrame | None = None,
+    buckets: list[int] | None = None,
 ) -> DataFrame:
     """Add ``bucket`` and repartition by (bucket, salt).
 
     Salt applies only to conversations with > salt_threshold turns;
     the threshold scan is a small aggregate joined back via broadcast,
-    so no extra full shuffle of the fact table.
+    so no extra full shuffle of the fact table. Pass ``skewed``
+    (from :func:`find_skewed_conversations`, persisted) to avoid
+    recomputing the aggregate per bucket group.
+
+    ``buckets``: restrict to a bucket subset BEFORE the shuffle — the
+    bucket id needs only conv_id, so the filter runs scan-side and the
+    exchange moves just that group's rows (without this, grouped
+    processing shuffles the full table once per group).
     """
-    sizes = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n_turns"))
-    big = sizes.filter(F.col("_n_turns") > salt_threshold).select(
-        "conv_id", F.lit(True).alias("_skewed")
+    big = (
+        skewed
+        if skewed is not None
+        else find_skewed_conversations(df, salt_threshold)
     )
-    df = df.join(F.broadcast(big), "conv_id", "left")
     df = df.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
-    ).withColumn(
+    )
+    if buckets is not None:
+        df = df.filter(F.col("bucket").isin(list(buckets)))
+    df = df.join(F.broadcast(big), "conv_id", "left").withColumn(
         "_salt",
         F.when(
             F.col("_skewed").isNotNull(),
@@ -124,11 +148,20 @@ def run_extraction_job(
 
     lineage_rows = []
     total_rows = 0
+    skewed = None
+    if groups:
+        skewed = find_skewed_conversations(df, salt_threshold).persist()
+        skewed.count()  # materialize once; reused by every group below
     for group in groups:
         g0 = time.time()
         part = salted_repartition(
-            df, n_buckets, salt_k=salt_k, salt_threshold=salt_threshold
-        ).filter(F.col("bucket").isin(group))
+            df,
+            n_buckets,
+            salt_k=salt_k,
+            salt_threshold=salt_threshold,
+            skewed=skewed,
+            buckets=group,
+        )
         # stable turn ordering inside every output file: sort the NARROW
         # input rows, then extract — mapInArrow preserves row order
         # within a partition, and sorting pre-extraction moves ~25% fewer
@@ -182,6 +215,8 @@ def run_extraction_job(
             str(Path(output_path).parent / (Path(output_path).name + "_lineage"))
         )
 
+    if skewed is not None:
+        skewed.unpersist()
     return {
         "buckets_written": len(todo),
         "buckets_skipped": len(all_buckets) - len(todo),
