@@ -104,7 +104,27 @@ def extract_document(text: str, strip_tags=DEFAULT_STRIP_TAGS):
 
 def _extract_bytes_flat(buf: bytes, strip_tags):
     """Bytes-in/bytes-out extraction (Arrow fast path; input must be
-    valid UTF-8, which parquet/Arrow strings guarantee)."""
+    valid UTF-8, which parquet/Arrow strings guarantee).
+
+    Uses the no-DOM single-pass scanner (kernel ``extract_scan``);
+    equivalence with the DOM route is pinned by
+    tests/test_extract_scan.py over the golden corpus.
+    """
+    if b"<" not in buf:
+        if not buf:
+            return (b"", (), (), 0, None)
+        return (buf, (0,), (len(buf) - 1,), 1, None)
+    from tl_spark.kernel.htmlparse import extract_scan
+
+    text, spans, n_nodes, version = extract_scan(buf, strip_tags)
+    starts = [s for s, _ in spans]
+    ends = [e for _, e in spans]
+    return (text, starts, ends, n_nodes, version)
+
+
+def _extract_bytes_flat_dom(buf: bytes, strip_tags):
+    """DOM-route reference implementation (kept for the equivalence
+    test gating the scanner above)."""
     if b"<" not in buf:
         if not buf:
             return (b"", (), (), 0, None)

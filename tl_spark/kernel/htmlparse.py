@@ -739,6 +739,155 @@ class TlDom:
         ]
 
 
+def extract_scan(buf, strip_tags):
+    """Single-pass main-content extraction WITHOUT DOM materialization.
+
+    Runs the identical byte machine as :class:`_Parser` (same grammar,
+    same drop/close/void rules — see that class for the reference
+    citations) but materializes nothing: no arena nodes, no Attrs, no
+    children lists. Attributes are scanned for position only. State is
+    a stack of (name, top_span_record, strips) plus a strip-depth
+    counter; an unclosed stripped tag strips to end-of-document, which
+    matches the contiguous-subtree semantics (its descendants are
+    exactly the remaining nodes).
+
+    Returns (text_bytes, starts, ends, n_nodes, version) ==
+    the DOM route's ``dom_inner_text``/top-level-span outputs
+    (equivalence pinned by tests/test_extract_scan.py over the golden
+    corpus and hypothesis inputs).
+    """
+    n = len(buf)
+    find = buf.find
+    ident = _IDENT_TABLE
+    parts = []
+    spans = []  # mutable [start, end] records, document order
+    stack = []  # (name, top_rec_or_None, inc_strip)
+    strip_depth = 0
+    n_nodes = 0
+    version = None
+    i = 0
+    while i < n:
+        c = buf[i]
+        if c != _LT:
+            j = find(b"<", i)
+            if j < 0:
+                j = n
+            n_nodes += 1
+            if strip_depth == 0:
+                parts.append(buf[i:j])
+            if not stack:
+                spans.append([i, j - 1])
+            i = j
+            continue
+
+        start = i
+        i += 1
+        while i < n and (buf[i] == 0x20 or buf[i] == 0x0A):
+            i += 1
+        if i >= n:
+            break
+        c = buf[i]
+
+        if c == _SLASH:
+            i += 1
+            j = find(b">", i)
+            if j < 0:
+                j = n
+            closing_name = buf[i:j]
+            i = j
+            if i < n:
+                i += 1
+            if stack and stack[-1][0] == closing_name:
+                name, rec, inc = stack.pop()
+                if rec is not None:
+                    rec[1] = i - 1
+                if inc:
+                    strip_depth -= 1
+            continue
+
+        if c == _BANG:
+            # comment / doctype (cold): reuse the exact machine
+            i2 = i + 1
+            if buf[i2:i2 + 2] == b"--":
+                # comment: skip, counts as a node, contributes nothing
+                p = _Parser(buf)
+                p.i = i2
+                p._skip_comment(start)
+                i = p.i
+                n_nodes += 1
+                continue
+            p = _Parser(buf)
+            p.i = i
+            p.version = version
+            p._read_markdown()
+            version = p.version
+            i = p.i
+            continue
+
+        ns = i
+        while i < n and ident[buf[i]]:
+            i += 1
+        name = buf[ns:i]
+        while i < n and (buf[i] == 0x20 or buf[i] == 0x0A):
+            i += 1
+
+        dropped = False
+        while True:
+            while i < n and (buf[i] == 0x20 or buf[i] == 0x0A):
+                i += 1
+            if i >= n:
+                dropped = True
+                break
+            c = buf[i]
+            if c == _SLASH or c == _GT:
+                break
+            while i < n and ident[buf[i]]:
+                i += 1
+            while i < n and (buf[i] == 0x20 or buf[i] == 0x0A):
+                i += 1
+            if i < n and buf[i] == _EQ:
+                i += 1
+                while i < n and (buf[i] == 0x20 or buf[i] == 0x0A):
+                    i += 1
+                if i < n and (buf[i] == _DQ or buf[i] == _SQ):
+                    q = buf[i]
+                    i += 1
+                    j = find(q, i)
+                    i = n if j < 0 else j
+                else:
+                    m = _ATTR_END4.search(buf, i)
+                    i = m.start() if m else n
+            if i >= n:
+                dropped = True
+                break
+            c = buf[i]
+            if c != _SLASH and c != _GT:
+                i += 1
+        if dropped:
+            continue
+
+        is_self_closing = False
+        if buf[i] == _SLASH:
+            is_self_closing = True
+            i += 1
+        if i >= n or buf[i] != _GT:
+            continue
+        i += 1
+
+        n_nodes += 1
+        strips = name in strip_tags
+        rec = None
+        if not stack and not strips:
+            rec = [start, i - 1]
+            spans.append(rec)
+        if not is_self_closing and name not in VOID_TAGS:
+            stack.append((name, rec, strips))
+            if strips:
+                strip_depth += 1
+
+    return (b"".join(parts), spans, n_nodes, version)
+
+
 def parse(html, track_ids=False, track_classes=False):
     """Parse an HTML document (str or bytes) into a :class:`TlDom`.
 
