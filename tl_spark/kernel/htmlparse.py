@@ -91,6 +91,24 @@ _IDENT_TABLE = bytes(
 _NON_WS = re.compile(rb"[^ \n]")
 # unquoted attribute value terminators (src/parser/base.rs:166)
 _ATTR_END4 = re.compile(rb"[ \n/>]")
+# extract_scan fast path: a "benign" open tag matched in ONE regex call.
+# Provably equivalent to the byte machine on its matched subset:
+#  - name starts with a non-'/' ident char (the '<'-dispatch guarantees
+#    the first byte is not '/', '!', or whitespace when this is tried),
+#    may contain '/' afterwards (the `<br/>` name quirk);
+#  - each attribute needs >=1 space/\n separator, an ident key not
+#    starting with '/' ('/' always terminates the attr loop), and an
+#    optionally "…"/'…' quoted value glued to '=' (no spaces around '=',
+#    no unquoted values — those fall back to the exact machine);
+#  - then optional space/\n, optional self-close '/', '>'.
+# Anything else (tab tricks, '=' spacing, unquoted values, quote-follower
+# consumption, EOF drops) does NOT match and takes the exact path.
+_FAST_TAG = re.compile(
+    rb"<([0-9A-Za-z\-_:+][0-9A-Za-z\-_:+/]*)"
+    rb"(?:(?:[ \n]+[0-9A-Za-z\-_:+][0-9A-Za-z\-_:+/]*"
+    rb"(?:=\"[^\"]*\"|='[^']*')?)*)"
+    rb"[ \n]*(/?)>"
+)
 # Rust's str::split_ascii_whitespace set: space \t \n \f \r (no \x0b)
 _ASCII_WS_SPLIT = re.compile(r"[ \t\n\x0c\r]+")
 
@@ -759,6 +777,7 @@ def extract_scan(buf, strip_tags):
     n = len(buf)
     find = buf.find
     ident = _IDENT_TABLE
+    fast_tag = _FAST_TAG.match
     parts = []
     spans = []  # mutable [start, end] records, document order
     stack = []  # (name, top_rec_or_None, inc_strip)
@@ -778,6 +797,24 @@ def extract_scan(buf, strip_tags):
             if not stack:
                 spans.append([i, j - 1])
             i = j
+            continue
+
+        # common-case fast path: one C-level match handles the whole tag
+        m = fast_tag(buf, i)
+        if m is not None:
+            start = i
+            i = m.end()
+            n_nodes += 1
+            name = m.group(1)
+            strips = name in strip_tags
+            rec = None
+            if not stack and not strips:
+                rec = [start, i - 1]
+                spans.append(rec)
+            if not m.group(2) and name not in VOID_TAGS:
+                stack.append((name, rec, strips))
+                if strips:
+                    strip_depth += 1
             continue
 
         start = i
