@@ -258,7 +258,9 @@ bucketing handles it on the shuffled write path). The only cluster-size
 amortized by partition size.
 
 Raw numbers: BENCH/scale_proof.json; generated by tools/scale_proof.py
-(deterministic input, seed 42).
+(deterministic input, seed 42). See also BENCH/COMPARISON.md
+(reference head-to-head, full-pipeline write-path numbers, variance
+methodology) — that file is NOT regenerated by this script.
 """
     (out / "BASELINE.md").write_text(md)
     print(json.dumps(report))
