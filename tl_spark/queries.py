@@ -848,6 +848,29 @@ SELECT doc_id, 'HTML5' AS html_version FROM documents ORDER BY doc_id
 """
 
 
+def curate_documents(spark, sf_dir):
+    """Composed curation pipeline over HTML-wrapped documents
+    (rows-only): extract -> stats -> exact dedup -> near-dup ->
+    quality/length filters."""
+    from tl_spark.curation import curate
+
+    d = _t(spark, sf_dir, "documents")
+    transcripts = d.select(
+        F.lit("cdoc").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(
+            F.lit(_DOC_HTML_TMPL[0]), F.col("text"), F.lit(_DOC_HTML_TMPL[1])
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    curated, _dropped = curate(transcripts, quality_min=0.0, min_tokens=1)
+    return curated.select(
+        "turn_idx", "extracted_text", "n_tokens", "quality", "lang_guess"
+    ).orderBy("turn_idx")
+
+
 def parse_nodes_docs(spark, sf_dir):
     """Node-arena explosion of HTML-wrapped documents (rows-only)."""
     from tl_spark.functions.extract import parse_nodes
@@ -946,6 +969,7 @@ def queries():
         "doc_outer_html_roundtrip": doc_outer_html_roundtrip,
         "doc_html_version": doc_html_version,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
+        "curate_documents": curate_documents,
     }
 
 
