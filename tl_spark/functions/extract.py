@@ -153,8 +153,6 @@ def _extract_bytes_flat_dom(buf: bytes, strip_tags):
 
 
 def _make_arrow_fn(text_col: str, passthrough: list[str], strip_tags):
-    out_fields = [(c, None) for c in passthrough]
-
     def fast_batch(batch: pa.RecordBatch):
         """Zero-decode path: slice document bytes straight out of the
         StringArray buffers, run the kernel on bytes, and build the
@@ -285,7 +283,6 @@ def _make_arrow_fn(text_col: str, passthrough: list[str], strip_tags):
             names = passthrough + [f.name for f in EXTRACT_FIELDS]
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    _ = out_fields
     return fn
 
 
