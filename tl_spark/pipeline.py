@@ -110,13 +110,22 @@ def read_ledger(output_path: str) -> set[int]:
     p = _ledger_path(output_path)
     if not p.exists():
         return set()
-    return set(json.loads(p.read_text())["completed_buckets"])
+    try:
+        return set(json.loads(p.read_text())["completed_buckets"])
+    except (ValueError, KeyError, TypeError):
+        # a torn/corrupted ledger must never brick resume: treating it
+        # as empty is safe because bucket rewrites are idempotent
+        # (dynamic partition overwrite) — worst case is redone work
+        return set()
 
 
 def _write_ledger(output_path: str, buckets: set[int]) -> None:
     p = _ledger_path(output_path)
     p.parent.mkdir(parents=True, exist_ok=True)
-    p.write_text(json.dumps({"completed_buckets": sorted(buckets)}))
+    # atomic replace: a crash mid-write leaves the previous ledger
+    tmp = p.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"completed_buckets": sorted(buckets)}))
+    tmp.replace(p)
 
 
 def run_extraction_job(
