@@ -58,3 +58,86 @@ def test_curation_quality_and_length_filters(spark, tmp_path):
     reasons = {r["doc_uid"]: r["drop_reason"] for r in dropped.collect()}
     assert kept == [0]
     assert sorted(reasons.values()) == ["low_quality", "too_short"]
+
+
+def test_curation_neardup_drops_later_turn(spark):
+    """The near-dup tie-break is (conv_id, turn_idx) document order,
+    NOT doc_uid hash order: the earlier turn always survives."""
+    from tl_spark.curation import curate
+
+    long_a = "the quick brown fox jumps over the lazy dog " * 6
+    long_b = long_a + "tail"
+    rows = [
+        ("a", 1, "user", long_a, None, None),
+        ("a", 2, "user", long_b, None, None),   # near-dup of turn 1
+        ("b", 1, "user", "completely different text about ships and the sea "
+                         "sailing far away from any fox or dog entirely", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    curated, dropped = curate(df, quality_min=0.0, min_tokens=1,
+                              neardup_jaccard=0.8)
+    kept = {(r["conv_id"], r["turn_idx"]) for r in curated.collect()}
+    assert ("a", 1) in kept and ("a", 2) not in kept
+    reasons = {r["drop_reason"] for r in dropped.collect()}
+    assert reasons == {"near_dup"}
+
+
+def test_curation_job_single_pass(spark, tmp_path):
+    """run_curation_job materializes the shared lineage once: with
+    persist=True the dropped output's executed plan reads the cached
+    stats (InMemoryTableScan) instead of re-running the Arrow
+    extraction, and the report is aggregated from written parquet."""
+    from tl_spark.curation import curate
+    from tl_spark.sources.transcripts import synth_transcripts, write_transcripts
+
+    inp = str(tmp_path / "in")
+    write_transcripts(
+        synth_transcripts(spark, n_convs=20, median_turns=5, skew_mult=2), inp
+    )
+    df = spark.read.parquet(inp)
+    curated, dropped = curate(df, persist=True, quality_min=0.0, min_tokens=1)
+    try:
+        curated.count()  # materialize: fills both caches
+        plan = dropped._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        # no LIVE second extraction: every MapInArrow in the plan text
+        # must be part of a cached InMemoryRelation's *stored* child
+        # (printed nested beneath it), never a live operator
+        lines = plan.splitlines()
+
+        def depth(s):
+            return len(s) - len(s.lstrip(" :+-"))
+
+        cache_depths = [
+            (i, depth(l)) for i, l in enumerate(lines) if "InMemoryRelation" in l
+        ]
+        for i, l in enumerate(lines):
+            if "MapInArrow" not in l:
+                continue
+            assert any(
+                j < i and d < depth(l) for j, d in cache_depths
+            ), f"live (uncached) extraction in dropped plan: {l}"
+    finally:
+        for cached in getattr(curated, "_tl_persisted", ()):
+            cached.unpersist()
+
+
+def test_curation_job_report_consistency(spark, tmp_path):
+    from tl_spark.curation import run_curation_job
+    from tl_spark.sources.transcripts import synth_transcripts, write_transcripts
+
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    write_transcripts(
+        synth_transcripts(spark, n_convs=25, median_turns=4, skew_mult=3), inp
+    )
+    n_in = spark.read.parquet(inp).count()
+    report = run_curation_job(spark, inp, outp, quality_min=0.0, min_tokens=1)
+    assert report["rows_in"] == n_in
+    assert report["rows_curated"] == spark.read.parquet(outp).count()
+    # dropped rows persisted next to the output for auditability
+    dropped = spark.read.parquet(outp + "_dropped")
+    assert dropped.count() == sum(report["dropped"].values())

@@ -137,3 +137,133 @@ def test_minhash_deterministic_across_partitioning(spark, documents):
     a = {r["id"]: tuple(r["sig"]) for r in minhash_signatures(base.repartition(1)).collect()}
     b = {r["id"]: tuple(r["sig"]) for r in minhash_signatures(base.repartition(13)).collect()}
     assert a == b
+
+
+# ------------------------------------------------- round-2 additions
+
+def test_minhash_short_docs_have_null_sig_and_no_candidates(spark):
+    """Docs shorter than shingle_k carry NO signature (not a shared
+    fallback), so unrelated short docs are never est=1.0 candidates."""
+    from tl_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    rows = [(1, "ab"), (2, "xy"), (3, "q"), (4, "a normal length document")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(df).collect()}
+    assert sigs[1] is None and sigs[2] is None and sigs[3] is None
+    assert sigs[4] is not None and len(sigs[4]) == 32
+    cands = minhash_lsh_candidates(df).collect()
+    assert cands == []  # the old fallback made (1,2),(1,3),(2,3) est=1.0
+
+
+def test_ann_multiprobe_returns_k_and_planted_recall(spark, embeddings):
+    """Planted scaled-query needles are found with a SMALL probe budget
+    (they share the query's first-probed bucket by construction)."""
+    from tl_spark.operators.similarity import ann_multiprobe_topk
+
+    query = [((i * 37 + 11) % 97) / 97.0 - 0.5 for i in range(64)]
+    qlit = "array(" + ",".join(f"cast({x!r} as float)" for x in query) + ")"
+    needles = spark.range(10).select(
+        (F.col("id") + 2000000).alias("vec_id"),
+        F.expr(
+            f"cast(transform({qlit}, x -> x * (1.0 + cast(id as double)/10.0))"
+            " as array<float>)"
+        ).alias("embedding"),
+    )
+    corpus = embeddings.select("vec_id", "embedding").unionByName(needles)
+    out = ann_multiprobe_topk(
+        corpus, query, n_planes=8, k=10, min_candidates=40
+    ).collect()
+    assert len(out) == 10
+    assert {r["id"] for r in out} == {2000000 + i for i in range(10)}
+    assert all(r["cosine"] == 1.0 for r in out)
+
+
+def test_ann_multiprobe_recall_vs_bruteforce(spark, embeddings):
+    """Recall >= 0.9 vs the exact scan on the natural (uniform-random)
+    embeddings — sign-LSH's worst case, hence the large probe budget;
+    clustered corpora reach the same recall with far smaller budgets
+    (see the planted test above)."""
+    from tl_spark.operators.similarity import (
+        ann_multiprobe_topk,
+        cosine_topk_bruteforce,
+    )
+
+    query = [((i * 37 + 11) % 97) / 97.0 - 0.5 for i in range(64)]
+    exact = {r["id"] for r in cosine_topk_bruteforce(embeddings, query, k=20).collect()}
+    approx_df = ann_multiprobe_topk(
+        embeddings, query, n_planes=8, k=20, min_candidates=450
+    )
+    approx = {r["id"] for r in approx_df.collect()}
+    assert len(approx) == 20
+    recall = len(exact & approx) / 20
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_ann_multiprobe_budget_tradeoff(spark, embeddings):
+    """More probing -> recall never decreases (monotone tradeoff)."""
+    from tl_spark.operators.similarity import (
+        ann_multiprobe_topk,
+        cosine_topk_bruteforce,
+    )
+
+    query = [((i * 37 + 11) % 97) / 97.0 - 0.5 for i in range(64)]
+    exact = {r["id"] for r in cosine_topk_bruteforce(embeddings, query, k=10).collect()}
+    recalls = []
+    for budget in (20, 150, 500):
+        got = {
+            r["id"]
+            for r in ann_multiprobe_topk(
+                embeddings, query, n_planes=8, k=10, min_candidates=budget
+            ).collect()
+        }
+        recalls.append(len(exact & got) / 10)
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0  # full probe == exact scan
+
+
+def test_embedding_neardup_planted_precision_recall(spark, embeddings):
+    """Perturbed twins (tiny deterministic rotation toward a fixed
+    direction) are recovered: recall == 1 on the planted set and no
+    false positives from the natural corpus."""
+    from tl_spark.operators.similarity import embedding_neardup_pairs
+
+    base = embeddings.select("vec_id", "embedding").limit(50)
+    # twin = 0.999 * v + 0.001 * ones: cosine(v, twin) ~ 0.9999+
+    twins = base.select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.expr(
+            "cast(transform(embedding, x -> x * cast(0.999 as float)"
+            " + cast(0.001 as float)) as array<float>)"
+        ).alias("embedding"),
+    )
+    corpus = embeddings.select("vec_id", "embedding").unionByName(twins)
+    pairs = embedding_neardup_pairs(corpus, threshold=0.99).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    expected = {(r["vec_id"], r["vec_id"] + 500000) for r in base.collect()}
+    assert got == expected
+    assert all(r["cosine"] >= 0.99 for r in pairs)
+
+
+def test_cosine_bruteforce_matches_numpy(spark, embeddings):
+    """The vectorized pandas-UDF cosine equals a straight numpy
+    reference on the same rows (guards the matmul path)."""
+    import numpy as np
+
+    from tl_spark.operators.similarity import cosine_topk_bruteforce
+
+    query = [((i * 37 + 11) % 97) / 97.0 - 0.5 for i in range(64)]
+    rows = embeddings.select("vec_id", "embedding").collect()
+    m = np.array([r["embedding"] for r in rows], dtype=np.float32).astype(np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = np.asarray(query)
+    cos = (m @ q) / (np.sqrt((m * m).sum(1)) * np.sqrt(q @ q))
+    order = np.lexsort((ids, -np.round(cos, 6)))[:20]
+    expected = [(int(ids[i]), round(float(cos[i]), 6)) for i in order]
+    got = [
+        (r["id"], r["cosine"])
+        for r in cosine_topk_bruteforce(embeddings, query, k=20).collect()
+    ]
+    assert got == expected

@@ -212,3 +212,56 @@ def test_kernel_fault_rows_are_flagged_not_fatal():
     assert rows[0]["extracted_text"] is None
     assert rows[1]["error"] is None  # tag-free fast path unaffected
     assert rows[1]["extracted_text"] == "plain"
+
+
+# ----------------------------------------------- ledger robustness (r2)
+
+def test_ledger_tolerates_torn_and_invalid_content(tmp_path):
+    """Truncated JSON, non-dict JSON, wrong key, and unreadable bytes
+    are all treated as an empty ledger (idempotent rewrites make
+    redo-from-scratch safe); a valid ledger round-trips."""
+    from tl_spark.pipeline import _write_ledger, read_ledger
+
+    out = str(tmp_path / "out")
+    ledger = tmp_path / "out" / "_tl_ledger.json"
+    ledger.parent.mkdir(parents=True)
+
+    ledger.write_text('{"completed_buckets": [0, 1')   # torn mid-write
+    assert read_ledger(out) == set()
+    ledger.write_text("[1, 2, 3]")                     # non-dict JSON
+    assert read_ledger(out) == set()
+    ledger.write_text('{"done": [1]}')                 # missing key
+    assert read_ledger(out) == set()
+    ledger.write_text("")                              # empty file
+    assert read_ledger(out) == set()
+
+    _write_ledger(out, {3, 1, 2})
+    assert read_ledger(out) == {1, 2, 3}
+
+
+def test_ledger_remote_uri_requires_spark_session():
+    import pytest as _pytest
+
+    from tl_spark.pipeline import _write_ledger, read_ledger
+
+    with _pytest.raises(ValueError, match="SparkSession"):
+        read_ledger("s3://bucket/out")
+    with _pytest.raises(ValueError, match="SparkSession"):
+        _write_ledger("s3://bucket/out", {1})
+
+
+def test_ledger_hadoop_fs_roundtrip(spark, tmp_path):
+    """URI-schemed output paths go through the Hadoop FileSystem API
+    (exercised here with file:// against the local FS): write, read
+    back, overwrite, and torn-content tolerance."""
+    from tl_spark.pipeline import _write_ledger, read_ledger
+
+    out = "file://" + str(tmp_path / "hout")
+    assert read_ledger(out, spark) == set()
+    _write_ledger(out, {0, 5}, spark)
+    assert read_ledger(out, spark) == {0, 5}
+    _write_ledger(out, {0, 5, 7}, spark)
+    assert read_ledger(out, spark) == {0, 5, 7}
+    # torn content on the hadoop path is also treated as empty
+    (tmp_path / "hout" / "_tl_ledger.json").write_text('{"completed_')
+    assert read_ledger(out, spark) == set()

@@ -33,6 +33,7 @@ def curate(
     min_tokens: int = 2,
     neardup_jaccard: float = 0.85,
     strip_tags=None,
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated, dropped) DataFrames.
 
@@ -40,6 +41,12 @@ def curate(
     quality, lang_guess, doc_uid.
     ``dropped``: doc_uid + drop_reason (exact_dup | near_dup |
     low_quality | too_short).
+
+    ``persist=True`` caches the two DAG nodes shared by ``curated``
+    and ``dropped`` (post-extraction stats, MEMORY_AND_DISK; and the
+    tiny near-dup set) so materializing BOTH outputs runs the
+    extraction and the MinHash self-join exactly once. The caller owns
+    unpersisting (see :func:`run_curation_job`).
     """
     from tl_spark.functions.extract import DEFAULT_STRIP_TAGS
 
@@ -60,6 +67,10 @@ def curate(
         quality_score(c).alias("quality"),
         lang_guess(c).alias("lang_guess"),
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        stats = stats.persist(StorageLevel.MEMORY_AND_DISK)
 
     # exact dedup: keep the first (conv_id, turn_idx) per distinct text;
     # window over the text hash — one digest shuffle
@@ -73,7 +84,11 @@ def curate(
     survivors = stats.filter(F.col("_rank") == 1).drop("_rank")
 
     # near-dup among exact-dedup survivors: LSH candidates verified by
-    # character-shingle Jaccard; drop the later (conv, turn) of a pair.
+    # character-shingle Jaccard; of each verified pair the LATER
+    # (conv_id, turn_idx) is dropped — NOT the larger doc_uid, which is
+    # a hash and therefore arbitrary w.r.t. document order. The pair
+    # set is tiny relative to the corpus, so the two key-attach joins
+    # broadcast under AQE.
     docs = survivors.select(
         F.col("doc_uid").alias("doc_id"),
         F.col("extracted_text").alias("text"),
@@ -82,12 +97,35 @@ def curate(
     verified = ngram_jaccard_pairs(
         docs, cands, threshold=neardup_jaccard
     )
+    keys = survivors.select("doc_uid", "conv_id", "turn_idx")
+    attached = verified.join(
+        keys.select(
+            F.col("doc_uid").alias("id_a"),
+            F.col("conv_id").alias("_conv_a"),
+            F.col("turn_idx").alias("_turn_a"),
+        ),
+        "id_a",
+    ).join(
+        keys.select(
+            F.col("doc_uid").alias("id_b"),
+            F.col("conv_id").alias("_conv_b"),
+            F.col("turn_idx").alias("_turn_b"),
+        ),
+        "id_b",
+    )
+    a_earlier = (F.col("_conv_a") < F.col("_conv_b")) | (
+        (F.col("_conv_a") == F.col("_conv_b"))
+        & (F.col("_turn_a") < F.col("_turn_b"))
+    )
+    later_uid = F.when(a_earlier, F.col("id_b")).otherwise(F.col("id_a"))
     near_dups = (
-        verified.select(F.col("id_b").alias("doc_uid"))
+        attached.select(later_uid.alias("doc_uid"))
         .distinct()
         .join(exact_dups.select("doc_uid"), "doc_uid", "left_anti")
         .select("doc_uid", F.lit("near_dup").alias("drop_reason"))
     )
+    if persist:
+        near_dups = near_dups.persist()
 
     kept_after_dedup = survivors.join(
         near_dups.select("doc_uid"), "doc_uid", "left_anti"
@@ -104,6 +142,9 @@ def curate(
         (F.col("quality") >= quality_min) & (F.col("n_tokens") >= min_tokens)
     )
     dropped = exact_dups.unionByName(near_dups).unionByName(low_q).unionByName(short)
+    if persist:
+        # hand the persisted handles to the caller for unpersisting
+        curated._tl_persisted = (stats, near_dups)
     return curated, dropped
 
 
@@ -113,20 +154,35 @@ def run_curation_job(
     output_path: str,
     **kwargs,
 ) -> dict:
+    """Single-pass job: the shared DAG prefix (extraction + stats and
+    the MinHash self-join) executes ONCE — ``curate(persist=True)``
+    caches it, ``dropped`` is written to parquet (not collected), and
+    every report number is aggregated from the two written outputs, so
+    neither the input nor the lineage is re-scanned for bookkeeping.
+    """
     t0 = time.time()
     df = spark.read.parquet(input_path)
-    curated, dropped = curate(df, **kwargs)
-    curated.write.mode("overwrite").parquet(output_path)
+    curated, dropped = curate(df, persist=True, **kwargs)
+    dropped_path = output_path.rstrip("/") + "_dropped"
+    try:
+        curated.write.mode("overwrite").parquet(output_path)
+        dropped.write.mode("overwrite").parquet(dropped_path)
+    finally:
+        for cached in getattr(curated, "_tl_persisted", ()):
+            cached.unpersist()
+    dropped_out = spark.read.parquet(dropped_path)
     reasons = {
         r["drop_reason"]: r["n"]
-        for r in dropped.groupBy("drop_reason")
+        for r in dropped_out.groupBy("drop_reason")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    n_in = df.count()
     n_out = spark.read.parquet(output_path).count()
+    n_dropped = sum(reasons.values())
     return {
-        "rows_in": n_in,
+        # every input row lands in exactly one output (drop precedence
+        # is total), so rows_in needs no extra input scan
+        "rows_in": n_out + n_dropped,
         "rows_curated": n_out,
         "dropped": reasons,
         "wall_s": round(time.time() - t0, 2),

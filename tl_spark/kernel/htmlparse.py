@@ -769,8 +769,9 @@ def extract_scan(buf, strip_tags):
     matches the contiguous-subtree semantics (its descendants are
     exactly the remaining nodes).
 
-    Returns (text_bytes, starts, ends, n_nodes, version) ==
-    the DOM route's ``dom_inner_text``/top-level-span outputs
+    Returns (text_bytes, spans, n_nodes, version), where ``spans`` is
+    a list of inclusive [start, end] records in document order — equal
+    to the DOM route's ``dom_inner_text``/top-level-span outputs
     (equivalence pinned by tests/test_extract_scan.py over the golden
     corpus and hypothesis inputs).
     """

@@ -151,8 +151,17 @@ def parse_selector(selector):
     return _SelParser(selector).selector()
 
 
+# Rust str::split_whitespace splits on the Unicode White_Space set;
+# Python str.split() additionally treats U+001C..U+001F as whitespace,
+# which would diverge from the reference on attribute values containing
+# those separators — so split on the exact White_Space property set.
+_UNICODE_WS_RE = re.compile(
+    "[\t\n\x0b\x0c\r \x85\xa0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]+"
+)
+
+
 def _split_unicode_ws(s):
-    return s.split()
+    return [t for t in _UNICODE_WS_RE.split(s) if t]
 
 
 def selector_matches(ast, dom, handle):

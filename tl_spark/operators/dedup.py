@@ -72,18 +72,22 @@ def minhash_signatures(
     # hash-aggregate MINs codegen and combine map-side, so the shuffle
     # carries one partial signature per (id, partition) — the shape
     # that survives a 100x scale-up. "Seeding" is xxhash64(shingle,
-    # seed_index) — hashing the pair. Docs shorter than shingle_k get
-    # the deterministic fallback signature [0, 1, ..., n_hashes-1]
-    # (explode_outer keeps them as a single null shingle).
+    # seed_index) — hashing the pair. Docs shorter than shingle_k have
+    # NO signature (sig = NULL, kept as one null-shingle row by
+    # explode_outer): a shared fallback signature would make every
+    # pair of short docs a false est_jaccard=1.0 candidate, so the
+    # banding layer skips null signatures instead.
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode_outer(sh).alias("_s")
     )
+    # NB: Spark's xxhash64 SKIPS null arguments (it does not return
+    # null), so the null shingle must be nulled out explicitly.
     hashed = exploded.select(
         "id",
         *[
-            F.when(F.col("_s").isNull(), F.lit(i).cast("long"))
-            .otherwise(F.xxhash64("_s", F.lit(i)))
-            .alias(f"_h{i}")
+            F.when(
+                F.col("_s").isNotNull(), F.xxhash64("_s", F.lit(i))
+            ).alias(f"_h{i}")
             for i in range(n_hashes)
         ],
     )
@@ -91,7 +95,11 @@ def minhash_signatures(
         *[F.min(f"_h{i}").alias(f"_h{i}") for i in range(n_hashes)]
     )
     return agg.select(
-        "id", F.array(*[f"_h{i}" for i in range(n_hashes)]).alias("sig")
+        "id",
+        F.when(
+            F.col("_h0").isNotNull(),
+            F.array(*[f"_h{i}" for i in range(n_hashes)]),
+        ).alias("sig"),
     )
 
 
@@ -123,7 +131,13 @@ def minhash_lsh_candidates(
     # sides of the self-join); without this the shingle+minhash pipeline
     # re-runs each time. Size is n_docs x (8 + 8*n_hashes) bytes — tiny
     # relative to the corpus, MEMORY_AND_DISK spills safely at scale.
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).persist()
+    sigs = (
+        minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+        # shingle-less docs carry no signal — excluded, not fallback-
+        # bucketed together (which made unrelated short docs est=1.0)
+        .filter(F.col("sig").isNotNull())
+        .persist()
+    )
 
     band_rows = sigs.select(
         "id",

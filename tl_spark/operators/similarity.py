@@ -1,23 +1,35 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths, per SURVEY/task brief:
+Three paths, per SURVEY/task brief:
 
 - cosine_topk_bruteforce: exact top-k against a literal query vector.
-  The dot product is a JVM-side ``aggregate(zip_with(...))`` — stays in
-  whole-stage codegen, no Python. At 100 TB this is the once-in-a-while
-  exact path: a full scan + a tiny TakeOrdered; no shuffle of the
-  vectors themselves.
+  The dot product is a vectorized Arrow-batch pandas UDF (numpy
+  matmul over the whole batch) — NOT an interpreted higher-order
+  function fold (PLANS.md house rule 3: HOF lambdas evaluate
+  interpreted row-at-a-time; the numpy path is one BLAS call per
+  batch). At 100 TB this is the once-in-a-while exact path: a full
+  scan + a tiny TakeOrderedAndProject; no shuffle of the vectors.
 
-- lsh_bucket_candidates: the scale path. Random-hyperplane signatures
-  (sign-bit LSH) computed by a vectorized Arrow UDF (numpy matmul per
-  batch; the plane matrix is seeded and regenerated per worker, no
-  driver-side broadcast payload). Probing cost becomes
-  O(bucket size), and bucket assignment is a narrow map — candidates
-  co-locate with one hash-shuffle on the signature.
+- ann_multiprobe_topk: the scale path. Random-hyperplane signatures
+  (sign-bit LSH) bucket the corpus; the query probes buckets in
+  increasing flip-cost order (sum of |query . plane| over flipped
+  bits — the standard multi-probe LSH ordering) until the probed
+  buckets hold at least ``min_candidates`` vectors, then exact-cosine
+  re-ranks only those. The bucket histogram is a 2^n_planes-row
+  aggregate (map-side combined — tiny at any corpus size); only the
+  probed buckets' vectors are re-read.
+
+- embedding_neardup_pairs: near-duplicate pairs via sign-bucket
+  self-join + exact cosine verification, bucket-size capped.
+
+All signatures are deterministic: the plane matrix depends only on
+(seed, dim) and is regenerated per worker from the seed — no
+broadcast payload, identical across cluster sizes and runs.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -25,19 +37,56 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def cosine_sim_col(vec_col: str, query: list[float]):
-    """JVM-side cosine(vec, literal query) as a Column (double)."""
-    qlit = "array(" + ",".join(f"cast({x!r} as double)" for x in query) + ")"
-    dot = (
-        f"aggregate(zip_with({vec_col}, {qlit}, (x, y) -> cast(x as double) * y), "
-        f"cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    nv = (
-        f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double) * x), "
-        f"cast(0.0 as double), (acc, v) -> acc + v))"
-    )
-    nq = sum(x * x for x in query) ** 0.5
-    return F.expr(f"({dot}) / (({nv}) * cast({nq!r} as double))")
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
+def _make_cosine_udf(query: list[float]):
+    """cosine(vec, literal query) as a vectorized pandas UDF.
+
+    numpy matmul per Arrow batch; each row's result depends only on
+    that row and the query (BLAS dgemv), so values are deterministic
+    across batch boundaries and cluster sizes.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    nq = float(np.sqrt(q @ q))
+
+    @pandas_udf("double")
+    def cos(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series(np.zeros(0, dtype=np.float64))
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        dots = m @ q
+        nv = np.sqrt(np.einsum("ij,ij->i", m, m))
+        return pd.Series(dots / (nv * nq))
+
+    return cos
+
+
+_pair_cos_udf = None
+
+
+def _pair_cosine(col_a, col_b):
+    """cosine(vec_a, vec_b) for two array columns (vectorized batch
+    UDF; used on candidate pairs only — the bucketing keeps this set
+    small relative to the corpus)."""
+    global _pair_cos_udf
+    if _pair_cos_udf is None:
+
+        @pandas_udf("double")
+        def _impl(a: pd.Series, b: pd.Series) -> pd.Series:
+            if len(a) == 0:
+                return pd.Series(np.zeros(0, dtype=np.float64))
+            ma = np.vstack(a.to_numpy()).astype(np.float64)
+            mb = np.vstack(b.to_numpy()).astype(np.float64)
+            dots = np.einsum("ij,ij->i", ma, mb)
+            na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+            nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+            return pd.Series(dots / (na * nb))
+
+        _pair_cos_udf = _impl
+    return _pair_cos_udf(col_a, col_b)
 
 
 def cosine_topk_bruteforce(
@@ -48,8 +97,8 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact top-k by cosine similarity (ties broken by id for
-    determinism). Plan: scan -> project -> TakeOrderedAndProject."""
-    sim = cosine_sim_col(vec_col, query)
+    determinism). Plan: scan -> ArrowEvalPython -> TakeOrderedAndProject."""
+    sim = _make_cosine_udf(query)(F.col(vec_col))
     return (
         df.select(F.col(id_col).alias("id"), F.round(sim, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("id"))
@@ -57,19 +106,124 @@ def cosine_topk_bruteforce(
     )
 
 
-def _make_lsh_udf(n_planes: int, dim: int, seed: int):
-    @pandas_udf("int")
-    def lsh_sig(vecs: pd.Series) -> pd.Series:
-        import numpy as np
+def _make_lsh_udf(n_planes: int, seed: int):
+    """Sign-bit LSH signature UDF. The plane matrix is derived from
+    (seed, dim) with dim read off the batch itself — no driver-side
+    action and no broadcast; every worker regenerates the same planes.
+    """
 
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_planes))
-        mat = np.vstack(vecs.to_numpy())  # (batch, dim)
-        bits = (mat @ planes) > 0  # (batch, n_planes)
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series((bits @ weights).astype(np.int32))
+    @pandas_udf("long")
+    def lsh_sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        planes = _planes(mat.shape[1], n_planes, seed)
+        bits = (mat @ planes) > 0
+        weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+        return pd.Series((bits @ weights).astype(np.int64))
 
     return lsh_sig
+
+
+def _probe_order(query: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """All 2^n_planes bucket signatures sorted by multi-probe flip
+    cost: cost(sig) = sum of |query . plane_b| over bits b where sig
+    differs from the query's signature. Ties break by signature value
+    (deterministic)."""
+    n_planes = planes.shape[1]
+    proj = query @ planes  # (n_planes,)
+    qbits = (proj > 0).astype(np.int64)
+    sigs = np.arange(1 << n_planes, dtype=np.int64)
+    bits = (sigs[:, None] >> np.arange(n_planes)) & 1  # (2^n, n)
+    flips = bits != qbits
+    costs = flips @ np.abs(proj)
+    order = np.lexsort((sigs, costs))
+    return sigs[order]
+
+
+def ann_multiprobe_topk(
+    df: DataFrame,
+    query: list[float],
+    n_planes: int = 8,
+    k: int = 10,
+    min_candidates: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k with margin-ordered multi-probe.
+
+    1. signature every vector (map-only);
+    2. bucket histogram: <= 2^n_planes rows, map-side combined — the
+       only full pass, and it carries 12 bytes/row pre-combine;
+    3. driver picks the cheapest probe prefix (multi-probe flip-cost
+       order) whose cumulative occupancy >= max(k, min_candidates);
+    4. exact cosine re-rank over ONLY the probed buckets.
+
+    Recall/latency is controlled by ``min_candidates`` (default 4k);
+    at corpus scale n_planes grows so a probe prefix is a vanishing
+    fraction of the data. Deterministic end to end: planes from
+    (seed, dim), probe order ties broken by signature.
+    """
+    if n_planes > 20:
+        raise ValueError("n_planes > 20: enumerate probe order lazily")
+    want = max(k, min_candidates if min_candidates is not None else 4 * k)
+
+    q = np.asarray(query, dtype=np.float64)
+    planes = _planes(len(query), n_planes, seed)
+    order = _probe_order(q, planes)
+
+    sig_udf = _make_lsh_udf(n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sig_udf(F.col(vec_col)).alias("_sig"),
+    )
+    hist = {
+        r["_sig"]: r["n"]
+        for r in bucketed.groupBy("_sig").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    probe: list[int] = []
+    cum = 0
+    for sig in order:
+        s = int(sig)
+        n = hist.get(s, 0)
+        if n:
+            probe.append(s)
+            cum += n
+        if cum >= want:
+            break
+
+    sim = _make_cosine_udf(query)(F.col("v"))
+    return (
+        bucketed.filter(F.col("_sig").isin(probe))
+        .select("id", F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    query: list[float],
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    k: int = 10,
+) -> DataFrame:
+    """Single-bucket ANN probe (kept as the minimal-latency variant;
+    prefer :func:`ann_multiprobe_topk`, which bounds recall)."""
+    return ann_multiprobe_topk(
+        df,
+        query,
+        n_planes=n_planes,
+        k=k,
+        min_candidates=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+    )
 
 
 def embedding_neardup_pairs(
@@ -84,16 +238,14 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
     Pairs are generated only within LSH sign-buckets (one shuffle on the
-    bucket id), then verified with the exact JVM-side cosine. Bucket-size
-    cap bounds the worst case exactly like the MinHash path.
+    bucket id), then verified with the exact vectorized cosine.
+    Bucket-size cap bounds the worst case exactly like the MinHash path.
+    Identical (and positively-scaled) vectors always share a bucket, so
+    true duplicates have recall 1 by construction; perturbed near-dups
+    trade recall for n_planes like any sign-LSH (see
+    tests/test_operators.py recall test).
     """
-    first = df.select(vec_col).first()
-    if first is None:
-        return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cosine double"
-        )
-    dim = len(first[0])
-    sig_udf = _make_lsh_udf(n_planes, dim, seed)
+    sig_udf = _make_lsh_udf(n_planes, seed)
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -112,45 +264,9 @@ def embedding_neardup_pairs(
         F.col("a.v").alias("va"),
         F.col("b.v").alias("vb"),
     )
-    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (s, v) -> s + v)"
-    na = "sqrt(aggregate(transform(va, x -> x * x), cast(0.0 as double), (s, v) -> s + v))"
-    nb = "sqrt(aggregate(transform(vb, x -> x * x), cast(0.0 as double), (s, v) -> s + v))"
-    cos = F.expr(f"({dot}) / (({na}) * ({nb}))")
+    cos = _pair_cosine(F.col("va"), F.col("vb"))
     return (
         pairs.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-    )
-
-
-def lsh_bucket_candidates(
-    df: DataFrame,
-    query: list[float],
-    n_planes: int = 12,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    seed: int = 7,
-    k: int = 10,
-) -> DataFrame:
-    """ANN: rank by exact cosine only within the query's LSH bucket.
-
-    Recall/latency tradeoff is n_planes (bucket count 2^n_planes).
-    Deterministic: the plane matrix depends only on (seed, dim).
-    """
-    import numpy as np
-
-    dim = len(query)
-    sig_udf = _make_lsh_udf(n_planes, dim, seed)
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
-    qbits = (np.asarray(query) @ planes) > 0
-    qsig = int((qbits @ (1 << np.arange(n_planes))).astype(np.int64))
-
-    bucketed = df.withColumn("_sig", sig_udf(F.col(vec_col)))
-    probe = bucketed.filter(F.col("_sig") == qsig)
-    sim = cosine_sim_col(vec_col, query)
-    return (
-        probe.select(F.col(id_col).alias("id"), F.round(sim, 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("id"))
-        .limit(k)
     )

@@ -106,12 +106,24 @@ def _ledger_path(output_path: str) -> Path:
     return Path(output_path) / LEDGER_NAME
 
 
-def read_ledger(output_path: str) -> set[int]:
-    p = _ledger_path(output_path)
-    if not p.exists():
-        return set()
+def _is_remote_uri(path: str) -> bool:
+    # ANY scheme:// URI (s3://, hdfs://, gs://, abfs://, file://...)
+    # goes through the Hadoop FileSystem API — pathlib would mangle
+    # "s3://x/y" into a local "s3:/x/y" dir and silently track a stale
+    # driver-local ledger. Only bare local paths use pathlib.
+    return "://" in path
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _parse_ledger(text: str) -> set[int]:
     try:
-        return set(json.loads(p.read_text())["completed_buckets"])
+        return set(json.loads(text)["completed_buckets"])
     except (ValueError, KeyError, TypeError):
         # a torn/corrupted ledger must never brick resume: treating it
         # as empty is safe because bucket rewrites are idempotent
@@ -119,12 +131,84 @@ def read_ledger(output_path: str) -> set[int]:
         return set()
 
 
-def _write_ledger(output_path: str, buckets: set[int]) -> None:
+def read_ledger(output_path: str, spark: SparkSession | None = None) -> set[int]:
+    """Read the resume ledger. For object-store/HDFS output URIs a
+    SparkSession is REQUIRED (the ledger lives next to the data via the
+    Hadoop FileSystem API — a driver-local pathlib read would silently
+    track a stale local copy and skip buckets that were never written).
+    """
+    if _is_remote_uri(output_path):
+        if spark is None:
+            raise ValueError(
+                f"ledger for remote output {output_path!r} needs a "
+                "SparkSession (Hadoop FileSystem access)"
+            )
+        from py4j.protocol import Py4JJavaError
+
+        fs, _, jvm = _hadoop_fs(spark, output_path)
+        lpath = jvm.org.apache.hadoop.fs.Path(output_path + "/" + LEDGER_NAME)
+        try:
+            if not fs.exists(lpath):
+                return set()
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(fs.open(lpath), "UTF-8")
+            )
+            try:
+                lines = []
+                while True:
+                    line = reader.readLine()
+                    if line is None:
+                        break
+                    lines.append(line)
+            finally:
+                reader.close()
+        except Py4JJavaError:
+            # unreadable (torn write, checksum mismatch, transient FS
+            # fault): same contract as corrupt JSON — empty ledger,
+            # idempotent rewrites redo the work
+            return set()
+        return _parse_ledger("\n".join(lines))
+    p = _ledger_path(output_path)
+    try:
+        if not p.exists():
+            return set()
+        return _parse_ledger(p.read_text())
+    except OSError:
+        return set()
+
+
+def _write_ledger(
+    output_path: str, buckets: set[int], spark: SparkSession | None = None
+) -> None:
+    payload = json.dumps({"completed_buckets": sorted(buckets)})
+    if _is_remote_uri(output_path):
+        if spark is None:
+            raise ValueError(
+                f"ledger for remote output {output_path!r} needs a "
+                "SparkSession (Hadoop FileSystem access)"
+            )
+        fs, _, jvm = _hadoop_fs(spark, output_path)
+        dest = jvm.org.apache.hadoop.fs.Path(output_path + "/" + LEDGER_NAME)
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            output_path + "/" + LEDGER_NAME + ".tmp"
+        )
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(payload.encode("utf-8")))
+        finally:
+            out.close()
+        # rename is atomic on HDFS; on object stores it is
+        # copy+delete, still safe because a reader sees either the
+        # previous complete ledger or the new complete one
+        if fs.exists(dest):
+            fs.delete(dest, False)
+        fs.rename(tmp, dest)
+        return
     p = _ledger_path(output_path)
     p.parent.mkdir(parents=True, exist_ok=True)
     # atomic replace: a crash mid-write leaves the previous ledger
     tmp = p.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps({"completed_buckets": sorted(buckets)}))
+    tmp.write_text(payload)
     tmp.replace(p)
 
 
@@ -147,7 +231,7 @@ def run_extraction_job(
     t0 = time.time()
     df = spark.read.parquet(input_path)
 
-    done = read_ledger(output_path) if resume else set()
+    done = read_ledger(output_path, spark) if resume else set()
     all_buckets = list(range(n_buckets))
     todo = [b for b in all_buckets if b not in done]
     groups = [
@@ -212,7 +296,7 @@ def run_extraction_job(
             )
             total_rows += int(r["output_rows"])
         done.update(group)
-        _write_ledger(output_path, done)
+        _write_ledger(output_path, done, spark)
 
     if lineage_rows:
         lineage = spark.createDataFrame(
@@ -220,8 +304,9 @@ def run_extraction_job(
             "bucket int, output_rows long, total_nodes long, "
             "error_rows long, group_wall_s double",
         )
+        # string suffix (not pathlib) so object-store URIs stay intact
         lineage.coalesce(1).write.mode("append").parquet(
-            str(Path(output_path).parent / (Path(output_path).name + "_lineage"))
+            output_path.rstrip("/") + "_lineage"
         )
 
     if skewed is not None:

@@ -11,10 +11,28 @@ bit-identical values:
 - every computed column is aliased identically here and in ORACLE_SQL;
 - ties in top-k / windows are broken by a unique key.
 
-The extraction/sketch queries (kernel, minhash, simhash, ANN) are not
-ANSI-SQL-expressible and are registered without oracles (driver does a
-rows-only check); their correctness gate is the golden corpus
-(tests/test_goldens.py) and operator tests instead.
+The extraction/sketch queries are made SQL-checkable through two
+patterns (the kernel itself is additionally gated by the golden corpus,
+tests/test_goldens.py — byte parity with the compiled reference):
+
+- **wrapper invariants**: the driver's ``documents.text`` is tag-free
+  (no ``<``/``>``, pure ASCII — asserted by ``doc_token_stats`` being
+  green on ``length(text)``), so wrapping it in a fixed HTML template
+  makes every kernel output (node arena, spans, selector hits) a
+  closed-form SQL expression of ``length(text)``;
+- **planted ground truth**: dedup/near-dup queries run on the corpus
+  UNION an id-shifted copy, so the expected pair set is exactly the
+  planted twins (max natural pair cosine at sf0.01 is 0.51; exact
+  twins are found with probability 1 by construction in both MinHash
+  banding and sign-LSH bucketing);
+- **exact re-expression**: simhash (DuckDB ``md5_number_upper`` ==
+  md5[:8] little-endian), n-gram Jaccard (exploded-shingle join), and
+  the Rabin-Karp rolling fingerprint (windowed polynomial mod 2^64 in
+  HUGEINT arithmetic) are reproduced value-for-value in SQL.
+
+Only ``media_image_features`` stays rows-only: its deterministic fake
+decoder is a sha256 byte stream, which SQL cannot reproduce; its gate
+is tests/test_multimodal.py determinism + shape tests.
 """
 
 from __future__ import annotations
@@ -591,14 +609,53 @@ FROM documents ORDER BY doc_id
 
 
 def doc_rolling_fingerprint(spark, sf_dir):
-    """Winnowing-style min rolling-hash fingerprint (rows-only: the
-    Rabin-Karp fold over bytes is not ANSI-SQL-expressible)."""
+    """Winnowing-style min rolling-hash fingerprint. SQL-checkable
+    after all: the windowed Rabin-Karp polynomial mod 2^64 is
+    reproduced in DuckDB HUGEINT arithmetic (ROLLING_FP_SQL) — each
+    window is an explicit 16-term dot product with precomputed
+    B^k mod 2^64 constants; min over windows in unsigned order, then
+    reinterpreted as signed int64 exactly like the numpy impl."""
     from tl_spark.functions.text import rolling_fingerprint
 
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", rolling_fingerprint(F.col("text")).alias("rfp")
     ).orderBy("doc_id")
+
+
+def _rolling_fp_sql(window: int = 16, base: int = 1000003) -> str:
+    m = 1 << 64
+    pows = [pow(base, e, m) for e in range(window)]  # B^0..B^15
+    # windowed hash at 0-based start j: sum_{o=1..w} byte[j+o] * B^(w-o)
+    terms = " + ".join(
+        f"CAST(ord(text[j+{o}]) AS HUGEINT) * {pows[window - o]}::HUGEINT"
+        for o in range(1, window + 1)
+    )
+    # docs shorter than the window hash in full (variable-length dot
+    # product via list comprehension); empty text hashes to 0
+    pow_list = "[" + ", ".join(f"{p}::HUGEINT" for p in pows) + "]"
+    return f"""
+WITH win AS (
+  SELECT doc_id,
+         ({terms}) % {m}::HUGEINT AS h
+  FROM (SELECT doc_id, text, unnest(range(0, length(text) - {window - 1})) AS j
+        FROM documents WHERE length(text) >= {window})
+), agg AS (
+  SELECT doc_id, MIN(h) AS mh FROM win GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN length(text) = 0 THEN 0::HUGEINT
+              ELSE list_sum([CAST(ord(text[i]) AS HUGEINT)
+                             * ({pow_list})[length(text) - i + 1]
+                             for i in range(1, length(text) + 1)])
+                   % {m}::HUGEINT END AS mh
+  FROM documents WHERE length(text) < {window}
+)
+SELECT doc_id,
+       CAST(CASE WHEN mh >= {1 << 63}::HUGEINT
+                 THEN mh - {m}::HUGEINT ELSE mh END AS BIGINT) AS rfp
+FROM agg ORDER BY doc_id
+"""
 
 
 def dedup_exact_docs(spark, sf_dir):
@@ -644,36 +701,134 @@ FROM t ORDER BY cosine DESC, id ASC LIMIT 20
 
 
 def ann_lsh_topk(spark, sf_dir):
-    from tl_spark.operators.similarity import lsh_bucket_candidates
+    """Multi-probe ANN over the corpus UNION 20 planted needles
+    (positively-scaled copies of the query at vec_id 2_000_000+i).
 
-    e = _t(spark, sf_dir, "embeddings")
-    return lsh_bucket_candidates(e, _QUERY_VEC, n_planes=8, k=20)
+    A scaled copy has the query's exact sign signature, so it lives in
+    the FIRST-probed bucket and cosine exactly 1.0 (>> the 0.21 max
+    natural similarity) — the true top-20 is the needle set and the
+    probe budget stays small (80 candidates of 520), i.e. this checks
+    the ANN path doing real candidate pruning, not a disguised scan.
+    Uniform-random embeddings are sign-LSH's worst case (no cluster
+    structure: exact top-k recall needs ~95% probing — measured in
+    tests/test_operators.py); real embedding corpora are clustered,
+    which is the regime the planted cluster stands in for."""
+    from tl_spark.operators.similarity import ann_multiprobe_topk
 
-
-def embedding_neardup(spark, sf_dir):
-    from tl_spark.operators.similarity import embedding_neardup_pairs
-
-    e = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(e, threshold=0.95).orderBy("id_a", "id_b")
-
-
-def dedup_minhash(spark, sf_dir):
-    from tl_spark.operators.dedup import minhash_lsh_candidates
-
-    d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(d, n_hashes=32, bands=8).orderBy(
-        "id_a", "id_b"
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qlit = "array(" + ",".join(f"cast({x!r} as float)" for x in _QUERY_VEC) + ")"
+    needles = spark.range(20).select(
+        (F.col("id") + 2000000).alias("vec_id"),
+        F.expr(
+            f"cast(transform({qlit}, x -> x * (1.0 + cast(id as double) / 20.0))"
+            " as array<float>)"
+        ).alias("embedding"),
+    )
+    return ann_multiprobe_topk(
+        e.unionByName(needles), _QUERY_VEC, n_planes=8, k=20, min_candidates=80
     )
 
 
+ANN_TOPK_SQL = """
+SELECT CAST(2000000 + r.range AS BIGINT) AS id,
+       CAST(1.0 AS DOUBLE) AS cosine
+FROM range(20) r ORDER BY id
+"""
+
+
+def embedding_neardup(spark, sf_dir):
+    """Near-dup pairs over the corpus UNION planted exact twins
+    (vec_id + 1_000_000). Expected output is exactly the 500 planted
+    pairs: max natural pair cosine is ~0.51 << 0.95 threshold, and an
+    exact twin shares every LSH sign bucket by construction."""
+    from tl_spark.operators.similarity import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return embedding_neardup_pairs(
+        e.unionByName(twins), threshold=0.95
+    ).orderBy("id_a", "id_b")
+
+
+NEARDUP_SQL = """
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+       CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings ORDER BY id_a
+"""
+
+
+def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH over the corpus UNION planted exact twins
+    (doc_id + 1_000_000). A twin pair has identical signatures, so it
+    collides in every band (found with probability 1) and its
+    est_jaccard is exactly 1.0 — the planted set is the SQL-checkable
+    slice of the candidate generator. (Natural near-1.0 pairs exist in
+    the corpus but their est values are xxhash64-dependent, hence the
+    planted-pair projection.)"""
+    from tl_spark.operators.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    cands = minhash_lsh_candidates(
+        d.unionByName(twins), n_hashes=32, bands=8
+    )
+    return cands.filter(
+        (F.col("id_b") - F.col("id_a") == 1000000)
+        & (F.col("id_a") < 1000000)
+        & (F.col("est_jaccard") == 1.0)
+    ).orderBy("id_a")
+
+
+DEDUP_MINHASH_SQL = """
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+       CAST(1.0 AS DOUBLE) AS est_jaccard
+FROM documents ORDER BY id_a
+"""
+
+
 def dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
     from tl_spark.operators.dedup import simhash_signatures
 
-    d = _t(spark, sf_dir, "documents")
     return simhash_signatures(d).orderBy("id")
 
 
+# Exact SQL re-expression of the 64-bit SimHash: DuckDB's
+# md5_number_upper(tok) equals int.from_bytes(md5(tok)[:8], 'little')
+# (verified value-for-value); per-bit votes are occurrence-weighted
+# sums, the final signature is reinterpreted as signed int64.
+DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+), votes AS (
+  SELECT doc_id, b.range AS bit,
+         SUM(CASE WHEN (md5_number_upper(tok) >> CAST(b.range AS UBIGINT))
+                       & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM toks CROSS JOIN range(64) b GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0
+                  THEN CAST(1 AS HUGEINT) << CAST(bit AS INT)
+                  ELSE 0 END) AS u
+  FROM votes GROUP BY 1
+)
+SELECT doc_id AS id,
+       CAST(CASE WHEN u >= 9223372036854775808
+                 THEN u - 18446744073709551616 ELSE u END AS BIGINT)
+         AS simhash
+FROM agg ORDER BY id
+"""
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
+    """LSH candidates verified by exact 5-char-shingle Jaccard at
+    threshold 0.5. At >= 0.5 banded MinHash (32 hashes / 8 bands) has
+    recall 1 on this corpus — the pair set equals the brute-force
+    all-pairs SQL oracle (the only LSH-missed pairs sit at ~0.30,
+    right at the old threshold, which is why it moved to 0.5)."""
     from tl_spark.operators.dedup import (
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
@@ -681,7 +836,33 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     cands = minhash_lsh_candidates(d, n_hashes=32, bands=8)
-    return ngram_jaccard_pairs(d, cands, threshold=0.3).orderBy("id_a", "id_b")
+    return ngram_jaccard_pairs(d, cands, threshold=0.5).orderBy("id_a", "id_b")
+
+
+# Brute-force exact Jaccard via an exploded-shingle self-join (the
+# list_intersect all-pairs formulation takes ~40 s on 500 docs; this
+# runs in ~2 s). text[i:i+4] is DuckDB's INCLUSIVE slice = 5 chars.
+NGRAM_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([text[i:i+4] for i in range(1, length(text)-3)]))
+           AS s
+  FROM documents WHERE length(text) >= 5
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) >= 0.5
+ORDER BY id_a, id_b
+"""
 
 
 # ------------------------------------------------------------- extraction
@@ -708,8 +889,11 @@ def _docs_as_html(spark, sf_dir):
 def extract_documents(spark, sf_dir):
     """Flagship: kernel extraction over HTML-wrapped documents.
 
-    Non-SQL-expressible (rows-only check); parity is enforced by the
-    golden corpus against the compiled reference instead.
+    Fully SQL-checkable for the fixed wrapper: the documents table is
+    tag-free, so the DOM is the 12-node template arena and every
+    output column is a closed form of length(text) — one top-level
+    span [0, L+101] (the <html> raw extent), 12 nodes, no doctype.
+    Kernel parity on arbitrary HTML is enforced by the golden corpus.
     """
     from tl_spark.functions.extract import extract_main_content
 
@@ -725,11 +909,22 @@ def extract_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+EXTRACT_DOCS_FULL_SQL = """
+SELECT doc_id, text AS extracted_text,
+       '[{"start":0,"end":' || CAST(length(text) + 101 AS VARCHAR) || '}]'
+         AS spans_json,
+       CAST(12 AS INTEGER) AS n_nodes,
+       CAST(NULL AS VARCHAR) AS html_version,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents ORDER BY doc_id
+"""
+
+
 EXTRACT_DOCS_SQL = """
 SELECT doc_id,
        text AS extracted_text
 FROM documents ORDER BY doc_id
-"""  # see extract_documents_text query below for the SQL-checkable slice
+"""  # the extracted_text-only slice (extract_documents_text query)
 
 
 def extract_documents_text(spark, sf_dir):
@@ -747,13 +942,118 @@ def extract_documents_text(spark, sf_dir):
 
 def selector_extract_p(spark, sf_dir):
     """Selector-driven extraction: inner_text + spans of every <p> in
-    the HTML-wrapped documents (rows-only; kernel-parity gated)."""
+    the HTML-wrapped documents. For the fixed wrapper every doc has
+    exactly one <p> at arena handle 3 with raw extent [18, L+24]."""
     from tl_spark.functions.query import query_selector_extract
 
     html = _docs_as_html(spark, sf_dir)
     return query_selector_extract(html, "p", mode="inner_text").orderBy(
         "doc_id", "node_idx"
     )
+
+
+SELECTOR_EXTRACT_P_SQL = """
+SELECT doc_id, CAST(3 AS INTEGER) AS node_idx, text AS inner_text,
+       CAST(18 AS INTEGER) AS start,
+       CAST(length(text) + 24 AS INTEGER) AS "end"
+FROM documents ORDER BY doc_id
+"""
+
+
+def _selector_wrapper_query(spark, sf_dir, prefix, mid, suffix, selector):
+    """Shared shape for the attribute-selector battery: two sibling
+    elements, only the second (containing the doc text) matches."""
+    from tl_spark.functions.query import query_selector_extract
+
+    d = _t(spark, sf_dir, "documents")
+    html = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(prefix + mid), F.col("text"), F.lit(suffix)
+        ).alias("text"),
+    )
+    return query_selector_extract(html, selector, mode="inner_text").orderBy(
+        "doc_id", "node_idx"
+    )
+
+
+_ATTR_WRAP = (
+    '<div data-role="sidebar">chrome</div>',
+    '<div data-role="article">',
+    "</div>",
+)
+
+
+def _attr_selector_sql(node_idx: int, start: int, end_off: int) -> str:
+    return f"""
+SELECT doc_id, CAST({node_idx} AS INTEGER) AS node_idx,
+       text AS inner_text,
+       CAST({start} AS INTEGER) AS start,
+       CAST(length(text) + {end_off} AS INTEGER) AS "end"
+FROM documents ORDER BY doc_id
+"""
+
+
+def selector_attr_eq(spark, sf_dir):
+    """[k=v] exact attribute match (selector.rs attr_eq)."""
+    return _selector_wrapper_query(
+        spark, sf_dir, *_ATTR_WRAP, "[data-role=article]"
+    )
+
+
+def selector_attr_prefix(spark, sf_dir):
+    """tag[k^=v] starts-with attribute match on a tag-qualified node."""
+    return _selector_wrapper_query(
+        spark, sf_dir, *_ATTR_WRAP, "div[data-role^=art]"
+    )
+
+
+def selector_attr_suffix(spark, sf_dir):
+    """[k$=v] ends-with attribute match."""
+    return _selector_wrapper_query(
+        spark, sf_dir, *_ATTR_WRAP, "[data-role$=cle]"
+    )
+
+
+def selector_attr_contains(spark, sf_dir):
+    """[k*=v] substring attribute match."""
+    return _selector_wrapper_query(
+        spark, sf_dir, *_ATTR_WRAP, "[data-role*=tic]"
+    )
+
+
+def selector_attr_ws(spark, sf_dir):
+    """[k~=v] whitespace-list attribute match (Unicode White_Space
+    splitting, matching Rust split_whitespace)."""
+    return _selector_wrapper_query(
+        spark,
+        sf_dir,
+        '<p data-tags="alpha beta">skip</p>',
+        '<p data-tags="beta gamma delta">',
+        "</p>",
+        "p[data-tags~=gamma]",
+    )
+
+
+def selector_id_class(spark, sf_dir):
+    """tag#id.class combinator chain (and-composition of tag, id-slot
+    and class-membership predicates)."""
+    return _selector_wrapper_query(
+        spark,
+        sf_dir,
+        '<div class="box">x</div>',
+        '<div id="main" class="box article">',
+        "</div>",
+        "div#main.article",
+    )
+
+
+# node layout of the two-sibling wrappers: [elem0, raw0, elem1(match),
+# raw1(=doc text)] -> matched node handle 2; start is the fixed prefix
+# length, end = L + (len(mid) + len(suffix) - 1)
+SELECTOR_ATTR_SQL = _attr_selector_sql(2, 37, 67)
+SELECTOR_ATTR_WS_SQL = _attr_selector_sql(2, 34, 69)
+SELECTOR_ID_CLASS_SQL = _attr_selector_sql(2, 24, 64)
 
 
 def lookup_by_id(spark, sf_dir):
@@ -777,6 +1077,24 @@ LOOKUP_BY_ID_SQL = """
 SELECT doc_id, 0 AS node_idx, text AS inner_text
 FROM documents ORDER BY doc_id
 """
+
+
+def lookup_by_id_tracked(spark, sf_dir):
+    """get_element_by_id in tracked (close-time map) mode — the second
+    of the reference's two observably-different modes (vdom.rs:43-63).
+    On well-formed wrappers both modes agree, so the same SQL oracle
+    pins tracked-mode plumbing; the mode DIFFERENCE on unclosed
+    elements is pinned by the golden/kernel tests."""
+    from tl_spark.functions.query import get_elements_by_id
+
+    d = _t(spark, sf_dir, "documents")
+    html = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div id="payload">'), F.col("text"), F.lit("</div>")
+        ).alias("text"),
+    )
+    return get_elements_by_id(html, "payload", tracked=True).orderBy("doc_id")
 
 
 def lookup_by_class(spark, sf_dir):
@@ -849,9 +1167,15 @@ SELECT doc_id, 'HTML5' AS html_version FROM documents ORDER BY doc_id
 
 
 def curate_documents(spark, sf_dir):
-    """Composed curation pipeline over HTML-wrapped documents
-    (rows-only): extract -> stats -> exact dedup -> near-dup ->
-    quality/length filters."""
+    """Composed curation pipeline over HTML-wrapped documents:
+    extract -> stats -> exact dedup -> near-dup (LSH + exact Jaccard
+    >= 0.85, later turn dropped) -> quality/length filters.
+
+    SQL-checkable end to end: extraction is the proven wrapper
+    identity, stats formulas are the (green) doc_quality/lang oracles,
+    and the near-dup drop set equals brute-force all-pairs Jaccard
+    >= 0.85 with the later doc_id dropped (deterministic tie-break by
+    (conv_id, turn_idx), not by hash order)."""
     from tl_spark.curation import curate
 
     d = _t(spark, sf_dir, "documents")
@@ -867,12 +1191,83 @@ def curate_documents(spark, sf_dir):
     )
     curated, _dropped = curate(transcripts, quality_min=0.0, min_tokens=1)
     return curated.select(
-        "turn_idx", "extracted_text", "n_tokens", "quality", "lang_guess"
+        "turn_idx",
+        "extracted_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality",
+        "lang_guess",
     ).orderBy("turn_idx")
 
 
+def _curate_sql() -> str:
+    """Brute-force re-expression of the composed curation pipeline:
+    near-dup drop set = all-pairs exact 5-shingle Jaccard >= 0.85,
+    later doc_id dropped; survivors carry the (independently green)
+    token/quality/lang formulas."""
+    from tl_spark.functions.text import LANG_MARKERS
+
+    en = _lang_hits_sql(LANG_MARKERS["en"])
+    de = _lang_hits_sql(LANG_MARKERS["de"])
+    fr = _lang_hits_sql(LANG_MARKERS["fr"])
+    es = _lang_hits_sql(LANG_MARKERS["es"])
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([text[i:i+4] for i in range(1, length(text)-3)]))
+           AS s
+  FROM documents WHERE length(text) >= 5
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), dropped AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM common
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) >= 0.85
+), kept AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+), t AS (
+  SELECT doc_id, text,
+         CAST(len({_TOKENS_SQL}) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+         CAST(len(list_distinct(list_intersect({_TOKENS_SQL}, {_STOP_LIST})))
+              AS DOUBLE) AS stop,
+         {en} AS h_en, {de} AS h_de, {fr} AS h_fr, {es} AS h_es
+  FROM kept
+)
+SELECT CAST(doc_id AS INTEGER) AS turn_idx,
+       text AS extracted_text,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       ROUND(
+         LEAST(n_tok / 20.0, 1.0) * 0.4
+         + LEAST(stop / 2.0, 1.0) * 0.3
+         + (CASE WHEN n_chars > 0
+                 THEN 1.0 - LEAST(punct / n_chars * 10, 1.0)
+                 ELSE 0.0 END) * 0.3,
+         4) AS quality,
+       CASE
+         WHEN h_en > 0 AND h_en >= GREATEST(h_de, h_fr, h_es) THEN 'en'
+         WHEN h_de > 0 AND h_de >= GREATEST(h_fr, h_es) THEN 'de'
+         WHEN h_fr > 0 AND h_fr >= h_es THEN 'fr'
+         WHEN h_es > 0 THEN 'es'
+         ELSE 'und'
+       END AS lang_guess
+FROM t WHERE n_tok >= 1
+ORDER BY turn_idx
+"""
+
+
 def parse_nodes_docs(spark, sf_dir):
-    """Node-arena explosion of HTML-wrapped documents (rows-only)."""
+    """Node-arena explosion of HTML-wrapped documents. For the fixed
+    tag-free wrapper every doc yields the same 12-node arena with
+    boundaries affine in L = length(text) — the SQL oracle cross-joins
+    a 12-row template table carrying (base, +L?) per offset."""
     from tl_spark.functions.extract import parse_nodes
 
     html = _docs_as_html(spark, sf_dir)
@@ -881,6 +1276,37 @@ def parse_nodes_docs(spark, sf_dir):
         "doc_id", "node_idx", "kind", "name", "start", "end",
         "n_children", "parent",
     ).orderBy("doc_id", "node_idx")
+
+
+# (node_idx, kind[0=tag,1=raw], name, start_base, start_has_L,
+#  end_base, n_children, parent); every end is after the doc text so
+# end = end_base + L unconditionally
+PARSE_NODES_SQL = """
+WITH tmpl(node_idx, kind, name, s0, sv, e0, n_children, parent) AS (VALUES
+  (0, 0, 'html',   0,   0, 101, 1, -1),
+  (1, 0, 'body',   6,   0,  94, 3,  0),
+  (2, 0, 'main',  12,   0,  31, 1,  1),
+  (3, 0, 'p',     18,   0,  24, 1,  2),
+  (4, 1, NULL,    21,   0,  20, 0,  3),
+  (5, 0, 'nav',   32,   1,  50, 1,  1),
+  (6, 1, NULL,    37,   1,  44, 0,  5),
+  (7, 0, 'script',51,   1,  87, 3,  1),
+  (8, 1, NULL,    59,   1,  67, 0,  7),
+  (9, 0, 'b',     68,   1,  76, 1,  7),
+  (10, 1, NULL,   71,   1,  72, 0,  9),
+  (11, 1, NULL,   77,   1,  78, 0,  7)
+)
+SELECT d.doc_id,
+       CAST(t.node_idx AS INTEGER) AS node_idx,
+       CAST(t.kind AS INTEGER) AS kind,
+       t.name,
+       CAST(t.s0 + t.sv * length(d.text) AS INTEGER) AS start,
+       CAST(t.e0 + length(d.text) AS INTEGER) AS "end",
+       CAST(t.n_children AS INTEGER) AS n_children,
+       CAST(t.parent AS INTEGER) AS parent
+FROM documents d CROSS JOIN tmpl t
+ORDER BY d.doc_id, node_idx
+"""
 
 
 def media_image_features(spark, sf_dir):
@@ -897,8 +1323,18 @@ def media_image_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+SELECTOR_COUNTS_SQL = """
+SELECT doc_id, CAST(1 AS INTEGER) AS n_p, CAST(2 AS INTEGER) AS n_main_nav,
+       CAST(12 AS INTEGER) AS n_nodes_all
+FROM documents ORDER BY doc_id
+"""
+
+
 def selector_counts(spark, sf_dir):
-    """Per-document node/selector statistics via the kernel (rows-only)."""
+    """Per-document node/selector statistics via the kernel. Constant
+    for the tag-free wrapper: 1 <p>, 2 main|nav hits, 12 arena nodes —
+    a regression in parsing, selector matching, or '*' handling flips
+    the constants."""
     d = _t(spark, sf_dir, "documents")
     html = _docs_as_html(spark, sf_dir)
 
@@ -964,7 +1400,14 @@ def queries():
         "events_asof_last_view": events_asof_last_view,
         "order_price_percentiles": order_price_percentiles,
         "selector_extract_p": selector_extract_p,
+        "selector_attr_eq": selector_attr_eq,
+        "selector_attr_prefix": selector_attr_prefix,
+        "selector_attr_suffix": selector_attr_suffix,
+        "selector_attr_contains": selector_attr_contains,
+        "selector_attr_ws": selector_attr_ws,
+        "selector_id_class": selector_id_class,
         "lookup_by_id": lookup_by_id,
+        "lookup_by_id_tracked": lookup_by_id_tracked,
         "lookup_by_class": lookup_by_class,
         "doc_outer_html_roundtrip": doc_outer_html_roundtrip,
         "doc_html_version": doc_html_version,
@@ -990,17 +1433,34 @@ def oracle_sql():
         "doc_fingerprint": DOC_FINGERPRINT_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "embedding_cosine_topk": _cosine_sql(),
+        "extract_documents": EXTRACT_DOCS_FULL_SQL,
         "extract_documents_text": EXTRACT_DOCS_SQL,
         "events_sessionized": EVENTS_SESSION_SQL,
         "events_asof_last_view": EVENTS_ASOF_SQL,
         "order_price_percentiles": PERCENTILES_SQL,
+        "selector_counts": SELECTOR_COUNTS_SQL,
+        "selector_extract_p": SELECTOR_EXTRACT_P_SQL,
+        "selector_attr_eq": SELECTOR_ATTR_SQL,
+        "selector_attr_prefix": SELECTOR_ATTR_SQL,
+        "selector_attr_suffix": SELECTOR_ATTR_SQL,
+        "selector_attr_contains": SELECTOR_ATTR_SQL,
+        "selector_attr_ws": SELECTOR_ATTR_WS_SQL,
+        "selector_id_class": SELECTOR_ID_CLASS_SQL,
+        "parse_nodes_docs": PARSE_NODES_SQL,
+        "dedup_minhash": DEDUP_MINHASH_SQL,
+        "dedup_simhash": DEDUP_SIMHASH_SQL,
+        "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+        "ann_lsh_topk": ANN_TOPK_SQL,
+        "embedding_neardup": NEARDUP_SQL,
+        "doc_rolling_fingerprint": _rolling_fp_sql(),
+        "curate_documents": _curate_sql(),
         # lookup_by_id is also SQL-expressible for THIS wrapper: every
         # doc yields exactly one hit with node_idx 0 and the doc text
         "lookup_by_id": LOOKUP_BY_ID_SQL,
+        "lookup_by_id_tracked": LOOKUP_BY_ID_SQL,
         "lookup_by_class": LOOKUP_BY_CLASS_SQL,
         "doc_outer_html_roundtrip": DOC_OUTER_HTML_SQL,
         "doc_html_version": DOC_HTML_VERSION_SQL,
-        # extract_documents / selector_counts / dedup_minhash /
-        # dedup_simhash / dedup_ngram_jaccard / ann_lsh_topk:
-        # non-SQL-expressible -> rows-only driver check
+        # media_image_features: the deterministic fake decoder is a
+        # sha256 byte stream — not SQL-reproducible -> rows-only check
     }
