@@ -38,8 +38,8 @@ def main() -> None:
         app_name="tl_spark_bench",
         master=f"local[{cpus}]",
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": "4m",
-            "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -49,15 +49,19 @@ def main() -> None:
     from tl_spark.sources.transcripts import synth_transcripts, write_transcripts
 
     # transcripts input scaled by sf (untimed synth+write; deterministic).
-    # ~10 turns/conv: sf0.1 -> ~1M turns, enough to amortize the ~2.5 s
-    # fixed job overhead that otherwise dominates the throughput figure.
-    n_convs = max(200, int(1_000_000 * sf))
-    tpath = f"/tmp/tl_bench_transcripts_{n_convs}"
+    # 5M turns at sf0.1 — large enough that the ~2 s fixed job cost is
+    # <10% of the measurement (the r01 headline measured 1M turns cold
+    # and came out 7x under the scale proof). File sizing matters as
+    # much as row count: ~35k rows/file keeps scan tasks amortized
+    # (tiny files -> one sub-10k-row task each under the 4 MB
+    # open-cost, which alone halves throughput).
+    n_convs = max(500, int(5_000_000 * sf))
+    tpath = f"/tmp/tl_bench_transcripts_v2_{n_convs}"
     if not Path(tpath, "_SUCCESS").exists():
         write_transcripts(
             synth_transcripts(spark, n_convs=n_convs, median_turns=10, skew_mult=100),
             tpath,
-            n_files=128,
+            n_files=max(8, (n_convs * 10) // 35000),
         )
     n_turns = spark.read.parquet(tpath).count()
 
@@ -72,12 +76,22 @@ def main() -> None:
         # noop sink: full materialization of every column, no pruning
         df.write.format("noop").mode("overwrite").save()
 
-    # headline: full extraction of every turn
+    # headline: full extraction of every turn. One untimed warmup
+    # (forks+imports the whole Python worker pool) then best of 2 —
+    # same protocol as tools/scale_proof.py, so the two figures are
+    # directly comparable.
     def run_extract():
         df = spark.read.parquet(tpath)
         consume(extract_main_content(df, passthrough=["conv_id", "turn_idx"]))
 
-    timed("extract_transcripts", run_extract)
+    warm = spark.read.parquet(tpath).limit(50_000).repartition(int(cpus) * 2)
+    consume(extract_main_content(warm, passthrough=["conv_id", "turn_idx"]))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run_extract()
+        best = min(best, time.time() - t0)
+    timings["extract_transcripts"] = round(best, 3)
 
     battery = [
         "q1_pricing_summary",

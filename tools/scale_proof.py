@@ -25,13 +25,14 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-SPARK_CONF = {
-    # scan partitions >> cores at this input size (~1.5 GB); at 100 TB
-    # the default 128m already yields ~800k tasks
-    "spark.sql.files.maxPartitionBytes": "4m",
-    # fewer, larger Arrow crossings amortize per-batch overhead
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
-}
+def spark_conf(max_part: str, arrow_batch: int) -> dict:
+    return {
+        # scan partitions >> cores at this input size (~1.5 GB); at
+        # 100 TB the default 128m already yields ~800k tasks
+        "spark.sql.files.maxPartitionBytes": max_part,
+        # fewer, larger Arrow crossings amortize per-batch overhead
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(arrow_batch),
+    }
 
 
 def build_input(n_convs: int) -> str:
@@ -53,7 +54,9 @@ def build_input(n_convs: int) -> str:
     return path
 
 
-def timed_extraction(cpus: int, path: str, trials: int) -> tuple[float, int]:
+def timed_extraction(
+    cpus: int, path: str, trials: int, max_part: str, arrow_batch: int
+) -> tuple[float, int]:
     import os
 
     from tl_spark.functions.extract import extract_main_content
@@ -65,7 +68,9 @@ def timed_extraction(cpus: int, path: str, trials: int) -> tuple[float, int]:
     os.sched_setaffinity(0, set(range(cpus)))
 
     spark = get_spark(
-        app_name=f"scale_{cpus}", master=f"local[{cpus}]", extra_conf=SPARK_CONF
+        app_name=f"scale_{cpus}",
+        master=f"local[{cpus}]",
+        extra_conf=spark_conf(max_part, arrow_batch),
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -146,13 +151,16 @@ def hardware_control(trials: int, n_iters: int = 12_000) -> dict:
     return out
 
 
-def _run_one_subprocess(cpus: int, path: str, trials: int) -> tuple[float, int]:
+def _run_one_subprocess(
+    cpus: int, path: str, trials: int, max_part: str, arrow_batch: int
+) -> tuple[float, int]:
     """Each config in a fresh process: the py4j JVM outlives
     spark.stop(), so CPU affinity must be set before a NEW JVM forks."""
     proc = subprocess.run(
         [
             sys.executable, __file__, "--run-one",
             "--cpus", str(cpus), "--path", path, "--trials", str(trials),
+            "--max-part", max_part, "--arrow-batch", str(arrow_batch),
         ],
         stdout=subprocess.PIPE,
         check=True,
@@ -169,18 +177,28 @@ def main():
     ap.add_argument("--run-one", action="store_true")
     ap.add_argument("--cpus", type=int)
     ap.add_argument("--path")
+    ap.add_argument("--max-part", default="8m")
+    ap.add_argument("--arrow-batch", type=int, default=50_000)
+    ap.add_argument("--skip-md", action="store_true",
+                    help="print the report without rewriting BENCH files")
     args = ap.parse_args()
 
     if args.run_one:
-        wall, n_turns = timed_extraction(args.cpus, args.path, args.trials)
+        wall, n_turns = timed_extraction(
+            args.cpus, args.path, args.trials, args.max_part, args.arrow_batch
+        )
         print(json.dumps({"wall": wall, "n_turns": n_turns}))
         return
 
     n_convs = args.turns // 10
     path = build_input(n_convs)
 
-    t8, n_turns = _run_one_subprocess(8, path, args.trials)
-    t32, _ = _run_one_subprocess(32, path, args.trials)
+    t8, n_turns = _run_one_subprocess(
+        8, path, args.trials, args.max_part, args.arrow_batch
+    )
+    t32, _ = _run_one_subprocess(
+        32, path, args.trials, args.max_part, args.arrow_batch
+    )
     ctl = hardware_control(args.trials)
 
     tput8 = n_turns / t8
@@ -193,6 +211,8 @@ def main():
     out.mkdir(exist_ok=True)
     report = {
         "generated_utc": datetime.now(timezone.utc).isoformat(),
+        "max_partition_bytes": args.max_part,
+        "arrow_batch": args.arrow_batch,
         "n_turns": n_turns,
         "wall_s_local8": round(t8, 2),
         "wall_s_local32": round(t32, 2),
@@ -204,6 +224,9 @@ def main():
         "control_docs_per_sec_8": round(ctl[8], 1),
         "control_docs_per_sec_32": round(ctl[32], 1),
     }
+    if args.skip_md:
+        print(json.dumps(report))
+        return
     (out / "scale_proof.json").write_text(json.dumps(report, indent=2))
 
     md = f"""# BENCH/BASELINE — extraction throughput & scaling proof
