@@ -80,11 +80,14 @@ def spark_bench(doc, n=100_000):
     from tl_spark.functions.extract import extract_main_content
     from tl_spark.plans.session import get_spark
 
+    # r2-tuned: 64 files (~6 MB each -> 64 one-file tasks = 2 full
+    # waves on 32 cores) + 50k-row Arrow batches measured best in the
+    # config sweep (531 vs 377 MB/s at the r01 conf of 128 files/20k)
     spark = get_spark(
         master="local[32]",
         extra_conf={
             "spark.sql.files.maxPartitionBytes": "8m",
-            "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -92,9 +95,9 @@ def spark_bench(doc, n=100_000):
         df = spark.range(n).select(
             F.col("id").alias("doc_id"), F.lit(doc).alias("text")
         )
-        path = f"/tmp/tl_refcmp_{len(doc)}_{n}"
+        path = f"/tmp/tl_refcmp_{len(doc)}_{n}_64"
         if not Path(path, "_SUCCESS").exists():
-            df.repartition(128).write.mode("overwrite").parquet(path)
+            df.repartition(64).write.mode("overwrite").parquet(path)
         src = spark.read.parquet(path)
         warm = extract_main_content(
             src.limit(20000).repartition(64), passthrough=["doc_id"]
@@ -118,14 +121,25 @@ def spark_bench(doc, n=100_000):
 def main():
     small = SMALL_MIX * 20000
     big = [BIG_DOC] * 2000
+    # BRACKETED: the reference runs immediately before AND after the
+    # Spark measurement so host drift between the two engines is
+    # bounded by the bracket spread, not assumed away.
+    ref_big_pre = ref_bench(big)
+    spark_big = spark_bench(BIG_DOC)
+    ref_big_post = ref_bench(big)
     report = {
         "small_mix_bytes_per_doc": sum(map(len, SMALL_MIX)) / len(SMALL_MIX),
         "big_doc_bytes": len(BIG_DOC),
         "reference_singlethread_small": ref_bench(small),
-        "reference_singlethread_big": ref_bench(big),
+        "reference_singlethread_big_pre": ref_big_pre,
+        "reference_singlethread_big_post": ref_big_post,
         "python_kernel_1core_small": kernel_bench(small),
         "python_kernel_1core_big": kernel_bench(big),
-        "spark_local32_big": spark_bench(BIG_DOC),
+        "spark_local32_big": spark_big,
+        "spark_vs_ref_bracket": [
+            round(spark_big["mb_per_sec"] / ref_big_post["mb_per_sec"], 3),
+            round(spark_big["mb_per_sec"] / ref_big_pre["mb_per_sec"], 3),
+        ],
     }
     out = REPO / "BENCH"
     out.mkdir(exist_ok=True)
