@@ -267,3 +267,43 @@ def test_cosine_bruteforce_matches_numpy(spark, embeddings):
         for r in cosine_topk_bruteforce(embeddings, query, k=20).collect()
     ]
     assert got == expected
+
+
+def test_minhash_shingle_sampling_still_finds_planted_dups(spark, documents):
+    """sample_mod=4 cuts the exploded shingle volume ~4x but identical
+    texts still collide in every band (content-hash sampling is
+    consistent across docs)."""
+    from tl_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    base = documents.select("doc_id", "text")
+    twins = base.limit(10).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(twins)
+    cands = minhash_lsh_candidates(corpus, sample_mod=4).collect()
+    found = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands}
+    for i in [r["doc_id"] for r in base.limit(10).collect()]:
+        assert found.get((i, i + 300000)) == 1.0
+    # sampling really reduces work: exploded shingle rows shrink ~4x
+    import pyspark.sql.functions as SF
+    full = minhash_signatures(base).count()
+    sampled = minhash_signatures(base, sample_mod=4).count()
+    assert sampled <= full  # docs with no sampled shingle may drop out
+    n_sh_full = base.select(
+        SF.sum(SF.greatest(SF.length("text") - 4, SF.lit(0)))
+    ).collect()[0][0]
+    n_sh_sampled = base.select(
+        SF.sum(
+            SF.size(
+                SF.expr(
+                    "filter(transform(sequence(1, greatest(length(text)-4,1)),"
+                    " i -> substring(text, i, 5)),"
+                    " s -> pmod(xxhash64(s, 9173), 4) = 0)"
+                )
+            )
+        )
+    ).collect()[0][0]
+    assert n_sh_sampled < n_sh_full * 0.45  # ~0.25 expected, generous bound

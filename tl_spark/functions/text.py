@@ -32,6 +32,22 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish tokenizer regex (GPT-2-style, simplified to the feature set
+# Java regex and RE2/DuckDB agree on: no lookahead, ASCII classes):
+# contractions, space-prefixed letter runs, digit runs, punct runs,
+# residual whitespace. Deterministic token COUNT, not a real BPE merge
+# table — the count is the pre-tokenization unit a byte-pair encoder
+# would start from.
+BPE_ISH_RE = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+)
+
+
+def bpe_token_count(col) -> Column:
+    return F.regexp_count(col, F.lit(BPE_ISH_RE))
+
+
 def char_count(col) -> Column:
     return F.length(col)
 

@@ -58,12 +58,26 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 32,
     shingle_k: int = 5,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """(id, sig: array<long>[n_hashes]) — min over shingle hashes per seed.
 
     Built entirely from Spark SQL higher-order functions; the hash is
     xxhash64(shingle, seed) so signatures are deterministic across
     cluster sizes and runs.
+
+    ``sample_mod``: the 100 TB cost lever. Character shingling
+    explodes ~len(text) rows per doc — the dominant cost of the LSH
+    pipeline. ``sample_mod=m`` keeps only shingles whose content hash
+    falls in one residue class (pmod(xxhash64(shingle, 9173), m) == 0),
+    cutting exploded rows ~m x. Because the filter depends only on
+    shingle CONTENT, identical texts still get identical signatures
+    and near-identical texts still agree on the sampled sub-space —
+    minhash over a hash-sampled shingle set is still an unbiased
+    Jaccard estimator of the sampled universe (standard winnowing/
+    MOD-sampling argument); variance grows ~sqrt(m) for fixed
+    n_hashes. None (default) = no sampling — the oracle-checked
+    driver queries use full signatures.
     """
     sh = shingles_expr(text_col, shingle_k)
     # Formulated as explode -> n_hashes MIN aggregates rather than
@@ -80,6 +94,16 @@ def minhash_signatures(
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode_outer(sh).alias("_s")
     )
+    if sample_mod is not None and sample_mod > 1:
+        # post-explode so the filter is codegen'd (house rule 3), and
+        # null-preserving so empty docs keep their null-sig row. A doc
+        # none of whose shingles is sampled is ABSENT from the output
+        # — it carries no signal in the sampled space; the banding
+        # layer skips null/missing signatures either way.
+        exploded = exploded.filter(
+            F.col("_s").isNull()
+            | (F.pmod(F.xxhash64("_s", F.lit(9173)), F.lit(sample_mod)) == 0)
+        )
     # NB: Spark's xxhash64 SKIPS null arguments (it does not return
     # null), so the null shingle must be nulled out explicitly.
     hashed = exploded.select(
@@ -111,8 +135,13 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 5,
     max_bucket_size: int = 64,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) via banded MinHash.
+
+    ``sample_mod`` is forwarded to :func:`minhash_signatures` — the
+    shingle-sampling cost lever for corpus scale (est_jaccard then
+    estimates Jaccard over the sampled shingle space).
 
     est_jaccard = fraction of matching signature positions.
 
@@ -132,7 +161,7 @@ def minhash_lsh_candidates(
     # re-runs each time. Size is n_docs x (8 + 8*n_hashes) bytes — tiny
     # relative to the corpus, MEMORY_AND_DISK spills safely at scale.
     sigs = (
-        minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+        minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, sample_mod)
         # shingle-less docs carry no signal — excluded, not fallback-
         # bucketed together (which made unrelated short docs est=1.0)
         .filter(F.col("sig").isNotNull())

@@ -524,6 +524,61 @@ FROM documents ORDER BY doc_id
 """
 
 
+def doc_bpe_tokens(spark, sf_dir):
+    """BPE-ish pre-tokenization count (task-brief op): GPT-2-style
+    regex restricted to the Java-regex ∩ RE2 feature set so Spark and
+    DuckDB count the identical match sequence."""
+    from tl_spark.functions.text import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", bpe_token_count(F.col("text")).cast("long").alias("n_bpe")
+    ).orderBy("doc_id")
+
+
+def _bpe_sql() -> str:
+    from tl_spark.functions.text import BPE_ISH_RE
+
+    pat = BPE_ISH_RE.replace("'", "''")
+    return f"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_top_terms(spark, sf_dir):
+    """Corpus-level top-20 terms: lowercase, punctuation-stripped
+    whitespace tokens -> count -> top-k (ties broken by term). The
+    plan is explode -> partial+final HashAggregate (map-side combine)
+    -> TakeOrderedAndProject: the canonical corpus-vocabulary shape
+    that survives a 100x scale-up (the shuffle carries one partial
+    count per distinct term per partition)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9 ]", " "))
+    toks = F.filter(F.split(norm, r"\s+"), lambda x: x != "")
+    return (
+        d.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
+TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(
+             lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),
+             '\\s+'),
+           x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS n FROM toks
+GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
+"""
+
+
 def doc_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1381,6 +1436,8 @@ def queries():
         "supplier_region_acctbal": supplier_region_acctbal,
         "order_priority_counts": order_priority_counts,
         "doc_token_stats": doc_token_stats,
+        "doc_bpe_tokens": doc_bpe_tokens,
+        "doc_top_terms": doc_top_terms,
         "doc_quality": doc_quality,
         "doc_lang_guess": doc_lang_guess,
         "doc_fingerprint": doc_fingerprint,
@@ -1428,6 +1485,8 @@ def oracle_sql():
         "supplier_region_acctbal": SUPPLIER_REGION_SQL,
         "order_priority_counts": ORDER_PRIORITY_SQL,
         "doc_token_stats": DOC_TOKEN_SQL,
+        "doc_bpe_tokens": _bpe_sql(),
+        "doc_top_terms": TOP_TERMS_SQL,
         "doc_quality": DOC_QUALITY_SQL,
         "doc_lang_guess": _doc_lang_sql(),
         "doc_fingerprint": DOC_FINGERPRINT_SQL,
