@@ -65,3 +65,18 @@ def test_get_elements_by_class(spark, docs_df):
         (1, "x"),
         (2, "z"),
     ]
+
+
+def test_no_cartesian_or_nested_loop_in_any_driver_query(spark):
+    """Plan-hygiene sweep: no driver query may plan a CartesianProduct
+    or BroadcastNestedLoopJoin — at corpus scale either is a job
+    killer. (Self-joins here are equi-joins on band/bucket digests
+    with range post-filters, which plan as hash/sort-merge joins.)"""
+    import tl_spark.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    for name, fn in Q.queries().items():
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert bad not in plan, f"{name} plans a {bad}"

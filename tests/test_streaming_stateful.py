@@ -76,3 +76,41 @@ def test_state_survives_restart(spark, tmp_path):
         for r in df.groupBy("conv_id").agg(F.max("turn_idx").alias("m")).collect()
     }
     assert mti == want_mti
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Duplicate texts within the watermark horizon are emitted once
+    (first arrival wins); distinct texts all pass through."""
+    import pyspark.sql.functions as F
+
+    from tl_spark.streaming.extract_stream import streaming_exact_dedup
+
+    inp = str(tmp_path / "in")
+    rows = [
+        ("a", 1, "hello world", "2024-01-01 00:00:00"),
+        ("a", 2, "hello world", "2024-01-01 00:00:30"),   # dup, in horizon
+        ("b", 1, "something else", "2024-01-01 00:01:00"),
+        ("b", 2, "hello world", "2024-01-01 00:02:00"),   # dup, in horizon
+        ("c", 1, "third text", "2024-01-01 00:03:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    df.coalesce(1).write.mode("overwrite").parquet(inp)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(inp).schema
+    ).parquet(inp)
+    deduped = streaming_exact_dedup(stream, lateness="10 minutes")
+    out = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out).collect()
+    texts = sorted(r["text"] for r in got)
+    assert texts == ["hello world", "something else", "third text"]

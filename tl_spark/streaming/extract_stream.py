@@ -50,3 +50,26 @@ def streaming_turn_counts(stream_df: DataFrame, lateness: str = "10 minutes") ->
         .agg(F.count(F.lit(1)).alias("n_turns"))
         .select("w.start", "w.end", "conv_id", "n_turns")
     )
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each distinct
+    text within the watermark horizon.
+
+    Uses ``dropDuplicatesWithinWatermark`` on the 256-bit text digest —
+    state holds one (digest, ts) pair per distinct text and is evicted
+    once older than the watermark, so state size is bounded by the
+    dedup horizon, not the stream length. That bound is what makes the
+    operator viable on an unbounded 10^12-turn stream (a global
+    dropDuplicates would grow state forever).
+    """
+    hashed = stream_df.withColumn(
+        "_text_hash", F.sha2(F.col(text_col), 256)
+    )
+    return hashed.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
+        ["_text_hash"]
+    ).drop("_text_hash")
