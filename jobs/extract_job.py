@@ -34,6 +34,11 @@ def main() -> None:
     from tl_spark.pipeline import run_extraction_job
 
     spark = SparkSession.builder.appName("tl_spark_extract").getOrCreate()
+    # 50k-row Arrow batches measured best for the extraction kernel
+    # (BENCH/BASELINE.md); an explicit spark-submit --conf wins
+    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    if not spark.sparkContext.getConf().contains(batch_key):
+        spark.conf.set(batch_key, "50000")
     report = run_extraction_job(
         spark,
         args.input,
