@@ -419,6 +419,49 @@ ORDER BY user_id, sess_id
 """
 
 
+def events_dedup_latest(spark, sf_dir):
+    """Keep-latest dedup by (user_id, event_type) — the standard CDC /
+    upsert compaction shape: one shuffle on the key, row_number window,
+    deterministic tie-break by event_id."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    )
+
+
+EVENTS_DEDUP_LATEST_SQL = """
+SELECT user_id, event_type, event_id, ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+def media_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing (rows-only like media_image_features:
+    the fake frame decode is a sha256 stream): one output row per kept
+    frame of every synthetic video payload — exercises row-expanding
+    mapInArrow batches end to end."""
+    from tl_spark.operators.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, n_rows=500)
+    out = sample_frames(media, every_k=10, decode_stub="fake")
+    return out.select(
+        "media_id", "frame_idx", F.round("frame_mean", 4).alias("frame_mean")
+    ).orderBy("media_id", "frame_idx")
+
+
 def events_asof_last_view(spark, sf_dir):
     """As-of join expressed as a running window: for every 'click',
     the most recent 'view' at-or-before it for the same user.
@@ -1111,6 +1154,64 @@ SELECTOR_ATTR_WS_SQL = _attr_selector_sql(2, 34, 69)
 SELECTOR_ID_CLASS_SQL = _attr_selector_sql(2, 24, 64)
 
 
+def selector_extract_p_outer(spark, sf_dir):
+    """outer_html extraction mode through the selector surface: for
+    the fixed wrapper the <p> node's outer_html is exactly
+    '<p>' || text || '</p>' (byte-identity serialization — the
+    reference decodes no entities and normalizes nothing)."""
+    from tl_spark.functions.query import query_selector_extract
+
+    html = _docs_as_html(spark, sf_dir)
+    return query_selector_extract(html, "p", mode="outer_html").orderBy(
+        "doc_id", "node_idx"
+    )
+
+
+SELECTOR_P_OUTER_SQL = """
+SELECT doc_id, CAST(3 AS INTEGER) AS node_idx,
+       '<p>' || text || '</p>' AS outer_html,
+       CAST(18 AS INTEGER) AS start,
+       CAST(length(text) + 24 AS INTEGER) AS "end"
+FROM documents ORDER BY doc_id
+"""
+
+
+def selector_extract_main_inner(spark, sf_dir):
+    """inner_html extraction mode: the <main> node's inner_html is the
+    raw markup between its tags, '<p>' || text || '</p>'."""
+    from tl_spark.functions.query import query_selector_extract
+
+    html = _docs_as_html(spark, sf_dir)
+    return query_selector_extract(html, "main", mode="inner_html").orderBy(
+        "doc_id", "node_idx"
+    )
+
+
+SELECTOR_MAIN_INNER_SQL = """
+SELECT doc_id, CAST(2 AS INTEGER) AS node_idx,
+       '<p>' || text || '</p>' AS inner_html,
+       CAST(12 AS INTEGER) AS start,
+       CAST(length(text) + 31 AS INTEGER) AS "end"
+FROM documents ORDER BY doc_id
+"""
+
+
+def lookup_by_class_tracked(spark, sf_dir):
+    """get_elements_by_class_name in tracked (close-time map) mode —
+    agrees with scan mode on well-formed wrappers (mode divergence on
+    unclosed elements is kernel-test pinned)."""
+    from tl_spark.functions.query import get_elements_by_class
+
+    d = _t(spark, sf_dir, "documents")
+    html = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div class="msg user">'), F.col("text"), F.lit("</div>")
+        ).alias("text"),
+    )
+    return get_elements_by_class(html, "msg", tracked=True).orderBy("doc_id")
+
+
 def lookup_by_id(spark, sf_dir):
     """get_element_by_id over the wrapped docs (scan mode, the
     reference default); every doc has <p id="t..."> absent, so probe
@@ -1463,9 +1564,14 @@ def queries():
         "selector_attr_contains": selector_attr_contains,
         "selector_attr_ws": selector_attr_ws,
         "selector_id_class": selector_id_class,
+        "selector_extract_p_outer": selector_extract_p_outer,
+        "selector_extract_main_inner": selector_extract_main_inner,
+        "events_dedup_latest": events_dedup_latest,
+        "media_frame_sample": media_frame_sample,
         "lookup_by_id": lookup_by_id,
         "lookup_by_id_tracked": lookup_by_id_tracked,
         "lookup_by_class": lookup_by_class,
+        "lookup_by_class_tracked": lookup_by_class_tracked,
         "doc_outer_html_roundtrip": doc_outer_html_roundtrip,
         "doc_html_version": doc_html_version,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
@@ -1505,6 +1611,10 @@ def oracle_sql():
         "selector_attr_contains": SELECTOR_ATTR_SQL,
         "selector_attr_ws": SELECTOR_ATTR_WS_SQL,
         "selector_id_class": SELECTOR_ID_CLASS_SQL,
+        "selector_extract_p_outer": SELECTOR_P_OUTER_SQL,
+        "selector_extract_main_inner": SELECTOR_MAIN_INNER_SQL,
+        "events_dedup_latest": EVENTS_DEDUP_LATEST_SQL,
+        "lookup_by_class_tracked": LOOKUP_BY_CLASS_SQL,
         "parse_nodes_docs": PARSE_NODES_SQL,
         "dedup_minhash": DEDUP_MINHASH_SQL,
         "dedup_simhash": DEDUP_SIMHASH_SQL,
