@@ -307,3 +307,25 @@ def test_minhash_shingle_sampling_still_finds_planted_dups(spark, documents):
         )
     ).collect()[0][0]
     assert n_sh_sampled < n_sh_full * 0.45  # ~0.25 expected, generous bound
+
+
+def test_ann_prebuilt_index_matches_inline(spark, embeddings):
+    """Probing a persisted prebuilt index returns the identical result
+    to inline signaturing (and signatures the corpus only once)."""
+    from tl_spark.operators.similarity import (
+        ann_multiprobe_topk,
+        build_ann_index,
+    )
+
+    query = [((i * 37 + 11) % 97) / 97.0 - 0.5 for i in range(64)]
+    inline = ann_multiprobe_topk(
+        embeddings, query, n_planes=8, k=10, min_candidates=100
+    ).collect()
+    idx = build_ann_index(embeddings, n_planes=8).persist()
+    try:
+        via_index = ann_multiprobe_topk(
+            None, query, n_planes=8, k=10, min_candidates=100, index=idx
+        ).collect()
+        assert [tuple(r) for r in inline] == [tuple(r) for r in via_index]
+    finally:
+        idx.unpersist()

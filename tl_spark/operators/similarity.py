@@ -141,8 +141,32 @@ def _probe_order(query: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return sigs[order]
 
 
-def ann_multiprobe_topk(
+def build_ann_index(
     df: DataFrame,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """The ANN 'index': (id, v, _sig) with sign-bucket signatures.
+
+    At corpus scale this is computed ONCE and persisted/written next
+    to the embeddings (it is a pure map, one extra int64 per row);
+    every query then probes it without re-signaturing the corpus.
+    Pass the result as ``index=`` to :func:`ann_multiprobe_topk` —
+    ideally ``.persist()``-ed (or read back from parquet) so the
+    histogram pass and the probe pass share one materialization.
+    """
+    sig_udf = _make_lsh_udf(n_planes, seed)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sig_udf(F.col(vec_col)).alias("_sig"),
+    )
+
+
+def ann_multiprobe_topk(
+    df: DataFrame | None,
     query: list[float],
     n_planes: int = 8,
     k: int = 10,
@@ -150,12 +174,14 @@ def ann_multiprobe_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k with margin-ordered multi-probe.
 
-    1. signature every vector (map-only);
-    2. bucket histogram: <= 2^n_planes rows, map-side combined — the
-       only full pass, and it carries 12 bytes/row pre-combine;
+    1. signature every vector (map-only; skipped when a precomputed
+       ``index`` from :func:`build_ann_index` is passed — the shape to
+       use at corpus scale, where the index is built once);
+    2. bucket histogram: <= 2^n_planes rows, map-side combined;
     3. driver picks the cheapest probe prefix (multi-probe flip-cost
        order) whose cumulative occupancy >= max(k, min_candidates);
     4. exact cosine re-rank over ONLY the probed buckets.
@@ -173,11 +199,10 @@ def ann_multiprobe_topk(
     planes = _planes(len(query), n_planes, seed)
     order = _probe_order(q, planes)
 
-    sig_udf = _make_lsh_udf(n_planes, seed)
-    bucketed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        sig_udf(F.col(vec_col)).alias("_sig"),
+    bucketed = (
+        index
+        if index is not None
+        else build_ann_index(df, n_planes, vec_col, id_col, seed)
     )
     hist = {
         r["_sig"]: r["n"]
