@@ -686,6 +686,55 @@ FROM t ORDER BY doc_id
 """
 
 
+def docs_balanced_sample(spark, sf_dir):
+    """Deterministic quota sampling: top-25 docs per language stratum
+    by quality (ties by doc_id) — the dataset-balancing step of a
+    curation pipeline. Window-based, so it is reproducible across
+    partitionings/cluster sizes (Spark's sample()/sampleBy() are NOT:
+    their Bernoulli draw depends on row order within partitions)."""
+    d = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text")).alias("quality")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", q)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 25)
+        .orderBy("lang", "rnk")
+    )
+
+
+def _balanced_sample_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len({_TOKENS_SQL}) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+         CAST(len(list_distinct(list_intersect({_TOKENS_SQL}, {_STOP_LIST})))
+              AS DOUBLE) AS stop
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         ROUND(
+           LEAST(n_tok / 20.0, 1.0) * 0.4
+           + LEAST(stop / 2.0, 1.0) * 0.3
+           + (CASE WHEN n_chars > 0
+                   THEN 1.0 - LEAST(punct / n_chars * 10, 1.0)
+                   ELSE 0.0 END) * 0.3,
+           4) AS quality
+  FROM t
+)
+SELECT doc_id, lang, quality,
+       ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY quality DESC, doc_id ASC) AS rnk
+FROM scored
+QUALIFY rnk <= 25
+ORDER BY lang, rnk
+"""
+
+
 def doc_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1542,6 +1591,7 @@ def queries():
         "doc_quality": doc_quality,
         "doc_lang_guess": doc_lang_guess,
         "doc_fingerprint": doc_fingerprint,
+        "docs_balanced_sample": docs_balanced_sample,
         "dedup_exact": dedup_exact_docs,
         "embedding_cosine_topk": embedding_cosine_topk,
         "extract_documents": extract_documents,
@@ -1596,6 +1646,7 @@ def oracle_sql():
         "doc_quality": DOC_QUALITY_SQL,
         "doc_lang_guess": _doc_lang_sql(),
         "doc_fingerprint": DOC_FINGERPRINT_SQL,
+        "docs_balanced_sample": _balanced_sample_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
         "embedding_cosine_topk": _cosine_sql(),
         "extract_documents": EXTRACT_DOCS_FULL_SQL,
