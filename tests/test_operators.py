@@ -329,3 +329,27 @@ def test_ann_prebuilt_index_matches_inline(spark, embeddings):
         assert [tuple(r) for r in inline] == [tuple(r) for r in via_index]
     finally:
         idx.unpersist()
+
+
+def test_simhash_neardup_banded_recall_is_exact(spark, documents):
+    """Banded-Hamming candidates == brute-force pairs (pigeonhole:
+    r=3 flipped bits cannot spoil all 8 bands), verified against a
+    local numpy brute force over the collected signatures."""
+    from tl_spark.operators.dedup import (
+        simhash_neardup_pairs,
+        simhash_signatures,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(documents, max_hamming=3).collect()
+    }
+    sigs = {r["id"]: r["simhash"] for r in simhash_signatures(documents).collect()}
+    ids = sorted(sigs)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                expect[(a, b)] = h
+    assert got == expect

@@ -970,6 +970,36 @@ FROM agg ORDER BY id
 """
 
 
+def dedup_simhash_neardup(spark, sf_dir):
+    """Banded-Hamming SimHash near-dups (radius 3). Recall is exact by
+    pigeonhole (3 flipped bits spoil at most 3 of 8 bands), so the
+    output equals brute-force all-pairs Hamming <= 3 — which the
+    oracle computes directly from the SQL-re-expressed signatures."""
+    from tl_spark.operators.dedup import simhash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = simhash_neardup_pairs(d, max_hamming=3, bands=8)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_neardup_sql() -> str:
+    # reuse the validated signature re-expression as a CTE, then
+    # brute-force all pairs with xor + bit_count
+    sig_cte = DEDUP_SIMHASH_SQL.strip().rstrip().removesuffix("ORDER BY id")
+    return f"""
+WITH sigs AS (
+{sig_cte}
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     """LSH candidates verified by exact 5-char-shingle Jaccard at
     threshold 0.5. At >= 0.5 banded MinHash (32 hashes / 8 bands) has
@@ -1599,6 +1629,7 @@ def queries():
         "selector_counts": selector_counts,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_neardup": dedup_simhash_neardup,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "ann_lsh_topk": ann_lsh_topk,
         "embedding_neardup": embedding_neardup,
@@ -1669,6 +1700,7 @@ def oracle_sql():
         "parse_nodes_docs": PARSE_NODES_SQL,
         "dedup_minhash": DEDUP_MINHASH_SQL,
         "dedup_simhash": DEDUP_SIMHASH_SQL,
+        "dedup_simhash_neardup": _simhash_neardup_sql(),
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "ann_lsh_topk": ANN_TOPK_SQL,
         "embedding_neardup": NEARDUP_SQL,
