@@ -353,3 +353,47 @@ def test_simhash_neardup_banded_recall_is_exact(spark, documents):
             if h <= 3:
                 expect[(a, b)] = h
     assert got == expect
+
+
+def test_operators_handle_empty_input(spark):
+    """Every sketch/similarity operator degrades to an empty result on
+    an empty table (no UDF crashes on zero-row Arrow batches)."""
+    from tl_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_candidates,
+        simhash_neardup_pairs,
+        simhash_signatures,
+    )
+    from tl_spark.operators.similarity import (
+        ann_multiprobe_topk,
+        cosine_topk_bruteforce,
+        embedding_neardup_pairs,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(docs).count() == 0
+    assert minhash_lsh_candidates(docs).count() == 0
+    assert simhash_signatures(docs).count() == 0
+    assert simhash_neardup_pairs(docs).count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = [0.1] * 8
+    assert cosine_topk_bruteforce(emb, q, k=5).count() == 0
+    assert ann_multiprobe_topk(emb, q, n_planes=4, k=5).count() == 0
+    assert embedding_neardup_pairs(emb, threshold=0.9).count() == 0
+
+
+def test_minhash_handles_null_and_empty_text(spark):
+    """NULL and empty texts get null signatures and never pair."""
+    from tl_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a real document with content")],
+        "doc_id long, text string",
+    )
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(df).collect()}
+    assert sigs[1] is None and sigs[2] is None and sigs[3] is not None
+    assert minhash_lsh_candidates(df).count() == 0

@@ -56,6 +56,12 @@ def curate(
         passthrough=["conv_id", "turn_idx", "role", "ts"],
         strip_tags=DEFAULT_STRIP_TAGS if strip_tags is None else strip_tags,
     )
+    # doc_uid is a 64-bit hash of the natural key — compact enough to
+    # shuffle, but at 10^12 rows birthday collisions are expected
+    # (~n^2/2^65 ≈ tens of thousands): a collision can cross-wire a
+    # near-dup drop between two unrelated rows. At that scale switch
+    # the uid to the composite (conv_id, turn_idx) struct or a 128-bit
+    # digest; the operators only require uid equality semantics.
     ex = ex.withColumn(
         "doc_uid", F.xxhash64("conv_id", "turn_idx")
     ).withColumn("extracted_text", F.coalesce("extracted_text", F.lit("")))
