@@ -397,3 +397,23 @@ def test_minhash_handles_null_and_empty_text(spark):
     sigs = {r["id"]: r["sig"] for r in minhash_signatures(df).collect()}
     assert sigs[1] is None and sigs[2] is None and sigs[3] is not None
     assert minhash_lsh_candidates(df).count() == 0
+
+
+def test_ngram_contamination_flags_planted_overlap(spark):
+    from tl_spark.operators.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(0, "the secret benchmark passage nobody should train on")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "clean document with completely original content here"),
+            (2, "contains the secret benchmark passage nobody spotted"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["id"]: r["n_hits"] for r in ngram_contamination(corpus, bench).collect()}
+    assert 2 in hits and hits[2] > 0
+    assert 1 not in hits and 3 not in hits

@@ -970,6 +970,37 @@ FROM agg ORDER BY id
 """
 
 
+def doc_contamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any 13-char
+    n-gram with a 'benchmark' set (here: docs 0-4). Exact by
+    construction — no sketching — so the brute-force SQL oracle
+    matches value-for-value; the Spark plan broadcasts the benchmark
+    shingle set (map-side semi-join, no corpus shuffle)."""
+    from tl_spark.operators.dedup import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") < 5)
+    out = ngram_contamination(d, bench, n=13)
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("n_hits").cast("long").alias("n_hits")
+    ).orderBy("doc_id")
+
+
+DOC_CONTAMINATION_SQL = """
+WITH bsh AS (
+  SELECT DISTINCT unnest([text[i:i+12] for i in range(1, length(text)-11)]) AS s
+  FROM documents WHERE doc_id < 5 AND length(text) >= 13
+), dsh AS (
+  SELECT doc_id,
+         unnest(list_distinct([text[i:i+12] for i in range(1, length(text)-11)])) AS s
+  FROM documents WHERE length(text) >= 13
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM dsh JOIN bsh USING (s)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def dedup_simhash_neardup(spark, sf_dir):
     """Banded-Hamming SimHash near-dups (radius 3). Recall is exact by
     pigeonhole (3 flipped bits spoil at most 3 of 8 bands), so the
@@ -1630,6 +1661,7 @@ def queries():
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_neardup": dedup_simhash_neardup,
+        "doc_contamination": doc_contamination,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "ann_lsh_topk": ann_lsh_topk,
         "embedding_neardup": embedding_neardup,
@@ -1701,6 +1733,7 @@ def oracle_sql():
         "dedup_minhash": DEDUP_MINHASH_SQL,
         "dedup_simhash": DEDUP_SIMHASH_SQL,
         "dedup_simhash_neardup": _simhash_neardup_sql(),
+        "doc_contamination": DOC_CONTAMINATION_SQL,
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
         "ann_lsh_topk": ANN_TOPK_SQL,
         "embedding_neardup": NEARDUP_SQL,
