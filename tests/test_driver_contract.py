@@ -82,6 +82,24 @@ def test_oracle_keys_subset_of_queries():
     assert set(Q.oracle_sql()) <= set(Q.queries())
 
 
+def test_driver_window_is_fully_oracle_backed():
+    """The driver verifies only the FIRST 50 registry entries
+    (CORRECTNESS_r02.json has exactly the first 50 keys of the r2
+    registry). Every query inside that window must carry a DuckDB
+    oracle, and only the no-oracle media decoders may sit beyond it —
+    otherwise an oracle-backed query is silently never driver-checked.
+    """
+    names = list(Q.queries())
+    window, beyond = names[:50], names[50:]
+    oracles = set(Q.oracle_sql())
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"no-oracle queries inside driver window: {missing}"
+    assert all(n not in oracles for n in beyond), (
+        f"oracle-backed queries OUTSIDE the driver window: "
+        f"{[n for n in beyond if n in oracles]}"
+    )
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as E
 

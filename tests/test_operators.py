@@ -417,3 +417,175 @@ def test_ngram_contamination_flags_planted_overlap(spark):
     hits = {r["id"]: r["n_hits"] for r in ngram_contamination(corpus, bench).collect()}
     assert 2 in hits and hits[2] > 0
     assert 1 not in hits and 3 not in hits
+
+
+def test_ngram_contamination_counts_distinct_hits_once(spark):
+    """A benchmark shingle occurring twice in one doc counts once
+    (n_hits = DISTINCT matched n-grams) — the invariant the post-join
+    count_distinct preserves after dropping the corpus pre-distinct."""
+    from tl_spark.operators.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(0, "abcdefghijklm")], "doc_id long, text string"  # one 13-gram
+    )
+    corpus = spark.createDataFrame(
+        [(1, "xx abcdefghijklm yy abcdefghijklm zz")],
+        "doc_id long, text string",
+    )
+    rows = ngram_contamination(corpus, bench).collect()
+    assert len(rows) == 1 and rows[0]["n_hits"] == 1
+
+
+def test_contamination_plan_no_corpus_shuffle(spark):
+    """The corpus side of the decontamination semi-join must be
+    map-only: raw exploded shingles feed the BroadcastHashJoin with no
+    Exchange between the parquet scan and the join (the benchmark side
+    is the BroadcastExchange; the only hash Exchange sits ABOVE the
+    join, over the tiny matched set)."""
+    from tl_spark.operators.dedup import ngram_contamination
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = corpus.limit(5).select("doc_id", "text")
+    out = ngram_contamination(corpus, bench)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    join_idx = next(
+        i for i, l in enumerate(lines) if "BroadcastHashJoin" in l
+    )
+    bcast_idx = next(
+        i
+        for i, l in enumerate(lines)
+        if i > join_idx and "BroadcastExchange" in l
+    )
+    corpus_branch = lines[join_idx + 1 : bcast_idx]
+    assert any("Scan parquet" in l or "FileScan" in l for l in corpus_branch), plan
+    assert not any("Exchange hashpartitioning" in l for l in corpus_branch), (
+        "corpus side of the contamination semi-join must be map-only:\n" + plan
+    )
+
+
+def _persisted_rdd_ids(spark):
+    return {
+        int(x)
+        for x in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def test_sketch_caches_released_by_handle_protocol(spark, documents, embeddings):
+    """Every operator that persists a signature table hands the cache
+    back via the tl_spark.cache handle protocol: after materializing
+    and calling unpersist_handles, no NEW persistent RDD survives
+    (delta-based: the session is shared across the suite)."""
+    from tl_spark.cache import carried_handles, unpersist_handles
+    from tl_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash_neardup_pairs,
+    )
+    from tl_spark.operators.similarity import embedding_neardup_pairs
+
+    # plans are made unique (filters other tests don't use) so the
+    # persisted-RDD delta isn't confused by caches of the SAME plan
+    # persisted (and leaked) by earlier tests in the shared session
+    docs = documents.filter(F.col("doc_id") % 7 != 3)
+    emb = embeddings.filter(F.col("vec_id") % 7 != 3)
+    cases = [
+        lambda: minhash_lsh_candidates(docs),
+        lambda: simhash_neardup_pairs(docs, max_hamming=3),
+        lambda: embedding_neardup_pairs(emb, threshold=0.99),
+    ]
+    for make in cases:
+        before = _persisted_rdd_ids(spark)
+        out = make()
+        assert carried_handles(out), "operator must expose its cache handle"
+        out.collect()
+        assert _persisted_rdd_ids(spark) - before, "cache was never used?"
+        unpersist_handles(out)
+        assert _persisted_rdd_ids(spark) == before, (
+            "persisted sketch cache leaked past unpersist_handles"
+        )
+        assert not carried_handles(out)  # idempotent release
+
+
+def test_curate_releases_all_caches_including_child_sig_table(spark, tmp_path):
+    """curate(persist=True) rebinds `stats` after persisting — the
+    handle protocol must capture the EXACT persisted plan (uncache
+    matches by sameResult) AND propagate the MinHash child's signature
+    cache, so run_curation_job leaves zero persistent RDDs behind."""
+    from tl_spark.curation import run_curation_job
+    from tl_spark.sources.transcripts import synth_transcripts
+
+    inp = str(tmp_path / "in")
+    synth_transcripts(
+        spark, n_convs=40, median_turns=6, skew_mult=5, seed=5
+    ).write.parquet(inp)
+    before = _persisted_rdd_ids(spark)
+    report = run_curation_job(spark, inp, str(tmp_path / "out"))
+    assert report["rows_curated"] > 0
+    assert _persisted_rdd_ids(spark) == before, (
+        "run_curation_job leaked persisted DataFrames"
+    )
+
+
+def test_embedding_neardup_selfjoin_carries_no_vectors(spark, embeddings):
+    """The sign-bucket self-join must shuffle only (_sig, id): the
+    first projection feeding the join's left side excludes the vector
+    column (vectors are re-attached by id-joins AFTER pairing)."""
+    from tl_spark.cache import unpersist_handles
+    from tl_spark.operators.similarity import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(embeddings)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    join_idx = next(
+        i
+        for i, l in enumerate(lines)
+        if "Join [_sig" in l and "<" in l
+    )
+    # left subtree = subsequent lines carrying the ':' branch prefix
+    left = []
+    for l in lines[join_idx + 1 :]:
+        if not l.lstrip().startswith(":"):
+            break
+        left.append(l)
+    top_project = next(l for l in left if "Project [" in l)
+    scan = next(l for l in left if "InMemoryTableScan [" in l)
+    assert "v#" not in top_project, top_project
+    assert "v#" not in scan, scan  # cache scan prunes the vector too
+    unpersist_handles(out)
+
+
+def test_simhash_neardup_hot_bucket_cap(spark):
+    """Documented cap behavior: when EVERY band bucket of a clique
+    exceeds max_bucket_size, its pairs are dropped (the exactness
+    precondition fails) — and simhash_cap_report names exactly those
+    buckets; raising the cap restores brute-force equality."""
+    from tl_spark.cache import unpersist_handles
+    from tl_spark.operators.dedup import (
+        simhash_cap_report,
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "identical templated document body text") for i in range(4)],
+        "doc_id long, text string",
+    )
+    capped = simhash_neardup_pairs(docs, max_hamming=3, max_bucket_size=2)
+    assert capped.count() == 0  # all 8 band buckets hold 4 > 2 members
+    unpersist_handles(capped)
+    report = simhash_cap_report(docs, max_bucket_size=2).collect()
+    assert len(report) == 8 and all(r["n_members"] == 4 for r in report)
+
+    ok = simhash_neardup_pairs(docs, max_hamming=3, max_bucket_size=4)
+    assert ok.count() == 6  # all C(4,2) identical pairs
+    unpersist_handles(ok)
+    assert simhash_cap_report(docs, max_bucket_size=4).count() == 0
+
+
+def test_simhash_sf001_within_cap_precondition(spark):
+    """The driver oracle for dedup_simhash_neardup asserts equality
+    with brute force at sf0.01 — valid only under the documented
+    precondition that no band bucket exceeds the default cap. Pin it."""
+    from tl_spark.operators.dedup import simhash_cap_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert simhash_cap_report(docs, max_bucket_size=256).count() == 0

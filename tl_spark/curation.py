@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tl_spark.cache import attach_handles, carried_handles, unpersist_handles
 from tl_spark.functions.extract import extract_main_content
 from tl_spark.functions.text import lang_guess, quality_score, token_count
 from tl_spark.operators.dedup import (
@@ -45,8 +46,16 @@ def curate(
     ``persist=True`` caches the two DAG nodes shared by ``curated``
     and ``dropped`` (post-extraction stats, MEMORY_AND_DISK; and the
     tiny near-dup set) so materializing BOTH outputs runs the
-    extraction and the MinHash self-join exactly once. The caller owns
-    unpersisting (see :func:`run_curation_job`).
+    extraction and the MinHash self-join exactly once.
+
+    Cache ownership: every persisted handle — including the MinHash
+    signature cache the child :func:`minhash_lsh_candidates` creates
+    REGARDLESS of ``persist`` — is attached to ``curated`` via the
+    tl_spark.cache protocol; materialize both outputs, then release
+    with ``unpersist_handles(curated)`` (see :func:`run_curation_job`).
+    Handles are captured BEFORE any rebinding so unpersist hits the
+    exact plan Spark cached (CacheManager.uncacheQuery matches by
+    sameResult, so a derived DataFrame would silently no-op).
     """
     from tl_spark.functions.extract import DEFAULT_STRIP_TAGS
 
@@ -73,10 +82,12 @@ def curate(
         quality_score(c).alias("quality"),
         lang_guess(c).alias("lang_guess"),
     )
+    handles: list[DataFrame] = []
     if persist:
         from pyspark import StorageLevel
 
         stats = stats.persist(StorageLevel.MEMORY_AND_DISK)
+        handles.append(stats)  # BEFORE the _rank rebinding below
 
     # exact dedup: keep the first (conv_id, turn_idx) per distinct text;
     # window over the text hash — one digest shuffle
@@ -100,6 +111,7 @@ def curate(
         F.col("extracted_text").alias("text"),
     )
     cands = minhash_lsh_candidates(docs, n_hashes=32, bands=8)
+    handles.extend(carried_handles(cands))  # the child's sig cache
     verified = ngram_jaccard_pairs(
         docs, cands, threshold=neardup_jaccard
     )
@@ -132,6 +144,7 @@ def curate(
     )
     if persist:
         near_dups = near_dups.persist()
+        handles.append(near_dups)
 
     kept_after_dedup = survivors.join(
         near_dups.select("doc_uid"), "doc_uid", "left_anti"
@@ -148,9 +161,8 @@ def curate(
         (F.col("quality") >= quality_min) & (F.col("n_tokens") >= min_tokens)
     )
     dropped = exact_dups.unionByName(near_dups).unionByName(low_q).unionByName(short)
-    if persist:
-        # hand the persisted handles to the caller for unpersisting
-        curated._tl_persisted = (stats, near_dups)
+    # hand every persisted handle (own + child) to the caller
+    attach_handles(curated, *handles)
     return curated, dropped
 
 
@@ -174,8 +186,7 @@ def run_curation_job(
         curated.write.mode("overwrite").parquet(output_path)
         dropped.write.mode("overwrite").parquet(dropped_path)
     finally:
-        for cached in getattr(curated, "_tl_persisted", ()):
-            cached.unpersist()
+        unpersist_handles(curated)
     dropped_out = spark.read.parquet(dropped_path)
     reasons = {
         r["drop_reason"]: r["n"]

@@ -2,7 +2,10 @@ from tl_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
+    ngram_contamination,
     ngram_jaccard_pairs,
+    simhash_cap_report,
+    simhash_neardup_pairs,
     simhash_signatures,
 )
 from tl_spark.operators.similarity import (  # noqa: F401

@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from tl_spark.cache import attach_handles
+
 
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
@@ -269,29 +271,50 @@ def embedding_neardup_pairs(
     true duplicates have recall 1 by construction; perturbed near-dups
     trade recall for n_planes like any sign-LSH (see
     tests/test_operators.py recall test).
+
+    Scale shape (mirrors minhash_lsh_candidates): the self-join
+    shuffles ONLY (_sig, id) — carrying the vectors through it would
+    multiply shuffle bytes by ~8*dim per candidate row. Vectors are
+    re-attached AFTER pairing by two id-joins against the persisted
+    signature table (the pair set is tiny relative to the corpus, so
+    AQE broadcasts it into those joins and the vectors never shuffle).
+    Pinned by tests/test_operators.py::
+    test_embedding_neardup_selfjoin_carries_no_vectors.
+    Caller-owned cache handle: see tl_spark.cache.unpersist_handles.
     """
     sig_udf = _make_lsh_udf(n_planes, seed)
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         sig_udf(F.col(vec_col)).alias("_sig"),
-    )
+    ).persist()
     sizes = b.groupBy("_sig").agg(F.count(F.lit(1)).alias("_bsz"))
-    b = b.join(sizes, "_sig").filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    keys = (
+        b.select("id", "_sig")
+        .join(sizes, "_sig")
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
 
-    pa_, pb_ = b.alias("a"), b.alias("b")
+    pa_, pb_ = keys.alias("a"), keys.alias("b")
+    # a pair shares exactly ONE bucket (the full signature), so the
+    # join output is already duplicate-free — no dropDuplicates needed
     pairs = pa_.join(
         pb_,
         (F.col("a._sig") == F.col("b._sig")) & (F.col("a.id") < F.col("b.id")),
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        F.col("a.v").alias("va"),
-        F.col("b.v").alias("vb"),
+    )
+    pairs = pairs.join(
+        b.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(
+        b.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b"
     )
     cos = _pair_cosine(F.col("va"), F.col("vb"))
-    return (
+    out = (
         pairs.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    return attach_handles(out, b)

@@ -199,10 +199,20 @@ def _write_ledger(
             out.close()
         # rename is atomic on HDFS; on object stores it is
         # copy+delete, still safe because a reader sees either the
-        # previous complete ledger or the new complete one
+        # previous complete ledger or the new complete one.
+        # Hadoop FileSystem.rename reports failure by returning FALSE
+        # (not raising), and dest must not exist for it to succeed —
+        # so a false return after the delete means NO ledger survives.
+        # Raising makes that loss visible instead of silently
+        # discarding resume progress (bucket rewrites stay idempotent,
+        # so the job is still correct after a restart — just slower).
         if fs.exists(dest):
             fs.delete(dest, False)
-        fs.rename(tmp, dest)
+        if not fs.rename(tmp, dest):
+            raise IOError(
+                f"ledger rename failed: {tmp} -> {dest}; resume state "
+                "for this write was not recorded"
+            )
         return
     p = _ledger_path(output_path)
     p.parent.mkdir(parents=True, exist_ok=True)
