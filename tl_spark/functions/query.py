@@ -168,3 +168,89 @@ def get_elements_by_class(
     return df.select(id_col, text_col).mapInArrow(
         fn, f"{id_col} long, node_idx int, inner_text string"
     )
+
+
+def query_selector_scoped(
+    df,
+    scope_selector: str,
+    selector: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "inner_text",
+):
+    """Subtree-scoped selector query: per document, take the FIRST node
+    matching ``scope_selector`` (document-scope match order — what a
+    reference user gets from ``query_selector(..).next()``), then match
+    ``selector`` only inside that node's contiguous subtree slice
+    (HTMLTag::query_selector, src/queryselector/iterable.rs:50-77 — the
+    reference iterates the tag's inclusive handle range, NOT the whole
+    arena).
+
+    Output: one row per (document, subtree match): (id, scope_idx,
+    node_idx, <mode>, start, end). Documents with no scope match yield
+    no rows. Map-only Arrow-batch op; both selectors are compiled and
+    validated once on the driver.
+    """
+    if mode not in ("inner_text", "inner_html", "outer_html", "raw"):
+        raise ValueError(f"unknown mode {mode!r}")
+    scope_ast = parse_selector(scope_selector)
+    if scope_ast is None:
+        raise ValueError(f"scope selector {scope_selector!r} does not parse")
+    ast = parse_selector(selector)
+    if ast is None:
+        raise ValueError(f"selector {selector!r} does not parse")
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from tl_spark.kernel.htmlparse import parse
+        from tl_spark.kernel.selector import selector_matches
+
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            o_id, o_scope, o_node, o_val, o_s, o_e = [], [], [], [], [], []
+            for docid, t in zip(ids, texts):
+                dom = parse(t or "")
+                scope = next(
+                    (
+                        h
+                        for h in range(len(dom.nodes))
+                        if selector_matches(scope_ast, dom, h)
+                    ),
+                    None,
+                )
+                if scope is None:
+                    continue
+                hits = dom.tag_query_selector(scope, selector)
+                for h in hits or []:
+                    if mode == "inner_text":
+                        val = dom.inner_text(h)
+                    elif mode == "inner_html":
+                        val = dom.inner_html(h)
+                    elif mode == "outer_html":
+                        val = dom.outer_html(h)
+                    else:
+                        val = dom.raw_bytes(h).decode("utf-8", "replace")
+                    s, e = dom.boundaries(h)
+                    o_id.append(docid)
+                    o_scope.append(scope)
+                    o_node.append(h)
+                    o_val.append(val)
+                    o_s.append(s)
+                    o_e.append(e)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, type=pa.int64()),
+                    pa.array(o_scope, type=pa.int32()),
+                    pa.array(o_node, type=pa.int32()),
+                    pa.array(o_val, type=pa.string()),
+                    pa.array(o_s, type=pa.int32()),
+                    pa.array(o_e, type=pa.int32()),
+                ],
+                names=[id_col, "scope_idx", "node_idx", mode, "start", "end"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        fn,
+        f"{id_col} long, scope_idx int, node_idx int, {mode} string, "
+        "start int, end int",
+    )
