@@ -141,3 +141,41 @@ def test_curation_job_report_consistency(spark, tmp_path):
     # dropped rows persisted next to the output for auditability
     dropped = spark.read.parquet(outp + "_dropped")
     assert dropped.count() == sum(report["dropped"].values())
+
+
+def test_curation_benchmark_decontamination(spark):
+    """Optional decontamination stage: dedup survivors sharing a 13-char
+    n-gram with the benchmark set drop as 'contaminated'; precedence is
+    total (a doc that is BOTH an exact dup and contaminated counts once,
+    as exact_dup)."""
+    from tl_spark.cache import unpersist_handles
+    from tl_spark.curation import curate
+
+    secret = "the benchmark holdout passage nobody may train on"
+    rows = [
+        ("c1", 0, "user", f"<main><p>{secret} plus trailing words here</p></main>",
+         None, None),
+        ("c1", 1, "user", f"<main><p>{secret} plus trailing words here</p></main>",
+         None, None),  # exact dup of turn 0 -> exact_dup, NOT contaminated
+        ("c1", 2, "user", "<main><p>completely original clean training text "
+                          "alpha bravo charlie delta</p></main>", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp",
+    )
+    bench = spark.createDataFrame([(secret,)], "text string")
+    curated, dropped = curate(
+        df, quality_min=0.0, min_tokens=1, benchmark=bench
+    )
+    kept = sorted(r["turn_idx"] for r in curated.collect())
+    reasons = sorted(r["drop_reason"] for r in dropped.collect())
+    assert kept == [2]
+    assert reasons == ["contaminated", "exact_dup"]
+    unpersist_handles(curated)
+
+    # without a benchmark the contaminated doc survives
+    curated2, dropped2 = curate(df, quality_min=0.0, min_tokens=1)
+    assert sorted(r["turn_idx"] for r in curated2.collect()) == [0, 2]
+    assert [r["drop_reason"] for r in dropped2.collect()] == ["exact_dup"]
+    unpersist_handles(curated2)

@@ -70,3 +70,51 @@ def test_streaming_watermarked_counts(spark, tmp_path):
     batch = streaming_turn_counts(spark.read.parquet(inp), "5 minutes")
     assert batch.agg(F.sum("n_turns")).collect()[0][0] == total
     assert batch.columns == ["start", "end", "conv_id", "n_turns"]
+
+
+# ------------------------------------------------- round-3 additions
+
+
+def test_dup_word_frac_edges(spark):
+    from tl_spark.functions.text import dup_word_frac
+
+    rows = [
+        (1, "a a a a"),          # 3/4 duplicated
+        (2, "all words unique"),  # 0
+        (3, ""),                  # empty -> 0.0, not null
+        (4, "x"),                 # single token -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id", dup_word_frac(F.col("text")).alias("f")).collect()
+    }
+    assert got == {1: 0.75, 2: 0.0, 3: 0.0, 4: 0.0}
+
+
+def test_pii_redact_patterns_and_order(spark):
+    from tl_spark.functions.text import pii_counts, pii_redact
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.org please"),
+        (2, "server at 192.168.001.1 responded"),
+        (3, "call +1 555 010-99 42 now"),
+        # the dotted quad must become [IP], NOT feed the phone rule
+        (4, "at 10.0.0.1 tel 555 123 4567 ok"),
+        (5, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_e, n_i, n_p = pii_counts(F.col("text"))
+    got = {
+        r["doc_id"]: (r["red"], r["e"], r["i"], r["p"])
+        for r in df.select(
+            "doc_id",
+            pii_redact(F.col("text")).alias("red"),
+            n_e.alias("e"), n_i.alias("i"), n_p.alias("p"),
+        ).collect()
+    }
+    assert got[1] == ("mail me at [EMAIL] please", 1, 0, 0)
+    assert got[2] == ("server at [IP] responded", 0, 1, 0)
+    assert got[3] == ("call [PHONE] now", 0, 0, 1)
+    assert got[4] == ("at [IP] tel [PHONE] ok", 0, 1, 1)
+    assert got[5] == ("no pii here at all", 0, 0, 0)

@@ -23,6 +23,7 @@ from tl_spark.functions.extract import extract_main_content
 from tl_spark.functions.text import lang_guess, quality_score, token_count
 from tl_spark.operators.dedup import (
     minhash_lsh_candidates,
+    ngram_contamination,
     ngram_jaccard_pairs,
 )
 
@@ -35,13 +36,23 @@ def curate(
     neardup_jaccard: float = 0.85,
     strip_tags=None,
     persist: bool = False,
+    benchmark: DataFrame | None = None,
+    contamination_n: int = 13,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated, dropped) DataFrames.
 
     ``curated``: conv_id, turn_idx, role, ts, extracted_text, n_tokens,
     quality, lang_guess, doc_uid.
     ``dropped``: doc_uid + drop_reason (exact_dup | near_dup |
-    low_quality | too_short).
+    contaminated | low_quality | too_short — drop precedence is total
+    in that order, so every input row lands in exactly one output).
+
+    ``benchmark`` (optional): a DataFrame with a ``text`` column of
+    benchmark/eval documents. When given, dedup survivors sharing any
+    ``contamination_n``-char n-gram with the benchmark set are dropped
+    as ``contaminated`` (exact overlap, broadcast benchmark shingles —
+    the corpus side stays map-only; see
+    :func:`tl_spark.operators.dedup.ngram_contamination`).
 
     ``persist=True`` caches the two DAG nodes shared by ``curated``
     and ``dropped`` (post-extraction stats, MEMORY_AND_DISK; and the
@@ -150,6 +161,27 @@ def curate(
         near_dups.select("doc_uid"), "doc_uid", "left_anti"
     )
 
+    # optional benchmark decontamination (between dedup and the quality
+    # filters): exact n-gram overlap against the broadcast benchmark
+    # shingle set — corpus side map-only, dedup-after-join shape
+    contaminated = None
+    if benchmark is not None:
+        hits = ngram_contamination(
+            kept_after_dedup.select(
+                F.col("doc_uid").alias("doc_id"),
+                F.col("extracted_text").alias("text"),
+            ),
+            benchmark,
+            n=contamination_n,
+        )
+        contaminated = hits.select(
+            F.col("id").alias("doc_uid"),
+            F.lit("contaminated").alias("drop_reason"),
+        )
+        kept_after_dedup = kept_after_dedup.join(
+            contaminated.select("doc_uid"), "doc_uid", "left_anti"
+        )
+
     low_q = kept_after_dedup.filter(
         (F.col("quality") < quality_min) & (F.col("n_tokens") >= min_tokens)
     ).select("doc_uid", F.lit("low_quality").alias("drop_reason"))
@@ -160,7 +192,10 @@ def curate(
     curated = kept_after_dedup.filter(
         (F.col("quality") >= quality_min) & (F.col("n_tokens") >= min_tokens)
     )
-    dropped = exact_dups.unionByName(near_dups).unionByName(low_q).unionByName(short)
+    dropped = exact_dups.unionByName(near_dups)
+    if contaminated is not None:
+        dropped = dropped.unionByName(contaminated)
+    dropped = dropped.unionByName(low_q).unionByName(short)
     # hand every persisted handle (own + child) to the caller
     attach_handles(curated, *handles)
     return curated, dropped

@@ -189,3 +189,54 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_guess(c).alias("lang_guess"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# ------------------------------------------------- round-3 additions
+
+
+def dup_word_frac(col) -> Column:
+    """Gopher-style repetition signal: fraction of tokens that repeat
+    an earlier token (1 - distinct/total; 0 for empty docs). Pure
+    JVM array ops — no explode, no shuffle."""
+    toks = tokens(col)
+    n = F.size(toks).cast("double")
+    return F.when(
+        n > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6),
+    ).otherwise(F.lit(0.0))
+
+
+def pii_redact(col) -> Column:
+    """Redact common PII patterns: emails -> [EMAIL], IPv4 -> [IP],
+    long digit-dash-space runs -> [PHONE]. Patterns restricted to the
+    regex subset Java and RE2/DuckDB agree on (no lookaround, no
+    backrefs) so the DuckDB oracle is value-exact. Order matters:
+    emails first (their local parts may contain digits), IPs before
+    phones (dotted quads would otherwise half-match the phone rule).
+    All-JVM regexp_replace chain — codegen, no Python."""
+    out = F.regexp_replace(
+        col,
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "[EMAIL]",
+    )
+    out = F.regexp_replace(
+        out, r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"
+    )
+    out = F.regexp_replace(out, r"\+?\d[\d -]{7,}\d", "[PHONE]")
+    return out
+
+
+def pii_counts(col) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) BEFORE redaction — same patterns as
+    :func:`pii_redact`, counted in the same masking order (emails
+    removed before IPs are counted, etc., so overlapping matches are
+    attributed exactly once, mirroring the replace chain)."""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_re = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    phone_re = r"\+?\d[\d -]{7,}\d"
+    n_email = F.regexp_count(col, F.lit(email_re))
+    after_email = F.regexp_replace(col, email_re, "[EMAIL]")
+    n_ip = F.regexp_count(after_email, F.lit(ip_re))
+    after_ip = F.regexp_replace(after_email, ip_re, "[IP]")
+    n_phone = F.regexp_count(after_ip, F.lit(phone_re))
+    return n_email, n_ip, n_phone

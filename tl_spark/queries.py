@@ -805,6 +805,145 @@ FROM agg ORDER BY doc_id
 """
 
 
+def doc_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per document:
+    dup_word_frac (1 - distinct/total tokens, pure JVM array ops) and
+    top_bigram_frac (most frequent adjacent-token bigram's share of
+    all bigrams). The bigram mode is an explode + two map-side-combined
+    HashAggregates keyed by (doc_id, bigram) — no HOF lambdas in the
+    aggregation (house rule 3); element_at runs codegen outside any
+    lambda. At corpus scale the (doc_id, bigram) shuffle is ~n_tokens
+    rows of short strings, the same shape as the shingle pipelines."""
+    from tl_spark.functions.text import dup_word_frac, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.col("text"),
+        tokens(F.col("text")).alias("t"),
+    ).withColumn("n_tok", F.size("t"))
+    pos = base.filter(F.col("n_tok") >= 2).select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.col("n_tok") - 1)).alias("i"),
+    )
+    bg = pos.select(
+        "doc_id",
+        F.concat(
+            F.expr("element_at(t, i)"), F.lit(" "), F.expr("element_at(t, i + 1)")
+        ).alias("bg"),
+    )
+    top = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    tbf = F.when(
+        F.col("n_tok") >= 2,
+        F.round(F.col("top_c").cast("double") / (F.col("n_tok") - 1), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            dup_word_frac(F.col("text")).alias("dup_word_frac"),
+            tbf.alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t, len(t) AS n_tok FROM toks
+), pos AS (
+  SELECT doc_id, t, unnest(range(1, n_tok)) AS i FROM base WHERE n_tok >= 2
+), bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg FROM pos
+), top AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CASE WHEN n_tok > 0
+            THEN round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / n_tok, 6)
+            ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN n_tok >= 2
+            THEN round(CAST(top_c AS DOUBLE) / (n_tok - 1), 6)
+            ELSE 0.0 END AS top_bigram_frac
+FROM base b LEFT JOIN top USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def doc_pii_redaction(spark, sf_dir):
+    """PII scrub (email / IPv4 / phone -> typed placeholders) + per-type
+    counts. The documents table is clean ASCII prose, so realistic PII
+    is injected deterministically from doc_id on BOTH sides; the
+    redaction chain is all-JVM regexp_replace (codegen), patterns
+    restricted to the Java-regex ∩ RE2 subset so DuckDB reproduces the
+    identical match sequence. Counts are staged in masking order
+    (emails removed before IPs are counted, IPs before phones) so each
+    character is attributed to exactly one category."""
+    from tl_spark.functions.text import pii_counts, pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7 tel +1 555 01"),
+        F.format_string("%04d", F.pmod(F.col("doc_id"), F.lit(10000))),
+    )
+    t = d.select("doc_id", injected.alias("t"))
+    n_email, n_ip, n_phone = pii_counts(F.col("t"))
+    return t.select(
+        "doc_id",
+        pii_redact(F.col("t")).alias("redacted"),
+        n_email.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ips"),
+        n_phone.cast("long").alias("n_phones"),
+    ).orderBy("doc_id")
+
+
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+DOC_PII_SQL = rf"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 tel +1 555 01'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+), staged AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '{_PII_EMAIL_RE}', '[EMAIL]', 'g') AS t1
+  FROM injected
+), staged2 AS (
+  SELECT doc_id, t, t1,
+         regexp_replace(t1, '{_PII_IP_RE}', '[IP]', 'g') AS t2
+  FROM staged
+)
+SELECT doc_id,
+       regexp_replace(t2, '{_PII_PHONE_RE}', '[PHONE]', 'g') AS redacted,
+       len(regexp_extract_all(t,  '{_PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t1, '{_PII_IP_RE}'))    AS n_ips,
+       len(regexp_extract_all(t2, '{_PII_PHONE_RE}')) AS n_phones
+FROM staged2 ORDER BY doc_id
+"""
+
+
 def dedup_exact_docs(spark, sf_dir):
     from tl_spark.operators.dedup import exact_dedup
 
@@ -1672,8 +1811,13 @@ def queries():
         "selector_extract_p": selector_extract_p,
         "selector_attr_eq": selector_attr_eq,
         "selector_attr_prefix": selector_attr_prefix,
-        "selector_attr_suffix": selector_attr_suffix,
-        "selector_attr_contains": selector_attr_contains,
+        # attr_suffix / attr_contains were retired from the driver
+        # window in round 3 for diversity: they shared one oracle with
+        # attr_eq/attr_prefix and the golden corpus pins all 14
+        # selector variants three other ways (VERDICT r2 called them
+        # triply redundant). Their slots carry two training-data ops.
+        "doc_repetition": doc_repetition,
+        "doc_pii_redaction": doc_pii_redaction,
         "selector_attr_ws": selector_attr_ws,
         "selector_id_class": selector_id_class,
         "selector_extract_p_outer": selector_extract_p_outer,
@@ -1728,8 +1872,8 @@ def oracle_sql():
         "selector_extract_p": SELECTOR_EXTRACT_P_SQL,
         "selector_attr_eq": SELECTOR_ATTR_SQL,
         "selector_attr_prefix": SELECTOR_ATTR_SQL,
-        "selector_attr_suffix": SELECTOR_ATTR_SQL,
-        "selector_attr_contains": SELECTOR_ATTR_SQL,
+        "doc_repetition": DOC_REPETITION_SQL,
+        "doc_pii_redaction": DOC_PII_SQL,
         "selector_attr_ws": SELECTOR_ATTR_WS_SQL,
         "selector_id_class": SELECTOR_ID_CLASS_SQL,
         "selector_extract_p_outer": SELECTOR_P_OUTER_SQL,
