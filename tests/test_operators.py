@@ -581,11 +581,19 @@ def test_simhash_neardup_hot_bucket_cap(spark):
     assert simhash_cap_report(docs, max_bucket_size=4).count() == 0
 
 
-def test_simhash_sf001_within_cap_precondition(spark):
+def test_simhash_driver_params_within_cap_precondition(spark):
     """The driver oracle for dedup_simhash_neardup asserts equality
-    with brute force at sf0.01 — valid only under the documented
-    precondition that no band bucket exceeds the default cap. Pin it."""
+    with brute force — valid only under the documented precondition
+    that no band bucket exceeds the cap AT THE QUERY'S PARAMETERS
+    (bands=4, cap=512). Pin it at both driver scales; also pin WHY the
+    operator-default bands=8 was rejected for the query (8-bit pieces
+    have 256 possible values, so sf0.1 structurally overflows)."""
     from tl_spark.operators.dedup import simhash_cap_report
 
-    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    assert simhash_cap_report(docs, max_bucket_size=256).count() == 0
+    for sf in ("sf0.01", "sf0.1"):
+        docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        assert (
+            simhash_cap_report(docs, bands=4, max_bucket_size=512).count() == 0
+        ), f"{sf}: exactness precondition violated at the driver params"
+    docs_big = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    assert simhash_cap_report(docs_big, bands=8, max_bucket_size=256).count() > 0

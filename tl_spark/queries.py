@@ -1142,13 +1142,21 @@ GROUP BY doc_id ORDER BY doc_id
 
 def dedup_simhash_neardup(spark, sf_dir):
     """Banded-Hamming SimHash near-dups (radius 3). Recall is exact by
-    pigeonhole (3 flipped bits spoil at most 3 of 8 bands), so the
+    pigeonhole (3 flipped bits spoil at most 3 of 4 bands), so the
     output equals brute-force all-pairs Hamming <= 3 — which the
-    oracle computes directly from the SQL-re-expressed signatures."""
+    oracle computes directly from the SQL-re-expressed signatures.
+
+    bands=4 (16-bit pieces), not the operator-default 8: 8-bit pieces
+    have only 256 possible values per band, so natural bucket sizes
+    grow linearly with the corpus and blow the exactness cap already
+    at sf0.1 (29 over-cap buckets). 16-bit pieces keep every bucket
+    under 512 at both driver scales — certified empty by
+    simhash_cap_report in tests/test_operators.py::
+    test_simhash_driver_params_within_cap_precondition."""
     from tl_spark.operators.dedup import simhash_neardup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    out = simhash_neardup_pairs(d, max_hamming=3, bands=8)
+    out = simhash_neardup_pairs(d, max_hamming=3, bands=4, max_bucket_size=512)
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     ).orderBy("id_a", "id_b")
