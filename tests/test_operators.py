@@ -597,3 +597,82 @@ def test_simhash_driver_params_within_cap_precondition(spark):
         ), f"{sf}: exactness precondition violated at the driver params"
     docs_big = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     assert simhash_cap_report(docs_big, bands=8, max_bucket_size=256).count() > 0
+
+
+def test_minhash_arrow_and_jvm_impls_agree_on_behavior(spark, documents):
+    """The two signature impls are different hash FAMILIES but must
+    agree on every behavioral contract: null-sig rows, signature
+    length, per-impl determinism, and planted-twin recall (identical
+    texts -> identical signatures -> est 1.0 in every band)."""
+    from tl_spark.operators.dedup import minhash_signatures
+
+    rows = [
+        (1, "a normal length document body"),
+        (2, "a normal length document body"),   # exact twin of 1
+        (3, "zz"),                               # shorter than k -> null
+        (4, None),                               # null text -> null
+        (5, ""),                                 # empty -> null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for impl in ("arrow", "jvm"):
+        sigs = {
+            r["id"]: r["sig"]
+            for r in minhash_signatures(df, impl=impl).collect()
+        }
+        assert sigs[3] is None and sigs[4] is None and sigs[5] is None, impl
+        assert sigs[1] is not None and len(sigs[1]) == 32, impl
+        assert sigs[1] == sigs[2], f"{impl}: twins must share a signature"
+        again = {
+            r["id"]: r["sig"]
+            for r in minhash_signatures(df.repartition(3), impl=impl).collect()
+        }
+        assert again == sigs, f"{impl}: not deterministic across partitioning"
+
+
+def test_minhash_arrow_boundary_windows_never_leak(spark):
+    """Byte windows straddling document boundaries in the concatenated
+    batch must not contribute: a doc whose text is a PREFIX of the
+    next doc's start would otherwise steal its neighbor's minima.
+    Construct adjacent docs engineered so any cross-boundary window
+    would alter the minimum, and compare against each doc hashed in
+    ISOLATION (one doc per DataFrame -> no neighbors by construction)."""
+    from tl_spark.operators.dedup import minhash_signatures
+
+    texts = ["aaaaabbbbb", "bbbbbaaaaa", "ababababab", "zzzzz", "aaaaa"]
+    together = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["id"]: r["sig"] for r in minhash_signatures(together).collect()
+    }
+    for i, t in enumerate(texts):
+        alone = spark.createDataFrame([(0, t)], "doc_id long, text string")
+        ref = minhash_signatures(alone).collect()[0]["sig"]
+        assert got[i] == ref, f"doc {i} contaminated by batch neighbors"
+
+
+def test_minhash_arrow_sample_mod_contracts(spark):
+    """MOD-sampling on the arrow impl: content-keyed (twins stay
+    identical), subsetting (sampled signature of a doc uses only a
+    subset of its shingle hashes), and a doc with NO sampled shingle
+    gets a null signature instead of a fallback."""
+    from tl_spark.operators.dedup import minhash_signatures
+
+    long_a = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(1, long_a), (2, long_a), (3, "tiny.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {r["id"]: r["sig"] for r in minhash_signatures(df).collect()}
+    sampled = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures(df, sample_mod=4).collect()
+    }
+    assert sampled[1] == sampled[2]              # content-keyed
+    assert sampled[1] is not None and len(sampled[1]) == 32
+    # min over a SUBSET of shingles can only be >= the full min
+    # (compare in the unsigned order the minima are taken in)
+    u = lambda x: (x + (1 << 64)) % (1 << 64)
+    assert all(u(s) >= u(f) for s, f in zip(sampled[1], full[1]))
+    # a 5-char doc has exactly ONE shingle; sample_mod huge -> almost
+    # surely unsampled -> null (deterministic for this fixed text)
+    big = {r["id"]: r["sig"] for r in minhash_signatures(df, sample_mod=10**9).collect()}
+    assert big[3] is None
