@@ -75,6 +75,12 @@ def main() -> None:
     def consume(df):
         # noop sink: full materialization of every column, no pruning
         df.write.format("noop").mode("overwrite").save()
+        # release any sketch caches the operator persisted (handle
+        # protocol, tl_spark/cache.py) so queries don't inherit each
+        # other's memory pressure
+        from tl_spark.cache import unpersist_handles
+
+        unpersist_handles(df)
 
     # headline: full extraction of every turn. One untimed warmup
     # (forks+imports the whole Python worker pool) then best of 2 —
@@ -102,6 +108,9 @@ def main() -> None:
         "doc_fingerprint",
         "dedup_exact",
         "dedup_minhash",
+        "dedup_simhash_neardup",
+        "doc_repetition",
+        "doc_pii_redaction",
         "embedding_cosine_topk",
         "extract_documents_text",
     ]
