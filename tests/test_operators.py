@@ -676,3 +676,44 @@ def test_minhash_arrow_sample_mod_contracts(spark):
     # surely unsampled -> null (deterministic for this fixed text)
     big = {r["id"]: r["sig"] for r in minhash_signatures(df, sample_mod=10**9).collect()}
     assert big[3] is None
+
+
+def test_streaming_curation_matches_batch_semantics(spark, tmp_path):
+    """The streaming curation pipeline (extract -> dedup-in-horizon ->
+    quality/length filters -> PII redact) agrees with the equivalent
+    batch projection on a drained availableNow run: same kept rows,
+    same redacted text, no boilerplate, no duplicate texts."""
+    from pyspark.sql import functions as F
+
+    from tl_spark.functions.extract import extract_main_content
+    from tl_spark.functions.text import pii_redact, quality_score, token_count
+    from tl_spark.sources.transcripts import synth_transcripts, write_transcripts
+    from tl_spark.streaming.extract_stream import run_streaming_curation
+
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    df = synth_transcripts(spark, n_convs=25, median_turns=6, skew_mult=4)
+    write_transcripts(df, inp)
+    run_streaming_curation(
+        spark, inp, outp, str(tmp_path / "ckpt"), quality_min=0.0, min_tokens=1
+    )
+    got = spark.read.parquet(outp)
+    # no duplicate texts survive (availableNow drains within horizon)
+    assert got.count() == got.select("extracted_text").distinct().count()
+    assert got.filter(F.col("extracted_text").contains("chrome nav")).count() == 0
+    # batch-equivalent projection: first-arrival dedup + filters + redact
+    ex = extract_main_content(
+        spark.read.parquet(inp),
+        passthrough=["conv_id", "turn_idx", "role", "ts"],
+    ).withColumn("extracted_text", F.coalesce("extracted_text", F.lit("")))
+    c = F.col("extracted_text")
+    batch = (
+        ex.dropDuplicates(["extracted_text"])
+        .withColumn("n_tokens", token_count(c))
+        .withColumn("quality", quality_score(c))
+        .filter((F.col("quality") >= 0.0) & (F.col("n_tokens") >= 1))
+        .withColumn("extracted_text", pii_redact(c))
+    )
+    assert sorted(r["extracted_text"] for r in got.collect()) == sorted(
+        r["extracted_text"] for r in batch.collect()
+    )

@@ -73,3 +73,67 @@ def streaming_exact_dedup(
     return hashed.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
         ["_text_hash"]
     ).drop("_text_hash")
+
+
+def run_streaming_curation(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint: str,
+    quality_min: float = 0.2,
+    min_tokens: int = 2,
+    dedup_lateness: str = "10 minutes",
+) -> None:
+    """Streaming counterpart of the batch curation job's STATELESS +
+    bounded-state stages: extract -> text stats -> exact dedup within
+    the watermark horizon -> quality/length filters -> PII redaction.
+
+    Near-dup LSH stays batch-only by design: its self-join needs the
+    corpus-wide signature table, which has no bounded-state streaming
+    formulation — at 10^12-turn scale the standard architecture is
+    this stream for ingest-time hygiene plus a periodic batch
+    :func:`tl_spark.curation.curate` compaction over the accumulated
+    output (the resume-ledger pipeline makes the batch pass
+    idempotent).
+
+    Every stage is a stateless projection except the dedup, whose
+    state is bounded by ``dedup_lateness`` (see
+    :func:`streaming_exact_dedup`); the whole plan therefore runs
+    with exactly-once parquet sink semantics from the checkpoint.
+    """
+    from tl_spark.functions.text import (
+        lang_guess,
+        pii_redact,
+        quality_score,
+        token_count,
+    )
+
+    schema = spark.read.parquet(input_path).schema
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    ex = extract_main_content(
+        stream,
+        text_col="text",
+        passthrough=["conv_id", "turn_idx", "role", "ts"],
+    ).withColumn("extracted_text", F.coalesce("extracted_text", F.lit("")))
+    deduped = streaming_exact_dedup(
+        ex, text_col="extracted_text", lateness=dedup_lateness
+    )
+    c = F.col("extracted_text")
+    curated = (
+        deduped.withColumn("n_tokens", token_count(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("lang_guess", lang_guess(c))
+        .filter(
+            (F.col("quality") >= quality_min)
+            & (F.col("n_tokens") >= min_tokens)
+        )
+        .withColumn("extracted_text", pii_redact(c))
+    )
+    q = (
+        curated.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
