@@ -179,3 +179,33 @@ def test_curation_benchmark_decontamination(spark):
     assert sorted(r["turn_idx"] for r in curated2.collect()) == [0, 2]
     assert [r["drop_reason"] for r in dropped2.collect()] == ["exact_dup"]
     unpersist_handles(curated2)
+
+
+def test_curation_repetition_gate(spark):
+    """max_dup_word_frac drops highly repetitive docs as 'repetitive';
+    precedence sits between decontamination and the quality filters."""
+    from tl_spark.cache import unpersist_handles
+    from tl_spark.curation import curate
+
+    rows = [
+        ("c1", 0, "user", "<main><p>spam spam spam spam spam spam spam ham"
+                          "</p></main>", None, None),              # dwf 6/8
+        ("c1", 1, "user", "<main><p>every word here is completely distinct"
+                          "</p></main>", None, None),              # dwf 0
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp",
+    )
+    curated, dropped = curate(
+        df, quality_min=0.0, min_tokens=1, max_dup_word_frac=0.5
+    )
+    assert [r["turn_idx"] for r in curated.collect()] == [1]
+    assert [r["drop_reason"] for r in dropped.collect()] == ["repetitive"]
+    unpersist_handles(curated)
+
+    # gate off by default
+    curated2, dropped2 = curate(df, quality_min=0.0, min_tokens=1)
+    assert sorted(r["turn_idx"] for r in curated2.collect()) == [0, 1]
+    assert dropped2.count() == 0
+    unpersist_handles(curated2)

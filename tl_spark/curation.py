@@ -7,7 +7,10 @@ the already-tested operator, composed with the same scale rules
 (broadcast small sides, digest-only shuffles, map-only extraction).
 
 Drop precedence (a row is counted once, in this order):
-  exact_dup > near_dup > low_quality > too_short
+  exact_dup > near_dup > contaminated > repetitive > low_quality
+  > too_short
+(contaminated requires ``benchmark=``, repetitive requires
+``max_dup_word_frac=``; both default off.)
 """
 
 from __future__ import annotations
@@ -38,14 +41,21 @@ def curate(
     persist: bool = False,
     benchmark: DataFrame | None = None,
     contamination_n: int = 13,
+    max_dup_word_frac: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated, dropped) DataFrames.
 
     ``curated``: conv_id, turn_idx, role, ts, extracted_text, n_tokens,
     quality, lang_guess, doc_uid.
     ``dropped``: doc_uid + drop_reason (exact_dup | near_dup |
-    contaminated | low_quality | too_short — drop precedence is total
-    in that order, so every input row lands in exactly one output).
+    contaminated | repetitive | low_quality | too_short — drop
+    precedence is total in that order, so every input row lands in
+    exactly one output).
+
+    ``max_dup_word_frac`` (optional): Gopher-style repetition gate —
+    docs whose fraction of repeated tokens exceeds the threshold drop
+    as ``repetitive`` (pure JVM array expression, no shuffle; see
+    :func:`tl_spark.functions.text.dup_word_frac`).
 
     ``benchmark`` (optional): a DataFrame with a ``text`` column of
     benchmark/eval documents. When given, dedup survivors sharing any
@@ -182,6 +192,22 @@ def curate(
             contaminated.select("doc_uid"), "doc_uid", "left_anti"
         )
 
+    # optional Gopher-style repetition gate (after decontamination,
+    # before the quality/length filters)
+    repetitive = None
+    if max_dup_word_frac is not None:
+        from tl_spark.functions.text import dup_word_frac
+
+        flagged = kept_after_dedup.withColumn(
+            "_dwf", dup_word_frac(F.col("extracted_text"))
+        )
+        repetitive = flagged.filter(
+            F.col("_dwf") > max_dup_word_frac
+        ).select("doc_uid", F.lit("repetitive").alias("drop_reason"))
+        kept_after_dedup = flagged.filter(
+            F.col("_dwf") <= max_dup_word_frac
+        ).drop("_dwf")
+
     low_q = kept_after_dedup.filter(
         (F.col("quality") < quality_min) & (F.col("n_tokens") >= min_tokens)
     ).select("doc_uid", F.lit("low_quality").alias("drop_reason"))
@@ -195,6 +221,8 @@ def curate(
     dropped = exact_dups.unionByName(near_dups)
     if contaminated is not None:
         dropped = dropped.unionByName(contaminated)
+    if repetitive is not None:
+        dropped = dropped.unionByName(repetitive)
     dropped = dropped.unionByName(low_q).unionByName(short)
     # hand every persisted handle (own + child) to the caller
     attach_handles(curated, *handles)
