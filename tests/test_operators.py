@@ -717,3 +717,74 @@ def test_streaming_curation_matches_batch_semantics(spark, tmp_path):
     assert sorted(r["extracted_text"] for r in got.collect()) == sorted(
         r["extracted_text"] for r in batch.collect()
     )
+
+
+def test_ivf_index_and_probe(spark, embeddings):
+    """IVF-Flat variant (task brief): planted scaled-query needles are
+    exactly the top-k at nprobe=1 (they share the query's nearest
+    list — identical direction => identical centroid assignment);
+    nprobe=n_lists degrades to the exact scan; assignment is
+    deterministic across partitionings."""
+    from tl_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    query = [((i * 37 + 11) % 97) / 97.0 - 0.5 for i in range(64)]
+    qlit = "array(" + ",".join(f"cast({x!r} as float)" for x in query) + ")"
+    needles = spark.range(10).select(
+        (F.col("id") + 3000000).alias("vec_id"),
+        F.expr(
+            f"cast(transform({qlit}, x -> x * (1.0 + cast(id as double)/10.0))"
+            " as array<float>)"
+        ).alias("embedding"),
+    )
+    corpus = embeddings.select("vec_id", "embedding").unionByName(needles)
+    index, cent = build_ivf_index(corpus, n_lists=16, seed=7)
+    assert cent.shape == (16, 64)
+
+    top = ivf_topk(index, cent, query, k=10, nprobe=1).collect()
+    assert {r["id"] for r in top} == {3000000 + i for i in range(10)}
+    assert all(r["cosine"] == 1.0 for r in top)
+
+    # nprobe = n_lists == exact brute force
+    full = ivf_topk(index, cent, query, k=20, nprobe=16).collect()
+    exact = cosine_topk_bruteforce(corpus, query, k=20).collect()
+    assert [(r["id"], r["cosine"]) for r in full] == [
+        (r["id"], r["cosine"]) for r in exact
+    ]
+
+    # deterministic assignment across partitionings
+    a = {r["id"]: r["_list"] for r in index.collect()}
+    index2, cent2 = build_ivf_index(corpus.repartition(7), n_lists=16, seed=7)
+    assert (cent2 == cent).all()
+    b = {r["id"]: r["_list"] for r in index2.collect()}
+    assert a == b
+
+
+def test_ivf_recall_vs_bruteforce_uniform(spark, embeddings):
+    """Worst-case corpus (uniform directions, where coarse quantization
+    carries the least signal): the FAISS-style recall/latency dial —
+    recall@10 >= 0.8 at half the lists probed, monotone in nprobe,
+    exact at nprobe = n_lists (everything deterministic: seeded
+    k-means over a canonically-sorted sample)."""
+    from tl_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    query = [((i * 29 + 5) % 83) / 83.0 - 0.5 for i in range(64)]
+    exact = {r["id"] for r in cosine_topk_bruteforce(embeddings, query, k=10).collect()}
+    index, cent = build_ivf_index(embeddings, n_lists=8, seed=11)
+    recalls = []
+    for nprobe in (4, 6, 8):
+        got = {
+            r["id"]
+            for r in ivf_topk(index, cent, query, k=10, nprobe=nprobe).collect()
+        }
+        recalls.append(len(got & exact) / 10)
+    assert recalls[0] >= 0.8
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0  # full probe == exact scan

@@ -9,8 +9,10 @@ from tl_spark.operators.dedup import (  # noqa: F401
     simhash_signatures,
 )
 from tl_spark.operators.similarity import (  # noqa: F401
+    build_ivf_index,
     cosine_topk_bruteforce,
     embedding_neardup_pairs,
+    ivf_topk,
     lsh_bucket_candidates,
 )
 from tl_spark.operators.multimodal import (  # noqa: F401

@@ -318,3 +318,127 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", "cosine")
     )
     return attach_handles(out, b)
+
+
+# ------------------------------------------------- IVF (round 3)
+
+
+def _spherical_kmeans(sample: np.ndarray, n_lists: int, iters: int, seed: int):
+    """Deterministic spherical k-means on the (driver-side) training
+    sample: seeded init, cosine assignment, mean-renormalize update,
+    empty lists re-seeded from the worst-covered point. Returns unit
+    centroids (n_lists, dim)."""
+    rng = np.random.default_rng(seed)
+    norms = np.linalg.norm(sample, axis=1)
+    pts = sample[norms > 0] / norms[norms > 0, None]
+    if len(pts) == 0:
+        raise ValueError("IVF training sample has no nonzero vectors")
+    n_lists = min(n_lists, len(pts))
+    cent = pts[rng.choice(len(pts), size=n_lists, replace=False)]
+    for _ in range(iters):
+        sims = pts @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_lists):
+            members = pts[assign == c]
+            if len(members) == 0:
+                # re-seed from the point farthest from its centroid
+                worst = np.argmin(np.max(sims, axis=1))
+                cent[c] = pts[worst]
+                continue
+            m = members.sum(axis=0)
+            n = np.linalg.norm(m)
+            cent[c] = m / n if n > 0 else cent[c]
+    return cent
+
+
+def build_ivf_index(
+    df: DataFrame,
+    n_lists: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    train_size: int = 4096,
+    train_iters: int = 8,
+):
+    """IVF coarse quantizer (the task brief's 'IVF variant' of ANN).
+
+    Returns ``(index_df, centroids)``: ``index_df`` = (id, v, _list)
+    with each vector assigned to its nearest (cosine) centroid,
+    ``centroids`` a unit (n_lists, dim) ndarray.
+
+    Scale shape: training collects ONLY a content-hash-sampled subset
+    (~train_size rows — one bounded driver action, same budget class
+    as the ANN bucket histogram); k-means runs in numpy on the driver;
+    assignment is a single vectorized map pass with the centroid
+    matrix shipped in the UDF closure (n_lists x dim floats — KBs).
+    At corpus scale the index is written bucketed/partitioned BY
+    ``_list`` so a probe reads only the probed lists' files
+    (partition pruning); queries never rescan the corpus.
+    Deterministic end to end: the sample filter is a content hash,
+    k-means is seeded, ties in assignment break by list id (argmax
+    returns the first maximum).
+    """
+    n = df.count()
+    mod = max(1, n // train_size)
+    sample_rows = (
+        df.select(
+            F.xxhash64(F.col(vec_col).cast("array<double>")).alias("_h"),
+            F.col(vec_col).alias("v"),
+        )
+        .filter(F.pmod(F.col("_h"), F.lit(mod)) == 0)
+        .collect()
+    )
+    # collect() returns partition order — canonicalize (hash, vector)
+    # so training, and therefore the centroids, are independent of the
+    # input's partitioning (pinned by test)
+    sample_rows.sort(key=lambda r: (r["_h"], tuple(r["v"])))
+    sample = np.array([r["v"] for r in sample_rows], dtype=np.float64)
+    cent = _spherical_kmeans(sample, n_lists, train_iters, seed)
+
+    c_mat = cent  # closure-shipped; KBs
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m / norms[:, None]) @ c_mat.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    index_df = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        assign(F.col(vec_col)).alias("_list"),
+    )
+    return index_df, cent
+
+
+def ivf_topk(
+    index_df: DataFrame,
+    centroids,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF probe: rank centroids by cosine to the query ON THE DRIVER
+    (n_lists rows — no Spark job), scan only the ``nprobe`` nearest
+    lists, exact-cosine re-rank those candidates to top-k. Recall is
+    controlled by nprobe exactly as in FAISS-style IVF-Flat; the scan
+    cost is the probed lists' fraction of the corpus (file-pruned when
+    the index is partitioned by _list)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn == 0:
+        raise ValueError("zero query vector")
+    sims = centroids @ (q / qn)
+    order = np.lexsort((np.arange(len(sims)), -sims))
+    probe = [int(x) for x in order[: max(1, nprobe)]]
+    sim = _make_cosine_udf(query)(F.col("v"))
+    return (
+        index_df.filter(F.col("_list").isin(probe))
+        .select("id", F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
