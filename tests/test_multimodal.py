@@ -92,3 +92,47 @@ def test_embedding_neardup_pairs(spark):
     got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs.collect()}
     assert (base_id, base_id + 900000) in got
     assert abs(got[(base_id, base_id + 900000)] - 1.0) < 1e-5
+
+
+# ------------------------------------------------- round-3 additions
+
+
+def test_ppm_payloads_decode_for_real(spark):
+    """P6/PPM payloads take the REAL decode path (pure numpy, no codec
+    lib) even with decode_stub='error': features equal ground truth
+    recomputed locally from the identically-seeded rasters."""
+    import numpy as np
+
+    from tl_spark.operators.multimodal import image_features, synth_ppm_media
+
+    W, H, SEED = 16, 12, 42
+    media = synth_ppm_media(spark, n_rows=20, width=W, height=H, seed=SEED)
+    got = {
+        r["media_id"]: (list(r["hist16"]), r["mean_px"], r["std_px"])
+        for r in image_features(media, decode_stub="error").collect()
+    }
+    assert len(got) == 20
+    for i in range(20):
+        rng = np.random.default_rng(SEED * 1000003 + i)
+        raster = rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8)
+        gray = (raster.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+        hist = [int(x) for x in np.bincount(gray.ravel() >> 4, minlength=16)]
+        assert got[i][0] == hist, f"media {i}: histogram mismatch"
+        assert got[i][1] == float(gray.mean())
+        assert got[i][2] == float(gray.std())
+
+
+def test_ppm_parser_rejects_malformed(spark):
+    """Truncated rasters and unsupported maxval raise ValueError; a
+    non-PPM payload under decode_stub='error' still raises
+    NotImplementedError (compressed formats stay honestly stubbed)."""
+    import pytest as _pytest
+
+    from tl_spark.operators.multimodal import _decode_image, _parse_ppm
+
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_ppm(b"P6\n4 4\n255\n" + b"\x00" * 10)
+    with _pytest.raises(ValueError, match="maxval"):
+        _parse_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+    with _pytest.raises(NotImplementedError):
+        _decode_image(b"\x89PNG....", 4, 4, "error")

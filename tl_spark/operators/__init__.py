@@ -20,4 +20,5 @@ from tl_spark.operators.multimodal import (  # noqa: F401
     image_features,
     sample_frames,
     synth_media,
+    synth_ppm_media,
 )
