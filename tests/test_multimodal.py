@@ -136,3 +136,61 @@ def test_ppm_parser_rejects_malformed(spark):
         _parse_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
     with _pytest.raises(NotImplementedError):
         _decode_image(b"\x89PNG....", 4, 4, "error")
+
+
+def test_wav_payloads_decode_for_real(spark):
+    """RIFF/WAV PCM16 payloads take the REAL audio decode path even
+    with decode_stub='error': features equal ground truth recomputed
+    locally from the identically-seeded clips."""
+    import numpy as np
+
+    from tl_spark.operators.multimodal import audio_features, synth_wav_media
+
+    N, RATE, SEED = 800, 8000, 42
+    media = synth_wav_media(spark, n_rows=10, n_samples=N, rate=RATE, seed=SEED)
+    got = {
+        r["media_id"]: (r["duration_ms"], r["rms"], r["zcr"], r["peak"])
+        for r in audio_features(media, decode_stub="error").collect()
+    }
+    assert len(got) == 10
+    for i in range(10):
+        rng = np.random.default_rng(SEED * 7919 + i)
+        t = np.arange(N)
+        freq = 100 + (i % 10) * 50
+        wave = 8000 * np.sin(2 * np.pi * freq * t / RATE)
+        wave = (wave + rng.integers(-500, 500, N)).astype("<i2")
+        mono = wave.astype(np.float64)
+        rms = round(float(np.sqrt(np.mean(mono**2))), 6)
+        zcr = round(
+            float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))), 6
+        )
+        assert got[i] == (
+            int(round(N * 1000 / RATE)),
+            rms,
+            zcr,
+            int(np.abs(wave).max()),
+        ), f"clip {i}"
+
+
+def test_wav_parser_rejects_malformed():
+    """Truncated chunks, non-PCM formats and stray bytes raise
+    ValueError; non-RIFF payloads under decode_stub='error' raise
+    NotImplementedError (compressed audio stays honestly stubbed)."""
+    import struct
+
+    import pytest as _pytest
+
+    from tl_spark.operators.multimodal import _parse_wav
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        _parse_wav(b"OggS....")
+    # valid RIFF but fmt says IEEE float (3), not PCM (1)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    with _pytest.raises(ValueError, match="PCM16"):
+        _parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # truncated data chunk
+    body2 = b"WAVE" + b"data" + struct.pack("<I", 100) + b"\x00" * 10
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_wav(b"RIFF" + struct.pack("<I", len(body2)) + body2)

@@ -17,8 +17,10 @@ from tl_spark.operators.similarity import (  # noqa: F401
 )
 from tl_spark.operators.multimodal import (  # noqa: F401
     attach_media_meta,
+    audio_features,
     image_features,
     sample_frames,
     synth_media,
     synth_ppm_media,
+    synth_wav_media,
 )
