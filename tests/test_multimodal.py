@@ -194,3 +194,33 @@ def test_wav_parser_rejects_malformed():
     body2 = b"WAVE" + b"data" + struct.pack("<I", 100) + b"\x00" * 10
     with _pytest.raises(ValueError, match="truncated"):
         _parse_wav(b"RIFF" + struct.pack("<I", len(body2)) + body2)
+
+
+def test_resize_images_ppm_ground_truth(spark):
+    """resize_images on real PPM payloads equals the locally computed
+    nearest-neighbor downsample of the identically-seeded rasters;
+    output plane is exactly out_h*out_w bytes."""
+    import numpy as np
+
+    from tl_spark.operators.multimodal import resize_images, synth_ppm_media
+
+    W, H, SEED, OW, OH = 16, 12, 42, 6, 4
+    media = synth_ppm_media(spark, n_rows=8, width=W, height=H, seed=SEED)
+    got = {
+        r["media_id"]: (r["pixels"], r["out_w"], r["out_h"], r["mean_px"])
+        for r in resize_images(
+            media, out_w=OW, out_h=OH, decode_stub="error"
+        ).collect()
+    }
+    assert len(got) == 8
+    for i in range(8):
+        rng = np.random.default_rng(SEED * 1000003 + i)
+        raster = rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8)
+        gray = (raster.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+        ys = np.minimum((np.arange(OH) * H) // OH, H - 1)
+        xs = np.minimum((np.arange(OW) * W) // OW, W - 1)
+        small = gray[np.ix_(ys, xs)]
+        blob, ow, oh, mean = got[i]
+        assert bytes(blob) == small.tobytes()
+        assert (ow, oh) == (OW, OH) and len(bytes(blob)) == OW * OH
+        assert mean == float(small.mean())

@@ -19,6 +19,7 @@ from tl_spark.operators.multimodal import (  # noqa: F401
     attach_media_meta,
     audio_features,
     image_features,
+    resize_images,
     sample_frames,
     synth_media,
     synth_ppm_media,

@@ -394,3 +394,51 @@ def synth_wav_media(
             )
 
     return spark.range(n_rows).mapInArrow(fn, "media_id long, payload binary")
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decode_stub: str = "error",
+) -> DataFrame:
+    """Image resize (task brief op): decode (REAL for P6/PPM, stub
+    policy otherwise), nearest-neighbor downsample the grayscale plane
+    to (out_h, out_w) with deterministic index sampling, and emit the
+    resized plane as a binary column plus dims. Map-only Arrow
+    batches; the output is fixed-size (out_h*out_w bytes/row), so a
+    downstream shuffle or embedding step sees bounded rows regardless
+    of source resolution."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(id_col)
+            payloads = batch.column(payload_col).to_pylist()
+            metas = batch.column("media").to_pylist()
+            blobs, means = [], []
+            for p, m in zip(payloads, metas):
+                img = _decode_image(p, m["width"], m["height"], decode_stub)
+                h, w = img.shape
+                # nearest-neighbor: index grid centers, deterministic
+                ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+                xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+                small = img[np.ix_(ys, xs)]
+                blobs.append(small.tobytes())
+                means.append(float(small.mean()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(blobs, type=pa.binary()),
+                    pa.array([out_w] * len(blobs), type=pa.int32()),
+                    pa.array([out_h] * len(blobs), type=pa.int32()),
+                    pa.array(means, type=pa.float64()),
+                ],
+                names=[id_col, "pixels", "out_w", "out_h", "mean_px"],
+            )
+
+    return df.select(id_col, payload_col, "media").mapInArrow(
+        fn,
+        f"{id_col} long, pixels binary, out_w int, out_h int, mean_px double",
+    )
