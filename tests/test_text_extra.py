@@ -118,3 +118,56 @@ def test_pii_redact_patterns_and_order(spark):
     assert got[3] == ("call [PHONE] now", 0, 0, 1)
     assert got[4] == ("at [IP] tel [PHONE] ok", 0, 1, 1)
     assert got[5] == ("no pii here at all", 0, 0, 0)
+
+
+def test_pii_redact_spark_duckdb_parity_on_adversarial_corpus(spark):
+    """The PII oracle's value-exactness rests on Java regex and
+    RE2/DuckDB agreeing on the three patterns. Pin that on 200
+    deterministic adversarial strings (half-formed emails, over-long
+    dotted quads, digit runs with mixed separators, pattern
+    concatenations) — far nastier than the injected driver corpus.
+    Whitespace is restricted to space/tab/newline (Java \\s includes
+    \\x0B, RE2's does not; the tokenizer oracles share that documented
+    restriction and the synthetic tables contain no vertical tabs)."""
+    import duckdb
+
+    from tl_spark.functions.text import pii_redact
+
+    frags = [
+        "a@b.co", "a@b.c", "@example.com", "user@", "u.x+y@e-f.org",
+        "1.2.3.4", "999.999.999.999", "1.2.3.4.5", "10.0.0", "0.0.0.0",
+        "+1 555 010 9942", "12345678", "123456789", "1-2-3-4-5-6-7-8",
+        "+49 30 123456", "tel+4930123456x", "1 2 3 4 5 6 7 8 9",
+        "a@b.cd 1.2.3.4", "1.2.3.4a@b.cd", "x@y.zz+1 222 333 4444",
+        ".", "@", "+", "-", " ", "\t", "\n", "a", "1",
+    ]
+    rows = []
+    for i in range(200):
+        a = frags[i % len(frags)]
+        b = frags[(i * 7 + 3) % len(frags)]
+        c = frags[(i * 13 + 5) % len(frags)]
+        rows.append((i, f"w{i} {a} m{a}{b} {b}{c} end"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["red"]
+        for r in df.select(
+            "doc_id", pii_redact(F.col("text")).alias("red")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("adv", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    import tl_spark.queries as Q
+
+    duck = dict(
+        con.execute(
+            f"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '{Q._PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                     '{Q._PII_IP_RE}', '[IP]', 'g'),
+                     '{Q._PII_PHONE_RE}', '[PHONE]', 'g') AS red
+            FROM adv ORDER BY doc_id
+            """
+        ).fetchall()
+    )
+    assert got == duck
