@@ -6,7 +6,7 @@ from SURVEY.md §2 (relational dataflow ops, text analysis, dedup,
 similarity search, and the tl-parity extraction kernel). DuckDB-checked
 where ANSI-SQL can express the op; rows-only otherwise (the extraction
 kernel's real correctness gate is tests/test_goldens.py — byte-parity
-with the compiled reference on 474 documents).
+with the compiled reference on 774 documents).
 """
 
 from __future__ import annotations
