@@ -73,3 +73,75 @@ def test_selectors_never_crash(s, sel):
     if hits is not None:
         for h in hits:
             assert 0 <= h < len(dom.nodes)
+
+
+# -------------------------------------------- round-3: minhash kernel
+
+
+def _minhash_reference_one_doc(text, k=5, n_hashes=32, sample_mod=None):
+    """Independent per-doc reference for _batch_minhash: plain Python
+    loops over one document in isolation — no concatenation, no
+    reduceat, no masking machinery to share bugs with."""
+    import numpy as np
+
+    b = text.encode("utf-8") if text else b""
+    if len(b) < k:
+        return None
+
+    def hash_window(win: bytes, base: int) -> int:
+        h = 0
+        for byte in win:
+            h = (h * base + byte) % (1 << 64)
+        h ^= h >> 33
+        h = (h * 0xFF51AFD7ED558CCD) % (1 << 64)
+        h ^= h >> 29
+        return h
+
+    mins = [None] * n_hashes
+    any_sampled = False
+    for j in range(len(b) - k + 1):
+        win = b[j : j + k]
+        if sample_mod is not None and sample_mod > 1:
+            if hash_window(win, 0x100000001B3) % sample_mod != 0:
+                continue
+        any_sampled = True
+        h1 = hash_window(win, 1000003)
+        h2 = hash_window(win, 0x9E3779B97F4A7C15 | 1)
+        for i in range(n_hashes):
+            r = i % 64
+            rot = h2 if r == 0 else ((h2 << r) | (h2 >> (64 - r))) % (1 << 64)
+            m = h1 ^ rot
+            if mins[i] is None or m < mins[i]:
+                mins[i] = m
+    if not any_sampled:
+        return None
+    return [v - (1 << 64) if v >= (1 << 63) else v for v in mins]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FF),
+                max_size=40,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([None, 2, 7]),
+)
+def test_batch_minhash_equals_per_doc_reference(texts, sample_mod):
+    """The vectorized batch kernel (concatenated bytes, boundary
+    masking, reduceat segments) must equal the naive one-doc-at-a-time
+    reference for EVERY document in ANY batch composition — including
+    multi-byte UTF-8, empties, Nones and sampled-out docs."""
+    from tl_spark.operators.dedup import _batch_minhash
+
+    got = _batch_minhash(texts, 5, 32, sample_mod)
+    for d, t in enumerate(texts):
+        want = _minhash_reference_one_doc(t, 5, 32, sample_mod)
+        have = None if got[d] is None else [int(x) for x in got[d]]
+        assert have == want, f"doc {d} ({t!r}): batch != reference"
