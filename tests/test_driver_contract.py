@@ -108,6 +108,68 @@ def test_entry_contract(spark):
     assert set(E.oracle_sql()) <= set(E.queries())
 
 
+# Queries that hold (or have held) a driver-window slot but now sit
+# beyond position 50 — each must name the suite test that still gates
+# it, so rotation can never silently drop coverage (it did in r2).
+SUITE_GATED_BEYOND_WINDOW = {
+    "media_image_features": "tests/test_multimodal.py",
+    "media_frame_sample": "tests/test_multimodal.py",
+}
+
+
+def test_window_rotation_has_suite_gates():
+    """Every registry entry beyond the driver's 50-query window must be
+    explicitly listed with its suite-level gate, and every query that
+    had a driver row last round either still sits in the window or is
+    suite-gated — the cap can shrink coverage only loudly."""
+    import json
+    from pathlib import Path
+
+    names = list(Q.queries())
+    window, beyond = set(names[:50]), names[50:]
+    unaccounted = [n for n in beyond if n not in SUITE_GATED_BEYOND_WINDOW]
+    assert not unaccounted, (
+        f"registry entries beyond the 50-query driver window with no "
+        f"declared suite gate: {unaccounted}"
+    )
+    rounds = sorted(Path("/root/repo").glob("CORRECTNESS_r*.json"))
+    if rounds:
+        last = json.loads(rounds[-1].read_text())
+        rotated_out = set(last) - window
+        ungated = [n for n in rotated_out if n not in SUITE_GATED_BEYOND_WINDOW]
+        assert not ungated, (
+            f"queries with a driver row in {rounds[-1].name} now outside "
+            f"the window and not suite-gated: {ungated}"
+        )
+
+
+def test_registry_consumers_can_release_all_caches(spark):
+    """ADVICE r3 (medium): query wrappers returned .select/.orderBy
+    derivatives of operator outputs, dropping the plain-attribute cache
+    handles — unpersist_handles became a no-op and sketch caches
+    accumulated across driver/bench sessions. Pin the fix registry-wide:
+    consume each entry at sf0.001, release its handles, and assert the
+    session's persisted-RDD set returns to its pre-query state.
+    (Delta-based: earlier suite tests may legitimately hold caches.)
+    """
+    from tl_spark.cache import unpersist_handles
+
+    sc = spark.sparkContext
+    leaks = {}
+    for name, fn in Q.queries().items():
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        df = fn(spark, "/root/testdata/sf0.001")
+        df.count()
+        unpersist_handles(df)
+        after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        if after - before:
+            leaks[name] = sorted(after - before)
+            # release so one leak doesn't cascade into later entries
+            for rid in after - before:
+                sc._jsc.getPersistentRDDs().get(rid).unpersist()
+    assert not leaks, f"cache handles leaked past unpersist_handles: {leaks}"
+
+
 RETIRED_FROM_WINDOW = ["selector_attr_suffix", "selector_attr_contains"]
 
 

@@ -105,10 +105,10 @@ def _minhash_reference_one_doc(text, k=5, n_hashes=32, sample_mod=None):
             if hash_window(win, 0x100000001B3) % sample_mod != 0:
                 continue
         any_sampled = True
-        h1 = hash_window(win, 1000003)
-        h2 = hash_window(win, 0x9E3779B97F4A7C15 | 1)
         for i in range(n_hashes):
-            r = i % 64
+            blk, r = divmod(i, 64)
+            h1 = hash_window(win, 1000003 + 4 * blk)
+            h2 = hash_window(win, (0x9E3779B97F4A7C15 | 1) + 4 * blk)
             rot = h2 if r == 0 else ((h2 << r) | (h2 >> (64 - r))) % (1 << 64)
             m = h1 ^ rot
             if mins[i] is None or m < mins[i]:
@@ -145,3 +145,92 @@ def test_batch_minhash_equals_per_doc_reference(texts, sample_mod):
         want = _minhash_reference_one_doc(t, 5, 32, sample_mod)
         have = None if got[d] is None else [int(x) for x in got[d]]
         assert have == want, f"doc {d} ({t!r}): batch != reference"
+
+
+def test_minhash_components_independent_past_64():
+    """ADVICE r3: rot64(h2, i % 64) alone makes component i == i+64,
+    silently duplicating signature slots for n_hashes > 64. Each
+    64-block now draws fresh base hashes: components must differ
+    across blocks, block 0 must stay byte-identical to the n<=64
+    family, and the batch kernel must still match the per-doc
+    reference at n_hashes=96."""
+    from tl_spark.operators.dedup import _batch_minhash
+
+    texts = ["the quick brown fox jumps over the lazy dog", "abcdefgh"]
+    sigs96 = _batch_minhash(texts, 5, 96, None)
+    sigs32 = _batch_minhash(texts, 5, 32, None)
+    for d, t in enumerate(texts):
+        s = [int(x) for x in sigs96[d]]
+        assert s[:32] == [int(x) for x in sigs32[d]]  # block-0 stability
+        assert s[:32] != s[64:96], f"doc {d}: block 1 duplicates block 0"
+        assert s == _minhash_reference_one_doc(t, 5, 96, None)
+
+
+# -------------------------------------------- round-4: simhash kernel
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.binary(max_size=90),
+)
+def test_md5_low64_batch_equals_hashlib(token):
+    """The vectorized single-block MD5 (RFC 1321 compression in numpy)
+    must be bit-exact vs hashlib for every length — including the
+    55/56-byte single/multi-block boundary and the empty string."""
+    import hashlib
+
+    from tl_spark.operators.dedup import _md5_low64_batch
+
+    got = _md5_low64_batch([token, b"", b"x" * 55, b"y" * 56])
+    for t, g in zip([token, b"", b"x" * 55, b"y" * 56], got):
+        assert int(g) == int.from_bytes(
+            hashlib.md5(t).digest()[:8], "little"
+        ), t
+
+
+def _simhash_reference_one_doc(text):
+    """Independent per-doc SimHash reference: plain Python loops, one
+    doc in isolation — no factorize/reduceat machinery to share bugs
+    with the batch kernel."""
+    import hashlib
+
+    if not text:
+        return 0
+    toks = text.split()
+    if not toks:
+        return 0
+    votes = [0] * 64
+    for tok in toks:
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sig = sum(1 << b for b in range(64) if votes[b] > 0)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FF),
+                max_size=60,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_simhash_batch_equals_per_doc_reference(texts):
+    """The round-4 vectorized SimHash (factorized token stream +
+    batch MD5 + reduceat votes) must equal the naive per-doc reference
+    for EVERY document in ANY batch composition — empties, Nones,
+    whitespace-only and multi-byte UTF-8 included."""
+    import pandas as pd
+
+    from tl_spark.operators.dedup import _simhash64_impl
+
+    got = _simhash64_impl(pd.Series(texts, dtype=object))
+    for d, t in enumerate(texts):
+        assert int(got[d]) == _simhash_reference_one_doc(t), f"doc {d}: {t!r}"

@@ -172,6 +172,49 @@ def test_wav_payloads_decode_for_real(spark):
         ), f"clip {i}"
 
 
+def test_ppm_header_comments_are_spec_valid():
+    """ADVICE r3: '#' comment lines between PPM header tokens are
+    spec-valid; the parser must skip them (including comments that
+    contain digits) and still locate the raster after exactly one
+    whitespace byte past maxval."""
+    import numpy as np
+
+    from tl_spark.operators.multimodal import _parse_ppm
+
+    raster = bytes(range(2 * 2 * 3))
+    plain = b"P6\n2 2\n255\n" + raster
+    commented = b"P6\n# made by tool 99\n2 # width\n2\n# 777\n255\n" + raster
+    a, b = _parse_ppm(plain), _parse_ppm(commented)
+    assert a.shape == b.shape == (2, 2, 3)
+    assert np.array_equal(a, b)
+
+
+def test_wav_peak_full_scale_negative_clip(spark):
+    """ADVICE r3: np.abs on int16 wraps -32768 to -32768; peak must be
+    computed on a widened dtype so a full-scale-negative clip reports
+    32768."""
+    import struct
+
+    import numpy as np
+
+    from tl_spark.operators.multimodal import audio_features
+
+    wave = np.full(16, -32768, dtype="<i2")
+    data = wave.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+    df = spark.createDataFrame(
+        [(0, payload)], "media_id long, payload binary"
+    )
+    row = audio_features(df, decode_stub="error").collect()[0]
+    assert row["peak"] == 32768
+
+
 def test_wav_parser_rejects_malformed():
     """Truncated chunks, non-PCM formats and stray bytes raise
     ValueError; non-RIFF payloads under decode_stub='error' raise

@@ -629,6 +629,24 @@ def test_minhash_arrow_and_jvm_impls_agree_on_behavior(spark, documents):
         assert again == sigs, f"{impl}: not deterministic across partitioning"
 
 
+def test_minhash_components_past_64_not_duplicated_either_impl(spark):
+    """ADVICE r3: xor-rotate mixing repeats with period 64, so
+    n_hashes > 64 silently duplicated signature slots (component
+    i == i+64) in BOTH impls. Each 64-block now draws fresh base
+    hashes; block 0 stays byte-identical so n<=64 oracles hold."""
+    from tl_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    for impl in ("arrow", "jvm"):
+        s96 = minhash_signatures(df, n_hashes=96, impl=impl).collect()[0]["sig"]
+        s32 = minhash_signatures(df, n_hashes=32, impl=impl).collect()[0]["sig"]
+        assert s96[:32] == s32, f"{impl}: block-0 family changed"
+        assert s96[:32] != s96[64:96], f"{impl}: block 1 duplicates block 0"
+
+
 def test_minhash_arrow_boundary_windows_never_leak(spark):
     """Byte windows straddling document boundaries in the concatenated
     batch must not contribute: a doc whose text is a PREFIX of the

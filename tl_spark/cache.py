@@ -38,6 +38,20 @@ def carried_handles(df: DataFrame) -> tuple[DataFrame, ...]:
     return tuple(getattr(df, "_tl_persisted", ()))
 
 
+def keep_handles(out: DataFrame, *sources: DataFrame) -> DataFrame:
+    """Re-attach the handles carried by ``sources`` onto ``out``.
+
+    Handles live in a plain Python attribute, so ANY DataFrame
+    transformation (``.select``/``.filter``/``.orderBy``) silently
+    drops them — a wrapper that post-processes an operator's output
+    MUST call this on its final DataFrame or the caches leak past
+    ``unpersist_handles``.
+    """
+    for src in sources:
+        attach_handles(out, *carried_handles(src))
+    return out
+
+
 def unpersist_handles(df: DataFrame) -> None:
     """Release every cache the DataFrame's plan persisted.
 

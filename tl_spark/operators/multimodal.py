@@ -80,16 +80,37 @@ def _parse_ppm(payload: bytes) -> np.ndarray:
     """REAL decoder for binary PPM (P6, maxval 255): pure numpy, no
     codec library. Returns an (h, w, 3) uint8 array. Raises ValueError
     on malformed input (truncated raster, unsupported maxval)."""
-    import re
-
-    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
-    if not m:
+    # PPM headers may carry '#' comment lines between tokens (spec-
+    # valid). Parse tokenwise — whitespace separates tokens, '#' skips
+    # to end-of-line — instead of a rigid regex that rejected
+    # commented headers (and a naive digit-regex would read digits
+    # INSIDE comments as header fields).
+    if payload[:2] != b"P6":
         raise ValueError("not a P6 ppm header")
-    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    i, n, vals = 2, len(payload), []
+    while len(vals) < 3 and i < n:
+        c = payload[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == ord("#"):
+            j = payload.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif ord("0") <= c <= ord("9"):
+            j = i
+            while j < n and ord("0") <= payload[j] <= ord("9"):
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            raise ValueError("not a P6 ppm header")
+    if len(vals) < 3 or i >= n or payload[i] not in b" \t\r\n":
+        raise ValueError("not a P6 ppm header")
+    i += 1  # exactly ONE whitespace byte separates maxval from raster
+    w, h, maxval = vals
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval} (only 255)")
     need = w * h * 3
-    raster = payload[m.end() : m.end() + need]
+    raster = payload[i : i + need]
     if len(raster) != need:
         raise ValueError(f"truncated raster: {len(raster)} of {need} bytes")
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
@@ -312,7 +333,8 @@ def audio_features(
             int(round(n * 1000 / rate)),
             round(rms, 6),
             round(zc, 6),
-            int(np.abs(samples).max()),
+            # widen before abs: np.abs(int16 -32768) wraps to -32768
+            int(np.abs(samples.astype(np.int32)).max()),
         )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

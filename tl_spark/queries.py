@@ -45,6 +45,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tl_spark.cache import keep_handles
+
 from tl_spark.functions.text import (
     STOPWORDS,
     fingerprint,
@@ -1033,9 +1035,11 @@ def embedding_neardup(spark, sf_dir):
     twins = e.select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
-    return embedding_neardup_pairs(
-        e.unionByName(twins), threshold=0.95
-    ).orderBy("id_a", "id_b")
+    out = embedding_neardup_pairs(e.unionByName(twins), threshold=0.95)
+    # .orderBy returns a new DataFrame and drops the plain-attribute
+    # cache handle — re-attach so consumers can release the vector
+    # cache (tl_spark.cache.keep_handles).
+    return keep_handles(out.orderBy("id_a", "id_b"), out)
 
 
 NEARDUP_SQL = """
@@ -1060,11 +1064,12 @@ def dedup_minhash(spark, sf_dir):
     cands = minhash_lsh_candidates(
         d.unionByName(twins), n_hashes=32, bands=8
     )
-    return cands.filter(
+    out = cands.filter(
         (F.col("id_b") - F.col("id_a") == 1000000)
         & (F.col("id_a") < 1000000)
         & (F.col("est_jaccard") == 1.0)
     ).orderBy("id_a")
+    return keep_handles(out, cands)  # carry the sig-table cache handle
 
 
 DEDUP_MINHASH_SQL = """
@@ -1157,9 +1162,10 @@ def dedup_simhash_neardup(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     out = simhash_neardup_pairs(d, max_hamming=3, bands=4, max_bucket_size=512)
-    return out.select(
+    final = out.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     ).orderBy("id_a", "id_b")
+    return keep_handles(final, out)  # carry the sig-table cache handle
 
 
 def _simhash_neardup_sql() -> str:
@@ -1191,7 +1197,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     cands = minhash_lsh_candidates(d, n_hashes=32, bands=8)
-    return ngram_jaccard_pairs(d, cands, threshold=0.5).orderBy("id_a", "id_b")
+    verified = ngram_jaccard_pairs(d, cands, threshold=0.5)
+    return keep_handles(verified.orderBy("id_a", "id_b"), verified)
 
 
 # Brute-force exact Jaccard via an exploded-shingle self-join (the
@@ -1603,13 +1610,14 @@ def curate_documents(spark, sf_dir):
         F.lit(None).cast("timestamp").alias("ts"),
     )
     curated, _dropped = curate(transcripts, quality_min=0.0, min_tokens=1)
-    return curated.select(
+    out = curated.select(
         "turn_idx",
         "extracted_text",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "quality",
         "lang_guess",
     ).orderBy("turn_idx")
+    return keep_handles(out, curated)  # carry curate's cache handles
 
 
 def _curate_sql() -> str:
