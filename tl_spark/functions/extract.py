@@ -152,6 +152,15 @@ def _extract_bytes_flat_dom(buf: bytes, strip_tags):
     return (b"".join(parts), starts, ends, len(nodes), dom.version)
 
 
+def _native_extract_batch(col, strip_tags):
+    """Native-kernel batch extraction (optional cdylib); None when the
+    library isn't available. Indirection point so tests can force the
+    pure-Python path."""
+    from tl_spark.kernel.native import extract_batch_arrays
+
+    return extract_batch_arrays(col, strip_tags)
+
+
 def _make_arrow_fn(text_col: str, passthrough: list[str], strip_tags):
     def fast_batch(batch: pa.RecordBatch):
         """Zero-decode path: slice document bytes straight out of the
@@ -164,6 +173,24 @@ def _make_arrow_fn(text_col: str, passthrough: list[str], strip_tags):
         col = batch.column(text_col)
         if col.null_count != 0 or not pa.types.is_string(col.type):
             return None
+        # native kernel first: same byte machine compiled (equivalence
+        # pinned by tests/test_native_kernel.py); Arrow buffers go in
+        # and come out zero-copy. Falls through to the Python scanner
+        # whenever the cdylib is absent (e.g. --py-files zip deploys).
+        try:
+            native = _native_extract_batch(col, strip_tags)
+        except Exception:
+            native = None
+        if native is not None:
+            text_arr, spans_arr, n_nodes_arr, version_arr = native
+            arrays = [batch.column(c) for c in passthrough]
+            arrays.append(text_arr)
+            arrays.append(spans_arr)
+            arrays.append(n_nodes_arr)
+            arrays.append(version_arr)
+            arrays.append(pa.nulls(len(col), type=pa.string()))  # error col
+            names = passthrough + [f.name for f in EXTRACT_FIELDS]
+            return pa.RecordBatch.from_arrays(arrays, names=names)
         n = len(col)
         bufs = col.buffers()
         offs = memoryview(bufs[1]).cast("i")
