@@ -122,6 +122,60 @@ def test_ppm_payloads_decode_for_real(spark):
         assert got[i][2] == float(gray.std())
 
 
+def test_bmp_payloads_decode_for_real(spark):
+    """Uncompressed 24-bpp BMP payloads (both bottom-up and top-down
+    rasters, 4-byte row padding) take the REAL decode path even with
+    decode_stub='error': features equal ground truth recomputed from
+    the identically-seeded rasters. Width 15 forces nonzero padding."""
+    import numpy as np
+
+    from tl_spark.operators.multimodal import image_features, synth_bmp_media
+
+    W, H, SEED = 15, 12, 42
+    media = synth_bmp_media(spark, n_rows=20, width=W, height=H, seed=SEED)
+    got = {
+        r["media_id"]: (list(r["hist16"]), r["mean_px"], r["std_px"])
+        for r in image_features(media, decode_stub="error").collect()
+    }
+    assert len(got) == 20
+    for i in range(20):
+        rng = np.random.default_rng(SEED * 1000003 + i)
+        raster = rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8)
+        gray = (raster.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+        hist = [int(x) for x in np.bincount(gray.ravel() >> 4, minlength=16)]
+        assert got[i][0] == hist, f"media {i}: histogram mismatch"
+        assert got[i][1] == float(gray.mean())
+        assert got[i][2] == float(gray.std())
+
+
+def test_bmp_roundtrip_and_rejects_malformed():
+    """bmp_bytes -> _parse_bmp round-trips pixels exactly in both row
+    orders; compressed/other-bpp BMPs raise ValueError (they stay on
+    the stub policy), truncated rasters raise too."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tl_spark.operators.multimodal import _parse_bmp, bmp_bytes
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    for td in (False, True):
+        assert np.array_equal(_parse_bmp(bmp_bytes(rgb, top_down=td)), rgb)
+    good = bytearray(bmp_bytes(rgb))
+    bad_bpp = bytearray(good)
+    bad_bpp[28] = 32  # bpp field
+    with _pytest.raises(ValueError, match="bpp=32"):
+        _parse_bmp(bytes(bad_bpp))
+    bad_comp = bytearray(good)
+    bad_comp[30] = 1  # BI_RLE8
+    with _pytest.raises(ValueError, match="compression=1"):
+        _parse_bmp(bytes(bad_comp))
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_bmp(bytes(good[:-4]))
+    with _pytest.raises(ValueError, match="not a BMP"):
+        _parse_bmp(b"XX" + bytes(good[2:]))
+
+
 def test_ppm_parser_rejects_malformed(spark):
     """Truncated rasters and unsupported maxval raise ValueError; a
     non-PPM payload under decode_stub='error' still raises

@@ -806,3 +806,56 @@ def test_ivf_recall_vs_bruteforce_uniform(spark, embeddings):
     assert recalls[0] >= 0.8
     assert recalls == sorted(recalls)
     assert recalls[-1] == 1.0  # full probe == exact scan
+
+
+def test_ivf_index_persists_with_real_partition_pruning(spark, embeddings, tmp_path):
+    """VERDICT r3 item 4: the docstring's scale claim ("file-pruned
+    when partitioned by _list") must be exercised, not asserted.
+    write_ivf_index lays the index out as _list=<c>/ partition dirs;
+    a probed read must (a) round-trip centroids and results exactly,
+    (b) show the probe as a PartitionFilter on the scan (directory
+    pruning — zero data filters), (c) actually read only the probed
+    lists' files."""
+    from tl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    import numpy as np
+
+    path = str(tmp_path / "ivf")
+    corpus = embeddings.select("vec_id", "embedding")
+    index, cent = build_ivf_index(corpus, n_lists=8, seed=11)
+    write_ivf_index(index, cent, path)
+    index2, cent2 = read_ivf_index(spark, path)
+    assert np.allclose(cent, cent2)
+
+    query = [((i * 29 + 5) % 83) / 83.0 - 0.5 for i in range(64)]
+    probed = ivf_topk(index2, cent2, query, k=10, nprobe=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [_list" in scan and " IN (" in scan, scan
+    assert "DataFilters: []" in scan, scan
+
+    # the probed result equals the same probe over the live index
+    want = [
+        (r["id"], r["cosine"])
+        for r in ivf_topk(index, cent, query, k=10, nprobe=2).collect()
+    ]
+    assert [(r["id"], r["cosine"]) for r in probed.collect()] == want
+
+    # EXECUTED scan metrics: only the 2 probed partition dirs were read
+    # (inputFiles() reports the relation pre-pruning, so it can't pin
+    # this; the runtime metric can)
+    leaves = probed._jdf.queryExecution().executedPlan().collectLeaves()
+    scans = [
+        leaves.apply(i)
+        for i in range(leaves.size())
+        if "Scan" in leaves.apply(i).nodeName()
+    ]
+    assert len(scans) == 1
+    assert scans[0].metrics().apply("numPartitions").value() == 2
+    total_lists = index.select("_list").distinct().count()
+    assert total_lists > 2  # pruning actually skipped partitions

@@ -116,21 +116,63 @@ def _parse_ppm(payload: bytes) -> np.ndarray:
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
 
 
+def _parse_bmp(payload: bytes) -> np.ndarray:
+    """REAL decoder for uncompressed 24-bpp Windows BMP
+    (BITMAPINFOHEADER, BI_RGB): pure struct/numpy, no codec library.
+    Handles bottom-up (positive height) and top-down (negative height)
+    rasters and 4-byte row padding. Returns (h, w, 3) uint8 RGB.
+    Raises ValueError on malformed/unsupported input."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP: bpp={bpp} compression={compression} "
+            "(only uncompressed 24-bpp BI_RGB)"
+        )
+    if w <= 0 or h_raw == 0 or planes != 1:
+        raise ValueError("malformed BMP dimensions")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    need = stride * h
+    raster = payload[data_off : data_off + need]
+    if len(raster) != need:
+        raise ValueError(f"truncated raster: {len(raster)} of {need} bytes")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]  # bottom-up storage
+    return bgr[:, :, ::-1].copy()  # BGR -> RGB
+
+
 def _decode_image(payload: bytes, width: int, height: int, stub: str) -> np.ndarray:
     # codec-free formats decode FOR REAL regardless of the stub mode:
-    # P6/PPM is header + raw RGB, parseable with numpy alone. The
-    # metadata (width, height) args are ignored for PPM — the header
+    # P6/PPM is header + raw RGB, uncompressed 24-bpp BMP is header +
+    # padded BGR rows — both parseable with struct/numpy alone. The
+    # metadata (width, height) args are ignored for them — the header
     # is authoritative. Grayscale = integer channel mean (uint8).
     if payload and payload[:2] == b"P6":
         rgb = _parse_ppm(payload)
+        return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+    if payload and payload[:2] == b"BM":
+        rgb = _parse_bmp(payload)
         return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
     if stub == "fake":
         return _fake_decode(payload, width * height).reshape(height, width)
     raise NotImplementedError(
         "compressed-image decoding requires a codec library; none is "
-        "available in this container — uncompressed P6/PPM payloads "
-        "decode for real, pass decode_stub='fake' for the deterministic "
-        "test decoder, or plug a real codec in here"
+        "available in this container — uncompressed P6/PPM and 24-bpp "
+        "BMP payloads decode for real, pass decode_stub='fake' for the "
+        "deterministic test decoder, or plug a real codec in here"
     )
 
 
@@ -262,6 +304,63 @@ def synth_ppm_media(
                     0, 256, size=(height, width, 3), dtype=np.uint8
                 )
                 payloads.append(header + raster.tobytes())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(payloads, type=pa.binary()),
+                ],
+                names=["media_id", "payload"],
+            )
+
+    df = spark.range(n_rows).mapInArrow(fn, "media_id long, payload binary")
+    return attach_media_meta(df)
+
+
+def bmp_bytes(rgb: np.ndarray, top_down: bool = False) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as an uncompressed 24-bpp
+    BMP (BITMAPINFOHEADER, BI_RGB) — the writer counterpart of
+    :func:`_parse_bmp`, used by :func:`synth_bmp_media` and tests."""
+    import struct
+
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    bgr = rgb[:, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    if not top_down:
+        rows = rows[::-1]
+    raster = rows.tobytes()
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, (-h if top_down else h), 1, 24, 0,
+        len(raster), 2835, 2835, 0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    return header + dib + raster
+
+
+def synth_bmp_media(
+    spark,
+    n_rows: int = 50,
+    width: int = 16,
+    height: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic REAL-image table with uncompressed 24-bpp BMP
+    payloads (alternating bottom-up/top-down rows to exercise both
+    raster orders); same ground-truth-equality contract as
+    :func:`synth_ppm_media`."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads = []
+            for i in ids:
+                rng = np.random.default_rng(seed * 1000003 + int(i))
+                raster = rng.integers(
+                    0, 256, size=(height, width, 3), dtype=np.uint8
+                )
+                payloads.append(bmp_bytes(raster, top_down=bool(int(i) % 2)))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids, type=pa.int64()),

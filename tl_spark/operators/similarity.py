@@ -415,6 +415,41 @@ def build_ivf_index(
     return index_df, cent
 
 
+def write_ivf_index(index_df: DataFrame, centroids, path: str) -> None:
+    """Persist an IVF index partitioned BY ``_list`` so probes are
+    file-pruned: ``<path>/lists/_list=<c>/*.parquet`` holds each list's
+    vectors, ``<path>/centroids`` the (list, centroid) table. This
+    makes :func:`ivf_topk`'s scale claim real — a probed read scans
+    only the ``nprobe`` matching partition directories (PartitionFilters
+    in the scan, pinned by tests/test_query_ops.py) instead of the
+    whole corpus.
+    """
+    spark = index_df.sparkSession
+    index_df.write.mode("overwrite").partitionBy("_list").parquet(
+        path + "/lists"
+    )
+    cent_rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    spark.createDataFrame(
+        cent_rows, "list int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def read_ivf_index(spark, path: str):
+    """(index_df, centroids) back from :func:`write_ivf_index`.
+
+    ``index_df`` reads the partitioned layout lazily — downstream
+    ``_list`` filters (ivf_topk probes) prune to the matching partition
+    directories; only the tiny centroid table is collected eagerly.
+    """
+    index_df = spark.read.parquet(path + "/lists")
+    rows = spark.read.parquet(path + "/centroids").collect()
+    rows.sort(key=lambda r: r["list"])
+    cent = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    return index_df, cent
+
+
 def ivf_topk(
     index_df: DataFrame,
     centroids,
