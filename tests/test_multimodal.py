@@ -176,6 +176,100 @@ def test_bmp_roundtrip_and_rejects_malformed():
         _parse_bmp(b"XX" + bytes(good[2:]))
 
 
+def test_gif_payloads_decode_for_real(spark):
+    """GIF89a payloads — the first COMPRESSED format off the stub
+    policy — take the REAL decode path (LZW + interlace + palette in
+    pure Python/numpy) even with decode_stub='error': features equal
+    ground truth recomputed from the identically-seeded rasters across
+    all four producer shapes (interlaced x compressed)."""
+    import numpy as np
+
+    from tl_spark.operators.multimodal import image_features, synth_gif_media
+
+    W, H, NC, SEED = 16, 12, 64, 42
+    media = synth_gif_media(
+        spark, n_rows=20, width=W, height=H, n_colors=NC, seed=SEED
+    )
+    got = {
+        r["media_id"]: (list(r["hist16"]), r["mean_px"], r["std_px"])
+        for r in image_features(media, decode_stub="error").collect()
+    }
+    assert len(got) == 20
+    for i in range(20):
+        rng = np.random.default_rng(SEED * 1000003 + i)
+        palette = rng.integers(0, 256, size=(NC, 3), dtype=np.uint8)
+        idx = rng.integers(0, NC, size=(H, W), dtype=np.uint8)
+        rgb = palette[idx]
+        gray = (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+        hist = [int(x) for x in np.bincount(gray.ravel() >> 4, minlength=16)]
+        assert got[i][0] == hist, f"media {i}: histogram mismatch"
+        assert got[i][1] == float(gray.mean())
+        assert got[i][2] == float(gray.std())
+
+
+def test_gif_roundtrip_all_shapes():
+    """gif_bytes -> _parse_gif round-trips pixels exactly across
+    raster sizes, palette sizes (width-growth from small min-code-
+    sizes), interlacing, real-LZW vs uncompressed-LZW producers, the
+    4096-entry dictionary cap (deferred-clear stream), and the KwKwK
+    self-referential code case (long runs)."""
+    import numpy as np
+
+    from tl_spark.operators.multimodal import _parse_gif, gif_bytes
+
+    rng = np.random.default_rng(7)
+    for trial in range(10):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        nc = int(rng.integers(2, 257))
+        palette = rng.integers(0, 256, size=(nc, 3), dtype=np.uint8)
+        idx = rng.integers(0, nc, size=(h, w), dtype=np.uint8)
+        for inter in (False, True):
+            for comp in (False, True):
+                payload = gif_bytes(idx, palette, interlaced=inter, compress=comp)
+                assert np.array_equal(_parse_gif(payload), palette[idx]), (
+                    trial, inter, comp,
+                )
+    # dictionary cap: 8192 random pixels push next_code past 4096
+    palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(64, 128), dtype=np.uint8)
+    for comp in (False, True):
+        payload = gif_bytes(idx, palette, compress=comp)
+        assert np.array_equal(_parse_gif(payload), palette[idx]), f"cap {comp}"
+    # KwKwK: repetitive rows build deep chains immediately
+    idx = np.zeros((32, 32), dtype=np.uint8)
+    idx[::2] = 1
+    assert np.array_equal(_parse_gif(gif_bytes(idx, palette[:4])), palette[:4][idx])
+
+
+def test_gif_parser_rejects_malformed():
+    import numpy as np
+    import pytest as _pytest
+
+    from tl_spark.operators.multimodal import _parse_gif, gif_bytes
+
+    rng = np.random.default_rng(5)
+    palette = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(6, 6), dtype=np.uint8)
+    good = gif_bytes(idx, palette)
+    with _pytest.raises(ValueError, match="not a GIF"):
+        _parse_gif(b"GIF90a" + good[6:])
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_gif(good[:20])
+    with _pytest.raises(ValueError, match="no image"):
+        _parse_gif(good[:13] + bytes(palette_size_bytes(good)) + b"\x3b")
+    # palette index beyond the declared color table: palette of 2
+    # entries (k=1) but min-code-size 2 makes literal 3 a VALID LZW
+    # code — the decoder must reject it at palette-lookup time
+    bad_idx = np.full((4, 4), 3, dtype=np.uint8)
+    with _pytest.raises(ValueError, match="palette index"):
+        _parse_gif(gif_bytes(bad_idx, palette[:2]))
+
+
+def palette_size_bytes(payload):
+    packed = payload[10]
+    return payload[13 : 13 + 3 * (2 << (packed & 7))]
+
+
 def test_ppm_parser_rejects_malformed(spark):
     """Truncated rasters and unsupported maxval raise ValueError; a
     non-PPM payload under decode_stub='error' still raises

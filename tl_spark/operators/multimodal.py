@@ -5,12 +5,16 @@ columns with a typed metadata struct. All Spark-side plumbing — schema,
 partition-preserving mapInArrow, batch shapes, deterministic
 feature/frame outputs — is REAL and tested. Decoding has three tiers:
 
-- codec-free formats decode FOR REAL: binary PPM (P6) is parsed with
-  numpy alone (``_parse_ppm``; ground-truth-equality tested via
-  ``synth_ppm_media``) — this is the genuine decode path, not a stub;
-- ``decode_stub="error"``  -> NotImplementedError for COMPRESSED
-  formats (the honest default: no codec libraries exist in this
-  container; plug a real codec into ``_decode_image``/_audio);
+- real decoders, no codec library: binary PPM (P6), uncompressed
+  24-bpp BMP, RIFF/WAV PCM16, and — since round 4 — GIF87a/89a with
+  full LZW decompression and interlacing (``_parse_ppm`` /
+  ``_parse_bmp`` / ``_parse_wav`` / ``_parse_gif``; each
+  ground-truth-equality tested via its ``synth_*_media`` generator) —
+  these are genuine decode paths, not stubs;
+- ``decode_stub="error"``  -> NotImplementedError for the REMAINING
+  compressed formats (JPEG/PNG/MP3/...: the honest default — those
+  need codec libraries this container lacks; plug one into
+  ``_decode_image``/_audio);
 - ``decode_stub="fake"``   -> a deterministic fake decoder: payload
   bytes are hashed into a pseudo pixel/sample buffer, so downstream
   shapes, dtypes, batching, and reductions are exercised end-to-end
@@ -154,6 +158,301 @@ def _parse_bmp(payload: bytes) -> np.ndarray:
     return bgr[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-flavor LZW decode (variable-width codes, LSB-first bit
+    packing, CLEAR/EOI codes, 12-bit cap) — pure Python/numpy from the
+    public GIF89a specification. Returns uint8 palette indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    pos = 0
+    # bit reader state
+    bitbuf = 0
+    nbits = 0
+    di = 0
+    n = len(data)
+
+    def reset_dict():
+        return (
+            [bytes([i]) for i in range(clear)] + [b"", b""],
+            min_code_size + 1,
+        )
+
+    table, width = reset_dict()
+    prev: bytes | None = None
+    while pos < n_pixels:
+        while nbits < width:
+            if di >= n:
+                raise ValueError("truncated LZW stream")
+            bitbuf |= data[di] << nbits
+            nbits += 8
+            di += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table, width = reset_dict()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW code {code}")
+        take = min(len(entry), n_pixels - pos)
+        out[pos : pos + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        pos += take
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if pos < n_pixels:
+        raise ValueError(f"LZW underrun: {pos} of {n_pixels} pixels")
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _parse_gif(payload: bytes) -> np.ndarray:
+    """REAL decoder for GIF87a/89a (first frame): logical screen +
+    color tables + extension skipping + LZW decompression + interlace
+    reordering, pure Python/numpy from the public specification — the
+    first COMPRESSED format to graduate from the stub policy. Returns
+    (h, w, 3) uint8 RGB composed onto a zeroed logical screen. Raises
+    ValueError on malformed input."""
+    import struct
+
+    if len(payload) < 13 or payload[:4] != b"GIF8" or payload[4:6] not in (
+        b"7a",
+        b"9a",
+    ):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 3 * (2 << (packed & 7))
+        gct = np.frombuffer(payload[pos : pos + size], dtype=np.uint8)
+        if len(gct) != size:
+            raise ValueError("truncated global color table")
+        gct = gct.reshape(-1, 3)
+        pos += size
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated extension")
+                ln = payload[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                pos += ln
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            size = 3 * (2 << (ipacked & 7))
+            ct = np.frombuffer(payload[pos : pos + size], dtype=np.uint8)
+            if len(ct) != size:
+                raise ValueError("truncated local color table")
+            ct = ct.reshape(-1, 3)
+            pos += size
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        if w == 0 or h == 0 or left + w > sw or top + h > sh:
+            raise ValueError("malformed GIF frame geometry")
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"bad LZW min code size {min_code_size}")
+        chunks = []
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated image data")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            chunks.append(payload[pos : pos + ln])
+            pos += ln
+        idx = _lzw_decode(b"".join(chunks), min_code_size, w * h)
+        if int(idx.max(initial=0)) >= len(ct):
+            raise ValueError("palette index out of range")
+        rows = idx.reshape(h, w)
+        if ipacked & 0x40:  # interlaced: reorder the 4 passes
+            ordered = np.empty_like(rows)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                n_rows = len(range(start, h, step))
+                ordered[start:h:step] = rows[src : src + n_rows]
+                src += n_rows
+            rows = ordered
+        frame = ct[rows]  # (h, w, 3)
+        screen = np.zeros((sh, sw, 3), dtype=np.uint8)
+        screen[top : top + h, left : left + w] = frame
+        return screen
+    raise ValueError("truncated GIF: no trailer")
+
+
+def _lzw_encode(indices: bytes, mcs: int, compress: bool = True) -> bytes:
+    """GIF-flavor LZW encoder (test/writer counterpart of
+    :func:`_lzw_decode`). Width bookkeeping tracks the DECODER's table
+    size (which runs one code behind the encoder's dictionary — the
+    decoder learns entry n while processing code n+1), so every code
+    is written at exactly the width the decoder reads it with.
+    ``compress=False`` emits literal codes only (the classic
+    "uncompressed GIF" mode) through the same bookkeeping."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    width = mcs + 1
+
+    def emit(code: int):
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1  # encoder's next dictionary slot
+    dec_size = eoi + 1   # decoder's table length (lags by one code)
+    n_data_codes = 0
+
+    emit(clear)
+
+    def post_emit_data_code():
+        # decoder state after it processes the code just emitted: it
+        # appends an entry for every data code EXCEPT the first after
+        # a clear, then grows its read width when the table fills
+        nonlocal dec_size, width, n_data_codes
+        n_data_codes += 1
+        if n_data_codes >= 2 and dec_size < 4096:
+            dec_size += 1
+            if dec_size == (1 << width) and width < 12:
+                width += 1
+
+    w = b""
+    for i in range(len(indices)):
+        k = indices[i : i + 1]
+        if not w:
+            w = k  # first byte after the clear
+            continue
+        wk = w + k
+        if compress and wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        post_emit_data_code()
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        w = k
+    if w:
+        emit(table[w])
+        post_emit_data_code()
+    emit(eoi)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def gif_bytes(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    interlaced: bool = False,
+    compress: bool = True,
+) -> bytes:
+    """Serialize an (h, w) uint8 index raster + (n, 3) palette as a
+    GIF89a (writer counterpart of :func:`_parse_gif`; used by
+    :func:`synth_gif_media` and tests)."""
+    import struct
+
+    h, w = indices.shape
+    n_colors = len(palette)
+    k = max(1, (n_colors - 1).bit_length())  # table size = 2^k
+    pal = np.zeros((1 << k, 3), dtype=np.uint8)
+    pal[:n_colors] = palette
+    mcs = max(2, k)
+    rows = indices
+    if interlaced:
+        rows = np.concatenate(
+            [indices[start::step] for start, step in _GIF_INTERLACE_PASSES]
+        )
+    data = _lzw_encode(rows.astype(np.uint8).tobytes(), mcs, compress)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((k - 1) << 4) | (k - 1), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlaced else 0)
+    out.append(mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def synth_gif_media(
+    spark,
+    n_rows: int = 50,
+    width: int = 16,
+    height: int = 12,
+    n_colors: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic REAL-image table with GIF89a payloads (alternating
+    interlaced/progressive and compressed/uncompressed LZW to exercise
+    all four producer shapes); same ground-truth-equality contract as
+    :func:`synth_ppm_media` / :func:`synth_bmp_media`."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads = []
+            for i in ids:
+                rng = np.random.default_rng(seed * 1000003 + int(i))
+                palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+                idx = rng.integers(0, n_colors, size=(height, width), dtype=np.uint8)
+                payloads.append(
+                    gif_bytes(
+                        idx,
+                        palette,
+                        interlaced=bool(int(i) % 2),
+                        compress=bool((int(i) // 2) % 2),
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(payloads, type=pa.binary()),
+                ],
+                names=["media_id", "payload"],
+            )
+
+    df = spark.range(n_rows).mapInArrow(fn, "media_id long, payload binary")
+    return attach_media_meta(df)
+
+
 def _decode_image(payload: bytes, width: int, height: int, stub: str) -> np.ndarray:
     # codec-free formats decode FOR REAL regardless of the stub mode:
     # P6/PPM is header + raw RGB, uncompressed 24-bpp BMP is header +
@@ -166,12 +465,15 @@ def _decode_image(payload: bytes, width: int, height: int, stub: str) -> np.ndar
     if payload and payload[:2] == b"BM":
         rgb = _parse_bmp(payload)
         return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+    if payload and payload[:4] == b"GIF8":
+        rgb = _parse_gif(payload)
+        return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
     if stub == "fake":
         return _fake_decode(payload, width * height).reshape(height, width)
     raise NotImplementedError(
-        "compressed-image decoding requires a codec library; none is "
-        "available in this container — uncompressed P6/PPM and 24-bpp "
-        "BMP payloads decode for real, pass decode_stub='fake' for the "
+        "JPEG/PNG/... decoding requires a codec library; none is "
+        "available in this container — P6/PPM, 24-bpp BMP, and GIF "
+        "payloads decode for real, pass decode_stub='fake' for the "
         "deterministic test decoder, or plug a real codec in here"
     )
 

@@ -74,6 +74,25 @@ def kernel_bench(docs):
     return {"docs_per_sec": len(docs) / dt, "mb_per_sec": nbytes / dt / 1e6}
 
 
+def native_kernel_bench(docs):
+    """Single-core native cdylib over the same docs (round 4); None
+    when the library isn't built."""
+    import pyarrow as pa
+
+    from tl_spark.functions.extract import DEFAULT_STRIP_TAGS
+    from tl_spark.kernel.native import extract_batch_arrays, load
+
+    if load() is None:
+        return None
+    col = pa.array(docs, type=pa.string())
+    extract_batch_arrays(col, DEFAULT_STRIP_TAGS)  # warm
+    t0 = time.time()
+    extract_batch_arrays(col, DEFAULT_STRIP_TAGS)
+    dt = time.time() - t0
+    nbytes = sum(len(d) for d in docs)
+    return {"docs_per_sec": len(docs) / dt, "mb_per_sec": nbytes / dt / 1e6}
+
+
 def spark_bench(doc, n=100_000):
     import pyspark.sql.functions as F
 
@@ -135,6 +154,8 @@ def main():
         "reference_singlethread_big_post": ref_big_post,
         "python_kernel_1core_small": kernel_bench(small),
         "python_kernel_1core_big": kernel_bench(big),
+        "native_kernel_1core_small": native_kernel_bench(small),
+        "native_kernel_1core_big": native_kernel_bench(big),
         "spark_local32_big": spark_big,
         "spark_vs_ref_bracket": [
             round(spark_big["mb_per_sec"] / ref_big_post["mb_per_sec"], 3),
