@@ -241,6 +241,90 @@ def test_gif_roundtrip_all_shapes():
     assert np.array_equal(_parse_gif(gif_bytes(idx, palette[:4])), palette[:4][idx])
 
 
+def test_animated_gif_frame_sampling_is_real(spark):
+    """sample_frames takes the REAL decode path for GIF payloads (the
+    header is authoritative, whatever the synthetic media_type says):
+    every every_k-th frame's grayscale mean equals ground truth
+    recomputed from the identically-seeded frame rasters."""
+    import numpy as np
+
+    from tl_spark.operators.multimodal import (
+        sample_frames,
+        synth_animated_gif_media,
+    )
+
+    W, H, NF, NC, SEED, K = 16, 12, 12, 32, 42, 5
+    media = synth_animated_gif_media(
+        spark, n_rows=8, width=W, height=H, n_frames=NF, n_colors=NC, seed=SEED
+    )
+    rows = sample_frames(media, every_k=K, decode_stub="error").collect()
+    got = {(r["media_id"], r["frame_idx"]): r["frame_mean"] for r in rows}
+    expect_idx = list(range(0, NF, K))
+    assert len(got) == 8 * len(expect_idx)
+    for i in range(8):
+        rng = np.random.default_rng(SEED * 1000003 + i)
+        palette = rng.integers(0, 256, size=(NC, 3), dtype=np.uint8)
+        frames = [
+            rng.integers(0, NC, size=(H, W), dtype=np.uint8) for _ in range(NF)
+        ]
+        for fidx in expect_idx:
+            rgb = palette[frames[fidx]]
+            gray = (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+            assert got[(i, fidx)] == float(gray.mean()), (i, fidx)
+
+
+def test_gif_animation_composition_semantics():
+    """Frame composition follows the GIF89a graphic-control rules:
+    transparent pixels leave the previous screen visible (disposal 1)
+    and disposal 2 restores the region to background before the next
+    frame."""
+    import numpy as np
+
+    from tl_spark.operators.multimodal import (
+        _parse_gif_frames,
+        gif_animation_bytes,
+    )
+
+    palette = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    base = np.full((4, 4), 1, dtype=np.uint8)  # all red
+    overlay = np.full((4, 4), 3, dtype=np.uint8)  # transparent where 3
+    overlay[0, :] = 2  # top row green, rest transparent
+    final = np.full((4, 4), 2, dtype=np.uint8)
+
+    # disposal 1 on base: overlay's transparent pixels show base
+    payload = gif_animation_bytes(
+        [base, overlay, final],
+        palette,
+        gce=[(1, None), (1, 3), (1, None)],
+    )
+    f = list(_parse_gif_frames(payload))
+    assert len(f) == 3
+    assert np.array_equal(f[0], palette[base])
+    want1 = palette[base].copy()
+    want1[0, :] = palette[2]
+    assert np.array_equal(f[1], want1)
+    assert np.array_equal(f[2], palette[final])
+
+    # disposal 2 on base: the region is CLEARED before the overlay, so
+    # transparent pixels show background (black), not base
+    payload2 = gif_animation_bytes(
+        [base, overlay],
+        palette,
+        gce=[(2, None), (1, 3)],
+    )
+    f2 = list(_parse_gif_frames(payload2))
+    want = np.zeros((4, 4, 3), dtype=np.uint8)
+    want[0, :] = palette[2]
+    assert np.array_equal(f2[1], want)
+
+    # the still-image API stays = first frame
+    from tl_spark.operators.multimodal import _parse_gif
+
+    assert np.array_equal(_parse_gif(payload), palette[base])
+
+
 def test_gif_parser_rejects_malformed():
     import numpy as np
     import pytest as _pytest

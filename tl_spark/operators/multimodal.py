@@ -218,13 +218,13 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def _parse_gif(payload: bytes) -> np.ndarray:
-    """REAL decoder for GIF87a/89a (first frame): logical screen +
-    color tables + extension skipping + LZW decompression + interlace
-    reordering, pure Python/numpy from the public specification — the
-    first COMPRESSED format to graduate from the stub policy. Returns
-    (h, w, 3) uint8 RGB composed onto a zeroed logical screen. Raises
-    ValueError on malformed input."""
+def _parse_gif_frames(payload: bytes, max_frames: int | None = None):
+    """REAL decoder for GIF87a/89a ANIMATIONS: logical screen, color
+    tables, graphic-control extensions (transparency + disposal 1/2),
+    LZW decompression, interlace reordering, and frame composition —
+    pure Python/numpy from the public specification. Yields each frame
+    as a full-screen (sh, sw, 3) uint8 RGB snapshot. Raises ValueError
+    on malformed input."""
     import struct
 
     if len(payload) < 13 or payload[:4] != b"GIF8" or payload[4:6] not in (
@@ -242,13 +242,23 @@ def _parse_gif(payload: bytes) -> np.ndarray:
             raise ValueError("truncated global color table")
         gct = gct.reshape(-1, 3)
         pos += size
+    screen = np.zeros((sh, sw, 3), dtype=np.uint8)
+    n_frames = 0
+    transparent_idx = -1
+    disposal = 0
     while pos < len(payload):
         block = payload[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image
-            raise ValueError("GIF contains no image data")
+        if block == 0x3B:  # trailer
+            if n_frames == 0:
+                raise ValueError("GIF contains no image data")
+            return
         if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            if pos >= len(payload):
+                raise ValueError("truncated extension")
+            label = payload[pos]
             pos += 1
+            subs = []
             while True:
                 if pos >= len(payload):
                     raise ValueError("truncated extension")
@@ -256,7 +266,12 @@ def _parse_gif(payload: bytes) -> np.ndarray:
                 pos += 1
                 if ln == 0:
                     break
+                subs.append(payload[pos : pos + ln])
                 pos += ln
+            if label == 0xF9 and subs and len(subs[0]) >= 4:
+                gpacked = subs[0][0]
+                disposal = (gpacked >> 2) & 7
+                transparent_idx = subs[0][3] if gpacked & 1 else -1
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
@@ -300,11 +315,32 @@ def _parse_gif(payload: bytes) -> np.ndarray:
                 ordered[start:h:step] = rows[src : src + n_rows]
                 src += n_rows
             rows = ordered
-        frame = ct[rows]  # (h, w, 3)
-        screen = np.zeros((sh, sw, 3), dtype=np.uint8)
-        screen[top : top + h, left : left + w] = frame
-        return screen
+        region = screen[top : top + h, left : left + w]
+        frame_rgb = ct[rows]
+        if transparent_idx >= 0:
+            opaque = rows != transparent_idx
+            region[opaque] = frame_rgb[opaque]
+        else:
+            region[...] = frame_rgb
+        yield screen.copy()
+        n_frames += 1
+        if max_frames is not None and n_frames >= max_frames:
+            return
+        # disposal AFTER the frame is shown: 2 = restore the frame's
+        # region to background (zeros); 0/1 = leave in place (3,
+        # restore-to-previous, is treated as leave-in-place — rare and
+        # honest: documented approximation)
+        if disposal == 2:
+            region[...] = 0
+        transparent_idx = -1
+        disposal = 0
     raise ValueError("truncated GIF: no trailer")
+
+
+def _parse_gif(payload: bytes) -> np.ndarray:
+    """First frame of :func:`_parse_gif_frames` (the still-image API
+    used by :func:`image_features`/:func:`resize_images`)."""
+    return next(_parse_gif_frames(payload, max_frames=1))
 
 
 def _lzw_encode(indices: bytes, mcs: int, compress: bool = True) -> bytes:
@@ -410,6 +446,91 @@ def gif_bytes(
     out.append(0)  # block terminator
     out.append(0x3B)  # trailer
     return bytes(out)
+
+
+def gif_animation_bytes(
+    frames,
+    palette: np.ndarray,
+    gce=None,
+    compress: bool = True,
+) -> bytes:
+    """Serialize a list of (h, w) uint8 full-screen index rasters as an
+    animated GIF89a. ``gce`` (optional, per frame) is a list of
+    (disposal, transparent_idx_or_None) tuples emitted as
+    graphic-control extensions — the writer counterpart of
+    :func:`_parse_gif_frames`'s composition semantics."""
+    import struct
+
+    h, w = frames[0].shape
+    n_colors = len(palette)
+    k = max(1, (n_colors - 1).bit_length())
+    pal = np.zeros((1 << k, 3), dtype=np.uint8)
+    pal[:n_colors] = palette
+    mcs = max(2, k)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((k - 1) << 4) | (k - 1), 0, 0)
+    out += pal.tobytes()
+    for fi, frame in enumerate(frames):
+        if gce is not None and gce[fi] is not None:
+            disposal, tidx = gce[fi]
+            gpacked = (disposal & 7) << 2 | (1 if tidx is not None else 0)
+            out += struct.pack(
+                "<BBBBHBB", 0x21, 0xF9, 4, gpacked, 0,
+                (tidx if tidx is not None else 0), 0,
+            )
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(mcs)
+        data = _lzw_encode(frame.astype(np.uint8).tobytes(), mcs, compress)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def synth_animated_gif_media(
+    spark,
+    n_rows: int = 20,
+    width: int = 16,
+    height: int = 12,
+    n_frames: int = 12,
+    n_colors: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic REAL-animation table: each payload is an animated
+    GIF89a with ``n_frames`` seeded full-screen frames (disposal 1, no
+    transparency — every decoded snapshot equals its own raster), so
+    :func:`sample_frames`'s real GIF path has exact ground truth."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads = []
+            for i in ids:
+                rng = np.random.default_rng(seed * 1000003 + int(i))
+                palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+                frames = [
+                    rng.integers(0, n_colors, size=(height, width), dtype=np.uint8)
+                    for _ in range(n_frames)
+                ]
+                payloads.append(
+                    gif_animation_bytes(
+                        frames, palette, gce=[(1, None)] * n_frames
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(payloads, type=pa.binary()),
+                ],
+                names=["media_id", "payload"],
+            )
+
+    df = spark.range(n_rows).mapInArrow(fn, "media_id long, payload binary")
+    return attach_media_meta(df)
 
 
 def synth_gif_media(
@@ -533,6 +654,20 @@ def sample_frames(
             metas = batch.column("media").to_pylist()
             out_ids, out_frame_idx, out_mean = [], [], []
             for i, p, m in zip(ids, payloads, metas):
+                if p and p[:4] == b"GIF8":
+                    # REAL animation path: the payload header is
+                    # authoritative (same principle as _decode_image) —
+                    # every every_k-th decoded frame's grayscale mean
+                    for fidx, frame in enumerate(_parse_gif_frames(p)):
+                        if fidx % every_k:
+                            continue
+                        gray = (
+                            frame.astype(np.uint16).sum(axis=2) // 3
+                        ).astype(np.uint8)
+                        out_ids.append(i)
+                        out_frame_idx.append(fidx)
+                        out_mean.append(float(gray.mean()))
+                    continue
                 if m["media_type"] != "video":
                     continue
                 for fidx in range(0, m["n_frames"], every_k):
