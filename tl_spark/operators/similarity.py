@@ -22,6 +22,15 @@ Three paths, per SURVEY/task brief:
 - embedding_neardup_pairs: near-duplicate pairs via sign-bucket
   self-join + exact cosine verification, bucket-size capped.
 
+- build_ivf_index / ivf_topk: FAISS-style IVF-Flat coarse quantizer
+  (driver-trained spherical k-means, partition-pruned probes when
+  written with write_ivf_index).
+
+- build_pq_index / pq_topk (round 4): FAISS-style product
+  quantization — m-byte codes (32x compression on 64-dim float),
+  driver-built ADC lookup tables, optional exact re-rank of the ADC
+  shortlist. Composable with the IVF list assignment for full IVF-PQ.
+
 All signatures are deterministic: the plane matrix depends only on
 (seed, dim) and is regenerated per worker from the seed — no
 broadcast payload, identical across cluster sizes and runs.
@@ -474,6 +483,174 @@ def ivf_topk(
     return (
         index_df.filter(F.col("_list").isin(probe))
         .select("id", F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------- PQ ----
+
+
+def _train_pq_codebooks(
+    sample: np.ndarray, m: int, k: int, iters: int, seed: int
+) -> np.ndarray:
+    """Per-subspace L2 k-means (FAISS-style product quantization
+    training), deterministic: seeded init, empty cells re-seeded from
+    the worst-quantized point. Returns (m, k, dsub) codebooks."""
+    n, dim = sample.shape
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    dsub = dim // m
+    k = min(k, n)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        rng = np.random.default_rng(seed * 7919 + j)
+        pts = sample[:, j * dsub : (j + 1) * dsub]
+        cent = pts[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            # squared L2 via the expansion trick: one matmul per iter
+            d2 = (
+                (pts**2).sum(1)[:, None]
+                - 2.0 * (pts @ cent.T)
+                + (cent**2).sum(1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = pts[assign == c]
+                if len(members) == 0:
+                    worst = np.argmax(np.min(d2, axis=1))
+                    cent[c] = pts[worst]
+                else:
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def build_pq_index(
+    df: DataFrame,
+    m: int = 8,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    train_size: int = 4096,
+    train_iters: int = 8,
+):
+    """Product-quantization index (the compression leg of FAISS-style
+    IVF-PQ; composes with :func:`build_ivf_index`'s coarse quantizer).
+
+    Each vector is split into ``m`` subvectors and every subvector is
+    replaced by the id of its nearest codebook centroid (``2^nbits``
+    per subspace) — ``m`` bytes per vector instead of ``4*dim``
+    (64-dim float -> 8 bytes = 32x). At 100 TB THIS is what makes the
+    ANN corpus memory-resident: codes for 10^9 vectors fit in 8 GB.
+
+    Returns ``(codes_df, codebooks)``: codes_df = (id, _code binary of
+    m bytes), codebooks an (m, 2^nbits, dim/m) ndarray. Training
+    mirrors build_ivf_index: one bounded content-hash-sampled driver
+    collect, canonically sorted so codebooks are independent of input
+    partitioning; encoding is a single vectorized map pass with the
+    codebooks in the UDF closure (m * k * dsub floats — KBs).
+    """
+    assert nbits <= 8, "codes are packed one byte per subspace"
+    k = 1 << nbits
+    n = df.count()
+    mod = max(1, n // train_size)
+    rows = (
+        df.select(
+            F.xxhash64(F.col(vec_col).cast("array<double>")).alias("_h"),
+            F.col(vec_col).alias("v"),
+        )
+        .filter(F.pmod(F.col("_h"), F.lit(mod)) == 0)
+        .collect()
+    )
+    rows.sort(key=lambda r: (r["_h"], tuple(r["v"])))
+    sample = np.array([r["v"] for r in rows], dtype=np.float64)
+    books = _train_pq_codebooks(sample, m, k, train_iters, seed)
+
+    dsub = books.shape[2]
+
+    @pandas_udf("binary")
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(mat), m), dtype=np.uint8)
+        for j in range(m):
+            pts = mat[:, j * dsub : (j + 1) * dsub]
+            cent = books[j]
+            d2 = (
+                (pts**2).sum(1)[:, None]
+                - 2.0 * (pts @ cent.T)
+                + (cent**2).sum(1)[None, :]
+            )
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    codes_df = df.select(
+        F.col(id_col).alias("id"), encode(F.col(vec_col)).alias("_code")
+    )
+    return codes_df, books
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    rerank: int = 0,
+    df: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over PQ codes: per-subspace lookup tables
+    (dot(query_sub, centroid) and centroid norms) are built ON THE
+    DRIVER, shipped in the UDF closure, and each corpus vector's
+    approximate cosine is m table gathers — no float vectors are read
+    at all. With ``rerank > 0`` (and ``df``), the top ``rerank`` ADC
+    candidates are re-scored with exact cosine against the original
+    vectors (the broadcast-joined shortlist), the standard IVF-PQ
+    recall recovery.
+
+    Output: (id, cosine) — approximate when rerank=0 (column still
+    named cosine: it estimates the same quantity; tests bound the
+    recall, the oracle-checked exact path is cosine_topk_bruteforce).
+    """
+    mq, kq, dsub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn == 0:
+        raise ValueError("zero query vector")
+    # LUTs: dot(q_j, c) and |c|^2 per subspace centroid
+    dots = np.empty((mq, kq), dtype=np.float64)
+    sqn = np.empty((mq, kq), dtype=np.float64)
+    for j in range(mq):
+        dots[j] = codebooks[j] @ q[j * dsub : (j + 1) * dsub]
+        sqn[j] = (codebooks[j] ** 2).sum(axis=1)
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=np.float64)
+        c = np.frombuffer(b"".join(codes.to_numpy()), dtype=np.uint8).reshape(
+            len(codes), mq
+        )
+        cols = np.arange(mq)
+        dot = dots[cols, c].sum(axis=1)
+        norm = np.sqrt(sqn[cols, c].sum(axis=1))
+        norm[norm == 0] = 1.0
+        return pd.Series(dot / (norm * qn))
+
+    scored = codes_df.select("id", F.round(adc(F.col("_code")), 6).alias("cosine"))
+    if rerank <= 0:
+        return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+    assert df is not None, "rerank needs the original vector table"
+    shortlist = (
+        scored.orderBy(F.desc("cosine"), F.asc("id")).limit(rerank).select("id")
+    )
+    exact = _make_cosine_udf(query)(F.col(vec_col))
+    return (
+        df.join(F.broadcast(shortlist), df[id_col] == shortlist["id"])
+        .select(F.col(id_col).alias("id"), F.round(exact, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
