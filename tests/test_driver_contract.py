@@ -108,6 +108,56 @@ def test_entry_contract(spark):
     assert set(E.oracle_sql()) <= set(E.queries())
 
 
+LM_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS tok,
+         generate_subscripts(
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), 1
+         ) AS i
+  FROM documents
+), bg AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS v FROM toks)
+SELECT doc_id AS id,
+       ROUND(AVG(LN((cb + 1.0) / (cu + v))), 6) AS lm_score,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+GROUP BY doc_id ORDER BY id
+"""
+
+
+def test_bigram_lm_scores_match_oracle(spark, ddb):
+    """Suite-oracle for the round-4 bigram-LM quality scorer (the
+    50-query driver window is full, so this op is suite-gated like the
+    retired selector variants): add-one-smoothed avg bigram
+    log-probability per doc, exact vs the brute-force DuckDB
+    re-expression on the sf0.01 corpus."""
+    from tl_spark.operators.lm import bigram_lm_scores
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    qdf = bigram_lm_scores(d).orderBy("id").select(
+        "id", "lm_score", F_count_cast("n_bigrams")
+    )
+    spark_rows = [tuple(r) for r in qdf.collect()]
+    res = ddb.execute(LM_SCORE_SQL)
+    duck_cols = [x[0] for x in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(qdf.columns) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    assert normalize(spark_rows, qdf.columns) == normalize(duck_rows, duck_cols)
+
+
+def F_count_cast(col):
+    from pyspark.sql import functions as F
+
+    return F.col(col).cast("long").alias(col)
+
+
 # Queries that hold (or have held) a driver-window slot but now sit
 # beyond position 50 — each must name the suite test that still gates
 # it, so rotation can never silently drop coverage (it did in r2).

@@ -920,3 +920,25 @@ def test_pq_adc_recall_and_exact_rerank(spark, embeddings):
         ).collect()
     }
     assert len(reranked & exact) / 10 >= 0.8
+
+
+def test_bigram_lm_score_edge_cases(spark):
+    """Hand-computed add-one bigram LM: corpus 'a b a b' + 'a b' + 'x'.
+    Prefix counts C(a)=3 C(b)=1, bigrams C(a,b)=3 C(b,a)=1, V=3.
+    Doc 1 bigrams: (a,b) (b,a) (a,b); doc 2: (a,b); doc 3 (single
+    token) must be ABSENT, as must the empty and null docs."""
+    import math
+
+    from tl_spark.operators.lm import bigram_lm_scores
+
+    rows = [(1, "a b a b"), (2, "a b"), (3, "x"), (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["lm_score"], r["n_bigrams"])
+        for r in bigram_lm_scores(df).collect()
+    }
+    p_ab = math.log((3 + 1) / (3 + 3))
+    p_ba = math.log((1 + 1) / (1 + 3))
+    assert set(got) == {1, 2}
+    assert got[1] == (round((2 * p_ab + p_ba) / 3, 6), 3)
+    assert got[2] == (round(p_ab, 6), 1)
