@@ -942,3 +942,66 @@ def test_bigram_lm_score_edge_cases(spark):
     assert set(got) == {1, 2}
     assert got[1] == (round((2 * p_ab + p_ba) / 3, 6), 3)
     assert got[2] == (round(p_ab, 6), 1)
+
+
+def test_pack_documents_invariants(spark, documents):
+    """Sequence packing: every doc exactly once; no shared pack exceeds
+    capacity; oversize docs sit alone and flagged; pack ids and
+    positions are deterministic across input partitioning."""
+    from tl_spark.operators.packing import pack_documents, pack_summary
+
+    CAP = 256
+    packed = pack_documents(documents, capacity=CAP, n_buckets=8)
+    rows = packed.collect()
+    assert len(rows) == documents.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pid, members in by_pack.items():
+        total = sum(r["n_tokens"] for r in members)
+        if any(r["oversize"] for r in members):
+            assert len(members) == 1, f"oversize pack {pid} is shared"
+            assert members[0]["n_tokens"] > CAP
+        else:
+            assert total <= CAP, f"pack {pid} over capacity: {total}"
+            assert sorted(r["pack_pos"] for r in members) == list(
+                range(len(members))
+            )
+
+    again = {
+        (r["doc_id"], r["pack_id"], r["pack_pos"])
+        for r in pack_documents(
+            documents.repartition(13), capacity=CAP, n_buckets=8
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["pack_id"], r["pack_pos"]) for r in rows}
+
+    summ = pack_summary(packed, CAP)
+    fills = [r["fill"] for r in summ.filter(~F.col("pack_id").isNull()).collect()]
+    assert fills  # summary runs
+
+
+def test_pack_documents_hand_case(spark):
+    """capacity 10, one bucket: docs of 4,4,3,12,5 tokens in id order
+    pack as [4,4] | [3] (12 forces a break) | oversize [12] | [5]."""
+    from tl_spark.operators.packing import pack_documents
+
+    rows = [
+        (1, "a b c d"),
+        (2, "e f g h"),
+        (3, "i j k"),
+        (4, " ".join(f"t{i}" for i in range(12))),
+        (5, "u v w x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["pack_id"] & 0xFFFFFFFF, r["pack_pos"], r["oversize"])
+        for r in pack_documents(df, capacity=10, n_buckets=1).collect()
+    }
+    assert got[1] == (0, 0, False)
+    assert got[2] == (0, 1, False)
+    assert got[3] == (1, 0, False)
+    assert got[4] == (2, 0, True)
+    assert got[5] == (3, 0, False)
