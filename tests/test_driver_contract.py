@@ -158,6 +158,65 @@ def F_count_cast(col):
     return F.col(col).cast("long").alias(col)
 
 
+NORMALIZE_SQL = r"""
+SELECT doc_id,
+       nfc_normalize(
+         regexp_replace(text,
+           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')
+       ) AS norm_text
+FROM documents ORDER BY doc_id
+"""
+
+
+def test_normalize_text_matches_oracle(spark, ddb):
+    """Suite-oracle for round-4 text normalization: control-char strip
+    (JVM regex) + Unicode NFC (pandas/unicodedata) must equal DuckDB's
+    regexp_replace + nfc_normalize — two independent NFC
+    implementations (Python unicodedata vs DuckDB's utf8proc) pinned
+    equal on the corpus plus adversarial compositions."""
+    from tl_spark.functions.text import normalize_text
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    adversarial = [
+        "e\u0301cole de\u0301ja\u0300 vu",  # combining accents -> compose
+        "\u00e9cole d\u00e9j\u00e0 vu",  # already precomposed
+        "a\x00b\x07c\x1fd\x7fe",  # control chars stripped
+        "keep\ttabs\nand\rreturns",  # tab/newline/return kept
+        "\uff76\u3099 halfwidth ka + combining dakuten",
+        "\u212b angstrom sign",  # NFC -> U+00C5
+        "",
+    ]
+    extra = spark.createDataFrame(
+        [(900001 + i, t) for i, t in enumerate(adversarial)],
+        "doc_id long, text string",
+    )
+    corpus = d.select("doc_id", "text").unionByName(extra)
+    qdf = corpus.select(
+        "doc_id", normalize_text(F_text()).alias("norm_text")
+    ).orderBy("doc_id")
+    spark_vals = {r["doc_id"]: r["norm_text"] for r in qdf.collect()}
+
+    duck_vals = dict(ddb.execute(NORMALIZE_SQL).fetchall())
+    scalar = (
+        r"SELECT nfc_normalize(regexp_replace(?,"
+        r" '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))"
+    )
+    for i, t in enumerate(adversarial):
+        duck_vals[900001 + i] = ddb.execute(scalar, [t]).fetchone()[0]
+    assert set(spark_vals) == set(duck_vals)
+    mism = sorted(k for k in spark_vals if spark_vals[k] != duck_vals[k])
+    assert not mism, (
+        f"{len(mism)} mismatches; first ({mism[0]}): "
+        f"{spark_vals[mism[0]]!r} vs {duck_vals[mism[0]]!r}"
+    )
+
+
+def F_text():
+    from pyspark.sql import functions as F
+
+    return F.col("text")
+
+
 # Queries that hold (or have held) a driver-window slot but now sit
 # beyond position 50 — each must name the suite test that still gates
 # it, so rotation can never silently drop coverage (it did in r2).

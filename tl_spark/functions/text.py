@@ -240,3 +240,37 @@ def pii_counts(col) -> tuple[Column, Column, Column]:
     after_ip = F.regexp_replace(after_email, ip_re, "[IP]")
     n_phone = F.regexp_count(after_ip, F.lit(phone_re))
     return n_email, n_ip, n_phone
+
+
+_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+_nfc_udf = None
+
+
+def strip_controls(col) -> Column:
+    """Remove C0/C1-ish control characters (keeping \\t \\n \\r) — the
+    cheap JVM-side half of text normalization."""
+    return F.regexp_replace(col, _CONTROL_RE, "")
+
+
+def nfc_normalize(col) -> Column:
+    """Unicode NFC normalization (pandas/unicodedata per Arrow batch —
+    Spark SQL has no normalizer; DuckDB's nfc_normalize is the oracle
+    counterpart, tests pin the two agree)."""
+    global _nfc_udf
+    if _nfc_udf is None:
+        from pyspark.sql.functions import pandas_udf
+
+        def _impl(s):
+            # Series.str.normalize is the vectorized unicodedata wrapper
+            return s.str.normalize("NFC")
+
+        _nfc_udf = pandas_udf("string")(_impl)
+    return _nfc_udf(col)
+
+
+def normalize_text(col) -> Column:
+    """Pipeline normalization: strip control chars (JVM regex), then
+    Unicode NFC — the standard pre-tokenization cleanup for web text.
+    """
+    return nfc_normalize(strip_controls(col))
