@@ -209,3 +209,83 @@ def test_curation_repetition_gate(spark):
     assert sorted(r["turn_idx"] for r in curated2.collect()) == [0, 1]
     assert dropped2.count() == 0
     unpersist_handles(curated2)
+
+
+def test_curation_normalize_stage_dedups_nfc_variants(spark):
+    """normalize=True: NFC-equal variants (combining vs precomposed
+    accents) become exact duplicates and dedup together; control chars
+    are stripped from the surviving text."""
+    from tl_spark.cache import unpersist_handles
+    from tl_spark.curation import curate
+
+    rows = [
+        ("c1", 0, "user", "café text body", None, None),
+        ("c1", 1, "user", "café text body", None, None),  # NFC-equal
+        ("c1", 2, "user", "clean\x07 control", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    curated, dropped = curate(
+        df, quality_min=0.0, min_tokens=1, normalize=True
+    )
+    kept = {r["turn_idx"]: r["extracted_text"] for r in curated.collect()}
+    assert set(kept) == {0, 2}  # turn 1 deduped as NFC-equal to turn 0
+    assert kept[0] == "café text body"
+    assert kept[2] == "clean control"
+    assert [r["drop_reason"] for r in dropped.collect()] == ["exact_dup"]
+    unpersist_handles(curated)
+
+    # without normalization the variants both survive
+    curated2, _ = curate(df, quality_min=0.0, min_tokens=1)
+    assert curated2.count() == 3
+    unpersist_handles(curated2)
+
+
+def test_curation_lm_gate(spark):
+    """lm_score_min: the doc whose bigrams are all corpus-unique (low
+    avg log-prob) drops as low_lm; the repeated-phrase docs (high
+    probability bigrams) survive; precedence sits between repetitive
+    and low_quality."""
+    from tl_spark.cache import unpersist_handles
+    from tl_spark.curation import curate
+    from tl_spark.operators.lm import bigram_lm_scores
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        ("c1", i, "user", common, None, None) for i in range(3)
+    ] + [("c2", 0, "user", "zxq wvu tsr qpo nml kji", None, None)]
+    # make the common docs distinct so exact-dedup keeps them all
+    rows = [
+        (c, t, r, f"{txt} tail{t}{c}", tool, ts)
+        for (c, t, r, txt, tool, ts) in rows
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    # threshold between the two score populations, computed from the op
+    scores = {
+        r["id"]: r["lm_score"]
+        for r in bigram_lm_scores(
+            df.select(
+                F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
+                F.col("text"),
+            )
+        ).collect()
+    }
+    lo = min(scores.values())
+    rest = [v for v in scores.values() if v != lo]
+    thresh = (lo + min(rest)) / 2
+    # neardup_jaccard > 1 disables the near-dup stage: the LM trains on
+    # the dedup SURVIVORS, so the common docs must all reach it for the
+    # precomputed full-corpus threshold to be valid
+    curated, dropped = curate(
+        df, quality_min=0.0, min_tokens=1, lm_score_min=thresh,
+        neardup_jaccard=1.01,
+    )
+    assert curated.count() == 3
+    assert [r["drop_reason"] for r in dropped.collect()] == ["low_lm"]
+    assert {r["conv_id"] for r in curated.collect()} == {"c1"}
+    unpersist_handles(curated)

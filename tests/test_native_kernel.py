@@ -154,3 +154,46 @@ def test_fast_batch_uses_native_and_matches_python(monkeypatch):
     without = list(fn(iter([batch])))
     assert len(with_native) == len(without) == 1
     assert with_native[0].equals(without[0])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(max_size=120),  # FULL unicode range, not just the
+        min_size=1,             # html-ish alphabet
+        max_size=4,
+    )
+)
+def test_native_equals_python_fuzz_full_unicode(docs):
+    """Differential fuzz over arbitrary unicode (surrogates excluded by
+    hypothesis; Arrow strings are valid UTF-8 by construction) — the
+    native byte machine must track the Python scanner on text far
+    outside the html-ish alphabet."""
+    _assert_equal(docs)
+
+
+def test_native_batches_do_not_leak_memory():
+    """The foreign-buffer protocol (malloc'd arrays + holder __del__ ->
+    tl_batch_free) must return memory: process RSS growth over 300
+    batches x ~1.2 MB of input+output stays far below the ~700 MB that
+    leaking either side would accumulate."""
+    import gc
+    import resource
+
+    docs = [
+        "<html><body><main>" + "<p class='x'>hello world</p>" * 40
+        + "</main><script>drop()</script></body></html>"
+    ] * 500
+    col = pa.array(docs, type=pa.string())
+    for _ in range(5):  # warm allocators
+        extract_batch_arrays(col, DEFAULT_STRIP_TAGS)
+    gc.collect()
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    for _ in range(300):
+        res = extract_batch_arrays(col, DEFAULT_STRIP_TAGS)
+        assert res is not None
+        del res
+    gc.collect()
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    growth_mb = (rss1 - rss0) / 1024  # ru_maxrss is KB on Linux
+    assert growth_mb < 120, f"RSS grew {growth_mb:.0f} MB over 300 batches"

@@ -42,6 +42,8 @@ def curate(
     benchmark: DataFrame | None = None,
     contamination_n: int = 13,
     max_dup_word_frac: float | None = None,
+    normalize: bool = False,
+    lm_score_min: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated, dropped) DataFrames.
 
@@ -51,6 +53,17 @@ def curate(
     contaminated | repetitive | low_quality | too_short — drop
     precedence is total in that order, so every input row lands in
     exactly one output).
+
+    ``normalize=True`` applies :func:`tl_spark.functions.text.
+    normalize_text` (control-char strip + Unicode NFC) to the
+    extracted text BEFORE stats/dedup, so normalization-equal variants
+    deduplicate together.
+
+    ``lm_score_min`` (optional): corpus-trained bigram-LM gate — docs
+    whose :func:`tl_spark.operators.lm.bigram_lm_scores` average
+    log-probability falls below the threshold drop as ``low_lm``
+    (runs on dedup/contamination/repetition survivors; docs too short
+    to have bigrams pass through to the later length gate).
 
     ``max_dup_word_frac`` (optional): Gopher-style repetition gate —
     docs whose fraction of repeated tokens exceeds the threshold drop
@@ -95,6 +108,12 @@ def curate(
     ex = ex.withColumn(
         "doc_uid", F.xxhash64("conv_id", "turn_idx")
     ).withColumn("extracted_text", F.coalesce("extracted_text", F.lit("")))
+    if normalize:
+        from tl_spark.functions.text import normalize_text
+
+        ex = ex.withColumn(
+            "extracted_text", normalize_text(F.col("extracted_text"))
+        )
 
     c = F.col("extracted_text")
     stats = ex.select(
@@ -208,6 +227,27 @@ def curate(
             F.col("_dwf") <= max_dup_word_frac
         ).drop("_dwf")
 
+    # optional corpus-trained bigram-LM gate (after repetition,
+    # before the quality/length filters); missing scores (sub-2-token
+    # docs) are NOT dropped here — the length gate owns them
+    low_lm = None
+    if lm_score_min is not None:
+        from tl_spark.operators.lm import bigram_lm_scores
+
+        lm = bigram_lm_scores(
+            kept_after_dedup.select(
+                F.col("doc_uid").alias("doc_id"),
+                F.col("extracted_text").alias("text"),
+            )
+        ).select(F.col("id").alias("doc_uid"), "lm_score")
+        low_lm = (
+            lm.filter(F.col("lm_score") < lm_score_min)
+            .select("doc_uid", F.lit("low_lm").alias("drop_reason"))
+        )
+        kept_after_dedup = kept_after_dedup.join(
+            low_lm.select("doc_uid"), "doc_uid", "left_anti"
+        )
+
     low_q = kept_after_dedup.filter(
         (F.col("quality") < quality_min) & (F.col("n_tokens") >= min_tokens)
     ).select("doc_uid", F.lit("low_quality").alias("drop_reason"))
@@ -223,6 +263,8 @@ def curate(
         dropped = dropped.unionByName(contaminated)
     if repetitive is not None:
         dropped = dropped.unionByName(repetitive)
+    if low_lm is not None:
+        dropped = dropped.unionByName(low_lm)
     dropped = dropped.unionByName(low_q).unionByName(short)
     # hand every persisted handle (own + child) to the caller
     attach_handles(curated, *handles)
