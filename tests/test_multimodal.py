@@ -499,3 +499,122 @@ def test_resize_images_ppm_ground_truth(spark):
         assert bytes(blob) == small.tobytes()
         assert (ow, oh) == (OW, OH) and len(bytes(blob)) == OW * OH
         assert mean == float(small.mean())
+
+
+def test_png_payloads_decode_for_real(spark):
+    """8-bit RGB PNG payloads (per-row filters cycling 0-4, odd ids
+    Adam7-interlaced, multi-IDAT streams) take the REAL decode path
+    (stdlib zlib + numpy unfiltering) even with decode_stub='error':
+    features equal ground truth recomputed from the identically-seeded
+    rasters. Width/height not multiples of 8 stress the interlace
+    edge passes."""
+    import numpy as np
+
+    from tl_spark.operators.multimodal import image_features, synth_png_media
+
+    W, H, SEED = 17, 13, 42
+    media = synth_png_media(spark, n_rows=20, width=W, height=H, seed=SEED)
+    got = {
+        r["media_id"]: (list(r["hist16"]), r["mean_px"], r["std_px"])
+        for r in image_features(media, decode_stub="error").collect()
+    }
+    assert len(got) == 20
+    for i in range(20):
+        rng = np.random.default_rng(SEED * 1000003 + i)
+        raster = rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8)
+        gray = (raster.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+        hist = [int(x) for x in np.bincount(gray.ravel() >> 4, minlength=16)]
+        assert got[i][0] == hist, f"media {i}: histogram mismatch"
+        assert got[i][1] == float(gray.mean())
+        assert got[i][2] == float(gray.std())
+
+
+def test_png_roundtrip_all_color_types_filters_interlace():
+    """png_bytes -> _parse_png round-trips every supported combination:
+    color types 0/2/3/4/6 x filters 0-4 (and mixed cycles) x
+    {non-interlaced, Adam7}, plus tiny shapes where some Adam7 passes
+    are empty. Alpha drops; gray replicates; palette resolves."""
+    import numpy as np
+
+    from tl_spark.operators.multimodal import _parse_png, png_bytes
+
+    rng = np.random.default_rng(7)
+    h, w = 13, 17
+    rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+    gray = rng.integers(0, 256, (h, w), np.uint8)
+    rgba = rng.integers(0, 256, (h, w, 4), np.uint8)
+    ga = rng.integers(0, 256, (h, w, 2), np.uint8)
+    pal = rng.integers(0, 256, (256, 3), np.uint8)
+    idx = rng.integers(0, 256, (h, w), np.uint8)
+    for il in (False, True):
+        for ft in (0, 1, 2, 3, 4, [0, 1, 2, 3, 4], [4, 3, 2, 1, 0]):
+            assert np.array_equal(
+                _parse_png(png_bytes(rgb, 2, ft, il)), rgb
+            ), (il, ft)
+        assert np.array_equal(
+            _parse_png(png_bytes(gray, 0, 4, il)),
+            np.repeat(gray[:, :, None], 3, 2),
+        )
+        assert np.array_equal(
+            _parse_png(png_bytes(rgba, 6, 4, il)), rgba[:, :, :3]
+        )
+        assert np.array_equal(
+            _parse_png(png_bytes(ga, 4, 3, il)),
+            np.repeat(ga[:, :, :1], 3, 2),
+        )
+        assert np.array_equal(
+            _parse_png(png_bytes(idx, 3, 2, il, palette=pal)), pal[idx]
+        )
+    for hh, ww in [(1, 1), (2, 3), (3, 2), (7, 9), (8, 8), (1, 20), (20, 1)]:
+        a = rng.integers(0, 256, (hh, ww, 3), np.uint8)
+        for il in (False, True):
+            assert np.array_equal(
+                _parse_png(png_bytes(a, 2, [0, 1, 2, 3, 4], il)), a
+            ), (hh, ww, il)
+
+
+def test_png_parser_rejects_malformed():
+    """Bad signature, corrupted chunk (CRC), truncation, unsupported
+    bit depth, and missing PLTE for a paletted image all raise
+    ValueError; non-PNG payloads stay on the stub policy."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tl_spark.operators.multimodal import (
+        _decode_image,
+        _parse_png,
+        png_bytes,
+    )
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (7, 5, 3), np.uint8)
+    good = bytearray(png_bytes(rgb))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        _parse_png(b"\x89PNX" + bytes(good[4:]))
+    bad = bytearray(good)
+    bad[30] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        _parse_png(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated|missing"):
+        _parse_png(bytes(good[: len(good) - 20]))
+    deep = bytearray(good)
+    deep[24] = 16  # IHDR bit-depth byte
+    # CRC must be recomputed or the corruption reads as a CRC error
+    import struct
+    import zlib
+
+    ihdr = bytes(deep[16:29])
+    deep[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    with _pytest.raises(ValueError, match="depth=16"):
+        _parse_png(bytes(deep))
+    idx = rng.integers(0, 4, (4, 4), np.uint8)
+    pal = rng.integers(0, 256, (4, 3), np.uint8)
+    paletted = png_bytes(idx, 3, 0, palette=pal)
+    # strip the PLTE chunk (starts after IHDR at byte 33)
+    plte_len = struct.unpack_from(">I", paletted, 33)[0]
+    no_plte = paletted[:33] + paletted[33 + 12 + plte_len:]
+    with _pytest.raises(ValueError, match="PLTE"):
+        _parse_png(no_plte)
+    # non-PNG payload under the error policy -> NotImplementedError
+    with _pytest.raises(NotImplementedError):
+        _decode_image(b"\xff\xd8\xff\xe0JFIF....", 4, 4, "error")

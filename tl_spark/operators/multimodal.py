@@ -7,12 +7,13 @@ feature/frame outputs — is REAL and tested. Decoding has three tiers:
 
 - real decoders, no codec library: binary PPM (P6), uncompressed
   24-bpp BMP, RIFF/WAV PCM16, and — since round 4 — GIF87a/89a with
-  full LZW decompression and interlacing (``_parse_ppm`` /
-  ``_parse_bmp`` / ``_parse_wav`` / ``_parse_gif``; each
-  ground-truth-equality tested via its ``synth_*_media`` generator) —
-  these are genuine decode paths, not stubs;
+  full LZW decompression and interlacing, plus 8-bit PNG (all five
+  color types, Adam7, stdlib zlib inflate + numpy unfiltering)
+  (``_parse_ppm`` / ``_parse_bmp`` / ``_parse_wav`` / ``_parse_gif``
+  / ``_parse_png``; each ground-truth-equality tested via its
+  ``synth_*_media`` generator) — genuine decode paths, not stubs;
 - ``decode_stub="error"``  -> NotImplementedError for the REMAINING
-  compressed formats (JPEG/PNG/MP3/...: the honest default — those
+  compressed formats (JPEG/MP3/...: the honest default — those
   need codec libraries this container lacks; plug one into
   ``_decode_image``/_audio);
 - ``decode_stub="fake"``   -> a deterministic fake decoder: payload
@@ -589,13 +590,16 @@ def _decode_image(payload: bytes, width: int, height: int, stub: str) -> np.ndar
     if payload and payload[:4] == b"GIF8":
         rgb = _parse_gif(payload)
         return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+    if payload and payload[:8] == _PNG_SIG:
+        rgb = _parse_png(payload)
+        return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
     if stub == "fake":
         return _fake_decode(payload, width * height).reshape(height, width)
     raise NotImplementedError(
-        "JPEG/PNG/... decoding requires a codec library; none is "
-        "available in this container — P6/PPM, 24-bpp BMP, and GIF "
-        "payloads decode for real, pass decode_stub='fake' for the "
-        "deterministic test decoder, or plug a real codec in here"
+        "JPEG/... decoding requires a codec library; none is "
+        "available in this container — P6/PPM, 24-bpp BMP, GIF, and "
+        "PNG payloads decode for real, pass decode_stub='fake' for "
+        "the deterministic test decoder, or plug a real codec in here"
     )
 
 
@@ -798,6 +802,292 @@ def synth_bmp_media(
                     0, 256, size=(height, width, 3), dtype=np.uint8
                 )
                 payloads.append(bmp_bytes(raster, top_down=bool(int(i) % 2)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(payloads, type=pa.binary()),
+                ],
+                names=["media_id", "payload"],
+            )
+
+    df = spark.range(n_rows).mapInArrow(fn, "media_id long, payload binary")
+    return attach_media_meta(df)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(arr: np.ndarray, ch: int) -> np.ndarray:
+    """Reverse PNG per-row filtering. ``arr`` is (h, 1+w*ch) uint8 —
+    filter byte + filtered row. Returns (h, w*ch) uint8 scanlines.
+    Sub/Average/Paeth are sequential along the row by definition
+    (each byte's predictor uses the RECONSTRUCTED left neighbor), so
+    those rows run a per-byte loop; None/Up rows are whole-row numpy
+    adds. Fine for media-sized images; a native kernel slots in here
+    if filtered PNGs ever dominate a profile."""
+    h, rb1 = arr.shape
+    rowbytes = rb1 - 1
+    out = np.zeros((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.uint8)
+    for y in range(h):
+        ft = int(arr[y, 0])
+        row = arr[y, 1:].copy()
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub (mod-256 wrap is the spec; mask explicitly
+            # rather than rely on numpy's warn-on-overflow scalar add)
+            for x in range(ch, rowbytes):
+                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
+        elif ft == 2:  # Up
+            row += prev
+        elif ft == 3:  # Average
+            for x in range(rowbytes):
+                left = int(row[x - ch]) if x >= ch else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(rowbytes):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = row
+        prev = row
+    return out
+
+
+def _parse_png(payload: bytes) -> np.ndarray:
+    """REAL decoder for PNG: stdlib ``zlib`` inflate + numpy per-row
+    unfiltering — no codec library. Supports bit depth 8, color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), both
+    non-interlaced and Adam7-interlaced rasters, multi-IDAT streams.
+    Chunk CRCs are verified. Returns (h, w, 3) uint8 RGB (alpha
+    dropped, gray replicated). Raises ValueError on malformed or
+    unsupported input (bit depths 1/2/4/16 are out of scope)."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    ihdr = None
+    plte = None
+    idat = []
+    seen_iend = False
+    while pos + 8 <= n and not seen_iend:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > n:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            seen_iend = True
+        pos += 12 + length
+    if ihdr is None or not idat or not seen_iend:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    w, h, depth, ct, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("malformed PNG IHDR")
+    if depth != 8 or ct not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color_type={ct} "
+            "(only 8-bit color types 0/2/3/4/6)"
+        )
+    if w == 0 or h == 0:
+        raise ValueError("malformed PNG dimensions")
+    ch = _PNG_CHANNELS[ct]
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        need = h * (w * ch + 1)
+        if len(raw) != need:
+            raise ValueError(f"PNG raster: {len(raw)} bytes, need {need}")
+        img = _png_unfilter(
+            np.frombuffer(raw, np.uint8).reshape(h, w * ch + 1), ch
+        ).reshape(h, w, ch)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            take = ph * (pw * ch + 1)
+            chunk = raw[off : off + take]
+            if len(chunk) != take:
+                raise ValueError("truncated PNG interlace pass")
+            off += take
+            sub = _png_unfilter(
+                np.frombuffer(chunk, np.uint8).reshape(ph, pw * ch + 1), ch
+            ).reshape(ph, pw, ch)
+            img[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("trailing bytes after PNG interlace passes")
+    if ct == 2:
+        return img.copy()
+    if ct == 6:
+        return img[:, :, :3].copy()
+    if ct in (0, 4):
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    # ct == 3: palette lookup
+    if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+        raise ValueError("paletted PNG without a valid PLTE")
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    idx = img[:, :, 0]
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("PNG palette index out of range")
+    return pal[idx]
+
+
+def png_bytes(
+    arr: np.ndarray,
+    color_type: int = 2,
+    row_filters=0,
+    interlace: bool = False,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Serialize an image as an 8-bit PNG — the writer counterpart of
+    :func:`_parse_png`, used by :func:`synth_png_media` and tests.
+
+    ``arr``: (h, w, 3) RGB for color_type 2, (h, w) gray for 0,
+    (h, w) palette indices for 3 (``palette`` = (N, 3) required),
+    (h, w, 2) gray+alpha for 4, (h, w, 4) RGBA for 6.
+    ``row_filters``: a filter type 0-4 or a per-scanline sequence
+    (cycled), applied with the true encoder formulas so every decode
+    branch is exercisable. ``interlace=True`` writes Adam7 passes.
+    """
+    import struct
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    a = np.asarray(arr, dtype=np.uint8)
+    if ch == 1 and a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] != ch:
+        raise ValueError(f"array shape {a.shape} != channels {ch}")
+    h, w, _ = a.shape
+
+    def filter_pass(sub: np.ndarray, base: int) -> bytes:
+        ph, pw, _ = sub.shape
+        flat = sub.reshape(ph, pw * ch).astype(np.int16)
+        out = bytearray()
+        for y in range(ph):
+            ft = (
+                row_filters[(base + y) % len(row_filters)]
+                if isinstance(row_filters, (list, tuple))
+                else int(row_filters)
+            )
+            cur = flat[y]
+            prev = flat[y - 1] if y > 0 else np.zeros_like(cur)
+            left = np.zeros_like(cur)
+            left[ch:] = cur[:-ch]
+            upleft = np.zeros_like(cur)
+            upleft[ch:] = prev[:-ch]
+            if ft == 0:
+                enc = cur
+            elif ft == 1:
+                enc = cur - left
+            elif ft == 2:
+                enc = cur - prev
+            elif ft == 3:
+                enc = cur - ((left + prev) >> 1)
+            elif ft == 4:
+                p = left + prev - upleft
+                pa_ = np.abs(p - left)
+                pb = np.abs(p - prev)
+                pc = np.abs(p - upleft)
+                pred = np.where(
+                    (pa_ <= pb) & (pa_ <= pc),
+                    left,
+                    np.where(pb <= pc, prev, upleft),
+                )
+                enc = cur - pred
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            out.append(ft)
+            out += (enc & 0xFF).astype(np.uint8).tobytes()
+        return bytes(out)
+
+    if not interlace:
+        raster = filter_pass(a, 0)
+    else:
+        parts, base = [], 0
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(filter_pass(sub, base))
+                base += sub.shape[0]
+        raster = b"".join(parts)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("color_type 3 requires palette=")
+        out += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    comp = zlib.compress(raster, 6)
+    # split the stream across two IDATs to exercise multi-IDAT reads
+    mid = len(comp) // 2
+    out += chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:])
+    return out + chunk(b"IEND", b"")
+
+
+def synth_png_media(
+    spark,
+    n_rows: int = 50,
+    width: int = 16,
+    height: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic REAL-image table with 8-bit RGB PNG payloads —
+    per-row filters cycle 0..4 and odd ids are Adam7-interlaced, so
+    decoding exercises every unfilter branch and the interlace
+    scatter; same ground-truth-equality contract as
+    :func:`synth_ppm_media`."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads = []
+            for i in ids:
+                rng = np.random.default_rng(seed * 1000003 + int(i))
+                raster = rng.integers(
+                    0, 256, size=(height, width, 3), dtype=np.uint8
+                )
+                payloads.append(
+                    png_bytes(
+                        raster,
+                        row_filters=[0, 1, 2, 3, 4],
+                        interlace=bool(int(i) % 2),
+                    )
+                )
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids, type=pa.int64()),
