@@ -6,12 +6,13 @@ partition-preserving mapInArrow, batch shapes, deterministic
 feature/frame outputs — is REAL and tested. Decoding has three tiers:
 
 - real decoders, no codec library: binary PPM (P6), uncompressed
-  24-bpp BMP, RIFF/WAV PCM16, and — since round 4 — GIF87a/89a with
-  full LZW decompression and interlacing, plus 8-bit PNG (all five
-  color types, Adam7, stdlib zlib inflate + numpy unfiltering)
-  (``_parse_ppm`` / ``_parse_bmp`` / ``_parse_wav`` / ``_parse_gif``
-  / ``_parse_png``; each ground-truth-equality tested via its
-  ``synth_*_media`` generator) — genuine decode paths, not stubs;
+  24-bpp BMP, and — since round 4 — GIF87a/89a with full LZW
+  decompression and interlacing, 8-bit PNG (all five color types,
+  Adam7, stdlib zlib inflate + numpy unfiltering), and RIFF/WAV in
+  PCM16, G.711 A-law/mu-law, and IMA ADPCM (``_parse_ppm`` /
+  ``_parse_bmp`` / ``_parse_gif`` / ``_parse_png`` / ``_parse_wav``;
+  each ground-truth-equality tested via its ``synth_*_media``
+  generator) — genuine decode paths, not stubs;
 - ``decode_stub="error"``  -> NotImplementedError for the REMAINING
   compressed formats (JPEG/MP3/...: the honest default — those
   need codec libraries this container lacks; plug one into
@@ -1100,11 +1101,210 @@ def synth_png_media(
     return attach_media_meta(df)
 
 
+def _g711_luts() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry int16 decode tables for ITU-T G.711 mu-law and A-law,
+    built from the published expansion formulas (the classic public-
+    domain g711.c algorithm, vectorized)."""
+    codes = np.arange(256, dtype=np.uint8)
+    # mu-law: complement, then t = ((quant<<3)+BIAS) << segment
+    u = (~codes) & 0xFF
+    t = (((u & 0x0F).astype(np.int32) << 3) + 0x84) << ((u & 0x70) >> 4)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    # A-law: xor 0x55; segment 0 adds 8, segment 1 adds 0x108,
+    # higher segments shift; sign bit SET means positive
+    a = codes ^ 0x55
+    seg = ((a & 0x70) >> 4).astype(np.int32)
+    q = (a & 0x0F).astype(np.int32) << 4
+    mag = np.where(
+        seg == 0,
+        q + 8,
+        np.where(seg == 1, q + 0x108, (q + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    alaw = np.where(a & 0x80, mag, -mag).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_LUT, _ALAW_LUT = _g711_luts()
+
+_IMA_STEPS = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+     37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+     157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+     544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+     1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+     4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+     12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+     29794, 32767],
+    dtype=np.int32,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_step(pred: int, idx: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decoder step: returns (new_pred, new_idx)."""
+    step = int(_IMA_STEPS[idx])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + int(_IMA_INDEX[nibble & 7])))
+    return pred, idx
+
+
+def _ima_adpcm_decode(
+    data: bytes, channels: int, block_align: int
+) -> np.ndarray:
+    """REAL decoder for IMA ADPCM WAV data (format tag 0x11): per-block
+    4-byte channel headers (predictor int16, step index, reserved) —
+    the predictor is the block's first output sample — then 4-byte
+    data words interleaved per channel, two 4-bit samples per byte,
+    low nibble first. Sequential per spec (each step's quantizer state
+    depends on the previous); clips are media-sized, so the Python
+    inner loop is acceptable. Returns (n, channels) int16."""
+    hdr = 4 * channels
+    if block_align <= hdr or (block_align - hdr) % (4 * channels) != 0:
+        raise ValueError(f"bad IMA ADPCM block_align {block_align}")
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < hdr:
+            raise ValueError("truncated IMA ADPCM block header")
+        preds, idxs = [], []
+        for c in range(channels):
+            pred = int.from_bytes(
+                block[4 * c : 4 * c + 2], "little", signed=True
+            )
+            idx = block[4 * c + 2]
+            if idx > 88:
+                raise ValueError(f"IMA ADPCM step index {idx} > 88")
+            preds.append(pred)
+            idxs.append(idx)
+            chans[c].append(pred)  # header predictor = sample 0
+        body = block[hdr:]
+        if len(body) % (4 * channels) != 0:
+            raise ValueError("truncated IMA ADPCM block body")
+        for w0 in range(0, len(body), 4):
+            c = (w0 // 4) % channels
+            for byte in body[w0 : w0 + 4]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                    chans[c].append(preds[c])
+    n = min(len(ch) for ch in chans)
+    out = np.empty((n, channels), dtype=np.int16)
+    for c in range(channels):
+        out[:, c] = chans[c][:n]
+    return out
+
+
+def _ima_adpcm_encode(
+    samples: np.ndarray, words_per_block: int = 8
+) -> tuple[bytes, int]:
+    """IMA ADPCM encoder (writer counterpart of the decoder, same
+    quantizer state machine). ``samples``: (n, channels) int16. Pads
+    the tail block with the last sample. Returns (data, block_align).
+    """
+    n, channels = samples.shape
+    spb = words_per_block * 8 + 1  # samples per block per channel
+    block_align = 4 * channels + 4 * channels * words_per_block
+    out = bytearray()
+    idxs = [0] * channels
+    for b0 in range(0, n, spb):
+        blk = samples[b0 : b0 + spb]
+        if blk.shape[0] < spb:  # pad with the final sample
+            pad = np.repeat(blk[-1:], spb - blk.shape[0], axis=0)
+            blk = np.concatenate([blk, pad], axis=0)
+        preds = [int(blk[0, c]) for c in range(channels)]
+        for c in range(channels):
+            out += int(preds[c]).to_bytes(2, "little", signed=True)
+            out.append(idxs[c])
+            out.append(0)
+        nibbles: list[list[int]] = [[] for _ in range(channels)]
+        for c in range(channels):
+            pred, idx = preds[c], idxs[c]
+            for s in blk[1:, c]:
+                step = int(_IMA_STEPS[idx])
+                diff = int(s) - pred
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                pred, idx = _ima_step(pred, idx, nib)
+                nibbles[c].append(nib)
+            idxs[c] = idx
+        for w in range(words_per_block):
+            for c in range(channels):
+                for k in range(4):
+                    lo = nibbles[c][w * 8 + 2 * k]
+                    hi = nibbles[c][w * 8 + 2 * k + 1]
+                    out.append(lo | (hi << 4))
+    return bytes(out), block_align
+
+
+def wav_bytes(
+    samples: np.ndarray, rate: int = 8000, audio_fmt: int = 1
+) -> bytes:
+    """Serialize (n, channels) int16 samples as a RIFF/WAV payload in
+    format 1 (PCM16), 6 (A-law), 7 (mu-law), or 0x11 (IMA ADPCM) — the
+    writer counterpart of :func:`_parse_wav` for tests/synth tables.
+    G.711 encoding picks the nearest code by decoded magnitude (exact
+    inverse of the decode LUT on its own range)."""
+    import struct
+
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    if audio_fmt == 1:
+        data = samples.astype("<i2").tobytes()
+        bits, block_align = 16, 2 * channels
+    elif audio_fmt in (6, 7):
+        lut = _ALAW_LUT if audio_fmt == 6 else _ULAW_LUT
+        order = np.argsort(lut.astype(np.int32), kind="stable")
+        pos = np.searchsorted(
+            lut.astype(np.int32)[order], samples.astype(np.int32).ravel()
+        )
+        pos = np.clip(pos, 1, 255)
+        lo, hi = order[pos - 1], order[np.minimum(pos, 255)]
+        flat = samples.astype(np.int32).ravel()
+        pick_hi = np.abs(lut[hi].astype(np.int32) - flat) < np.abs(
+            lut[lo].astype(np.int32) - flat
+        )
+        data = np.where(pick_hi, hi, lo).astype(np.uint8).tobytes()
+        bits, block_align = 8, channels
+    elif audio_fmt == 0x11:
+        data, block_align = _ima_adpcm_encode(samples)
+        bits = 4
+    else:
+        raise ValueError(f"unsupported audio_fmt {audio_fmt}")
+    fmt = struct.pack(
+        "<HHIIHH", audio_fmt, channels, rate,
+        rate * block_align, block_align, bits,
+    )
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
 def _parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """REAL decoder for RIFF/WAVE PCM16: pure struct/numpy parsing, no
     codec library. Returns (samples int16 ndarray of shape
-    (n, channels), sample_rate). Raises ValueError on malformed or
-    non-PCM16 input."""
+    (n, channels), sample_rate). Format tags 1 (PCM16), 6 (A-law),
+    7 (mu-law), and 0x11 (IMA ADPCM) decode for real; anything else
+    raises ValueError."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -1125,15 +1325,26 @@ def _parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    audio_fmt, channels, rate, _, _, bits = fmt
-    if audio_fmt != 1 or bits != 16:
-        raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+    audio_fmt, channels, rate, _, block_align, bits = fmt
     if channels < 1:
         raise ValueError("zero channels")
-    samples = np.frombuffer(
-        data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2"
-    ).reshape(-1, channels)
-    return samples, rate
+    if audio_fmt == 1 and bits == 16:
+        samples = np.frombuffer(
+            data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2"
+        ).reshape(-1, channels)
+        return samples, rate
+    if audio_fmt in (6, 7) and bits == 8:  # G.711 A-law / mu-law
+        lut = _ALAW_LUT if audio_fmt == 6 else _ULAW_LUT
+        codes = np.frombuffer(
+            data[: (len(data) // channels) * channels], dtype=np.uint8
+        )
+        return lut[codes].reshape(-1, channels), rate
+    if audio_fmt == 0x11 and bits == 4:  # IMA ADPCM
+        return _ima_adpcm_decode(data, channels, block_align), rate
+    raise ValueError(
+        f"unsupported WAV (fmt={audio_fmt}, bits={bits}): only PCM16, "
+        "G.711 A-law/mu-law, and IMA ADPCM decode"
+    )
 
 
 def audio_features(
@@ -1143,10 +1354,11 @@ def audio_features(
     decode_stub: str = "error",
 ) -> DataFrame:
     """Per-clip audio features: duration_ms, RMS, zero-crossing rate,
-    peak — computed from REAL samples for RIFF/WAV PCM16 payloads
-    (codec-free, parsed by :func:`_parse_wav`); non-WAV payloads follow
-    the stub policy (fake = deterministic sha256 sample stream,
-    error = NotImplementedError). Map-only Arrow batches."""
+    peak — computed from REAL samples for RIFF/WAV payloads in PCM16,
+    G.711 A-law/mu-law, or IMA ADPCM (parsed by :func:`_parse_wav`);
+    non-WAV payloads follow the stub policy (fake = deterministic
+    sha256 sample stream, error = NotImplementedError). Map-only
+    Arrow batches."""
 
     def _features(samples: np.ndarray, rate: int):
         mono = samples.astype(np.float64).mean(axis=1)
@@ -1237,6 +1449,52 @@ def synth_wav_media(
                 [
                     pa.array(ids, type=pa.int64()),
                     pa.array([_wav_bytes(int(i)) for i in ids], type=pa.binary()),
+                ],
+                names=["media_id", "payload"],
+            )
+
+    return spark.range(n_rows).mapInArrow(fn, "media_id long, payload binary")
+
+
+def synth_compressed_wav_media(
+    spark,
+    n_rows: int = 30,
+    n_samples: int = 400,
+    rate: int = 8000,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic REAL-audio table cycling the compressed WAV
+    formats — id%3 selects A-law (6), mu-law (7), IMA ADPCM (0x11);
+    odd ids are stereo. Same ground-truth contract as
+    :func:`synth_wav_media`: tests re-encode/re-decode locally and
+    demand exact sample equality with the Spark-side decode."""
+
+    def _payload(i: int) -> bytes:
+        rng = np.random.default_rng(seed * 7919 + i)
+        t = np.arange(n_samples)
+        ch = 2 if i % 2 else 1
+        sig = np.stack(
+            [
+                (
+                    6000 * np.sin(2 * np.pi * (100 + 50 * (i % 10) + 30 * c) * t / rate)
+                    + rng.integers(-300, 300, n_samples)
+                ).astype(np.int16)
+                for c in range(ch)
+            ],
+            axis=1,
+        )
+        fmt = (6, 7, 0x11)[i % 3]
+        return wav_bytes(sig, rate, fmt)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(
+                        [_payload(int(i)) for i in ids], type=pa.binary()
+                    ),
                 ],
                 names=["media_id", "payload"],
             )
