@@ -615,9 +615,11 @@ def test_png_parser_rejects_malformed():
     no_plte = paletted[:33] + paletted[33 + 12 + plte_len:]
     with _pytest.raises(ValueError, match="PLTE"):
         _parse_png(no_plte)
-    # non-PNG payload under the error policy -> NotImplementedError
+    # unsupported-format payload (TIFF magic) under the error policy
+    # -> NotImplementedError (JPEG now decodes for real, so its magic
+    # no longer reaches the stub)
     with _pytest.raises(NotImplementedError):
-        _decode_image(b"\xff\xd8\xff\xe0JFIF....", 4, 4, "error")
+        _decode_image(b"II*\x00........", 4, 4, "error")
 
 
 def test_g711_decode_tables_match_itu_formulas():

@@ -8,15 +8,17 @@ feature/frame outputs — is REAL and tested. Decoding has three tiers:
 - real decoders, no codec library: binary PPM (P6), uncompressed
   24-bpp BMP, and — since round 4 — GIF87a/89a with full LZW
   decompression and interlacing, 8-bit PNG (all five color types,
-  Adam7, stdlib zlib inflate + numpy unfiltering), and RIFF/WAV in
-  PCM16, G.711 A-law/mu-law, and IMA ADPCM (``_parse_ppm`` /
-  ``_parse_bmp`` / ``_parse_gif`` / ``_parse_png`` / ``_parse_wav``;
-  each ground-truth-equality tested via its ``synth_*_media``
-  generator) — genuine decode paths, not stubs;
+  Adam7, stdlib zlib inflate + numpy unfiltering), baseline
+  sequential JPEG (tl_spark.operators.jpeg: Huffman entropy decode,
+  restart markers, 4:2:0/4:4:4, matrix IDCT), and RIFF/WAV in PCM16,
+  G.711 A-law/mu-law, and IMA ADPCM (``_parse_ppm`` / ``_parse_bmp``
+  / ``_parse_gif`` / ``_parse_png`` / ``jpeg_decode`` /
+  ``_parse_wav``; each ground-truth tested via its
+  ``synth_*_media`` generator) — genuine decode paths, not stubs;
 - ``decode_stub="error"``  -> NotImplementedError for the REMAINING
-  compressed formats (JPEG/MP3/...: the honest default — those
-  need codec libraries this container lacks; plug one into
-  ``_decode_image``/_audio);
+  formats (progressive JPEG, MP3/AAC, video codecs: the honest
+  default — those need codec libraries this container lacks; plug
+  one into ``_decode_image``/_audio);
 - ``decode_stub="fake"``   -> a deterministic fake decoder: payload
   bytes are hashed into a pseudo pixel/sample buffer, so downstream
   shapes, dtypes, batching, and reductions are exercised end-to-end
@@ -594,13 +596,18 @@ def _decode_image(payload: bytes, width: int, height: int, stub: str) -> np.ndar
     if payload and payload[:8] == _PNG_SIG:
         rgb = _parse_png(payload)
         return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+    if payload and payload[:2] == b"\xff\xd8":
+        from tl_spark.operators.jpeg import jpeg_decode
+
+        rgb = jpeg_decode(payload)
+        return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
     if stub == "fake":
         return _fake_decode(payload, width * height).reshape(height, width)
     raise NotImplementedError(
-        "JPEG/... decoding requires a codec library; none is "
-        "available in this container — P6/PPM, 24-bpp BMP, GIF, and "
-        "PNG payloads decode for real, pass decode_stub='fake' for "
-        "the deterministic test decoder, or plug a real codec in here"
+        "this image format needs a codec library this container "
+        "lacks — P6/PPM, 24-bpp BMP, GIF, PNG, and baseline JPEG "
+        "payloads decode for real, pass decode_stub='fake' for the "
+        "deterministic test decoder, or plug a real codec in here"
     )
 
 
@@ -1297,6 +1304,58 @@ def wav_bytes(
         + (b"\x00" if len(data) & 1 else b"")
     )
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def synth_jpeg_media(
+    spark,
+    n_rows: int = 30,
+    width: int = 48,
+    height: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic REAL-image table with baseline JFIF payloads
+    (odd ids 4:2:0-subsampled, every third id with restart markers).
+    JPEG is lossy, so the ground-truth contract differs from the other
+    synth tables: tests re-encode locally with the same parameters and
+    demand feature equality against a local decode of the SAME
+    payload (decode determinism), plus a PSNR bound vs the original."""
+    from tl_spark.operators.jpeg import jpeg_bytes
+
+    def _payload(i: int) -> bytes:
+        rng = np.random.default_rng(seed * 1000003 + int(i))
+        yy, xx = np.mgrid[0:height, 0:width]
+        f1, f2 = 5 + (i % 7), 4 + (i % 5)
+        img = np.stack(
+            [
+                128 + 90 * np.sin(xx / f1) * np.cos(yy / f2),
+                128 + 70 * np.cos(xx / (f2 + 2) + yy / f1),
+                128 + 50 * np.sin((xx + yy) / (f1 + 3)),
+            ],
+            axis=2,
+        )
+        img = (img + rng.normal(0, 2, img.shape)).clip(0, 255).astype(np.uint8)
+        return jpeg_bytes(
+            img,
+            quality=90,
+            subsample="420" if i % 2 else "444",
+            restart_interval=2 if i % 3 == 0 else 0,
+        )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(
+                        [_payload(int(i)) for i in ids], type=pa.binary()
+                    ),
+                ],
+                names=["media_id", "payload"],
+            )
+
+    df = spark.range(n_rows).mapInArrow(fn, "media_id long, payload binary")
+    return attach_media_meta(df)
 
 
 def _parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
