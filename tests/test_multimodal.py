@@ -803,3 +803,94 @@ def test_wav_parser_rejects_unsupported_and_malformed():
     bad_idx[46] = 99  # 44-byte RIFF/fmt preamble + 2-byte predictor
     with _pytest.raises(ValueError, match="> 88"):
         _parse_wav(bytes(bad_idx))
+
+
+def test_avi_dib_roundtrip_exact_and_mjpg_consistent():
+    """avi_bytes('DIB ') -> _parse_avi_frames is pixel-lossless;
+    MJPG frames equal the standalone JPEG codec on the same encode;
+    stripping DHT (MJPEG convention) decodes identically via the
+    Annex-K fallback."""
+    import numpy as np
+
+    from tl_spark.operators.jpeg import jpeg_bytes, jpeg_decode
+    from tl_spark.operators.multimodal import _parse_avi_frames, avi_bytes
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    frames = [
+        (128 + 90 * np.sin(xx / 5 + k) * np.cos(yy / 4))
+        .clip(0, 255)
+        .astype(np.uint8)[..., None]
+        .repeat(3, 2)
+        for k in range(5)
+    ]
+    dec = list(_parse_avi_frames(avi_bytes(frames, codec="DIB ")))
+    assert len(dec) == 5
+    assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+
+    full = avi_bytes(frames, codec="MJPG", quality=85)
+    exp = [
+        jpeg_decode(jpeg_bytes(f, quality=85, subsample="420"))
+        for f in frames
+    ]
+    assert all(
+        np.array_equal(a, b)
+        for a, b in zip(_parse_avi_frames(full), exp)
+    )
+    stripped = avi_bytes(frames, codec="MJPG", quality=85, strip_dht=True)
+    assert len(stripped) < len(full)
+    assert all(
+        np.array_equal(a, b)
+        for a, b in zip(_parse_avi_frames(stripped), exp)
+    )
+
+
+def test_avi_parser_rejects_malformed():
+    import numpy as np
+    import pytest as _pytest
+
+    from tl_spark.operators.multimodal import _parse_avi_frames, avi_bytes
+
+    frames = [np.zeros((8, 8, 3), np.uint8)]
+    good = avi_bytes(frames, codec="DIB ")
+    with _pytest.raises(ValueError, match="not a RIFF/AVI"):
+        list(_parse_avi_frames(b"RIFF\x08\x00\x00\x00WAVEdata"))
+    with _pytest.raises(ValueError, match="truncated"):
+        list(_parse_avi_frames(good[:100]))
+    assert len(list(_parse_avi_frames(good, max_frames=1))) == 1
+
+
+def test_avi_frame_sampling_is_real(spark):
+    """AVI payloads take the REAL video path in sample_frames with
+    decode_stub='error': per-frame grayscale means equal a local
+    decode of the identical payloads, for DIB, MJPG, and
+    DHT-stripped MJPG alike."""
+    import numpy as np
+
+    from tl_spark.operators.multimodal import (
+        _parse_avi_frames,
+        sample_frames,
+        synth_avi_media,
+    )
+
+    media = synth_avi_media(spark, n_rows=6, n_frames=6)
+    got = {
+        (r["media_id"], r["frame_idx"]): r["frame_mean"]
+        for r in sample_frames(
+            media, every_k=2, decode_stub="error"
+        ).collect()
+    }
+    payloads = {
+        r["media_id"]: bytes(r["payload"]) for r in media.collect()
+    }
+    assert len(payloads) == 6
+    expected = {}
+    for i, p in payloads.items():
+        for fidx, frame in enumerate(_parse_avi_frames(p)):
+            if fidx % 2:
+                continue
+            gray = (frame.astype(np.uint16).sum(axis=2) // 3).astype(
+                np.uint8
+            )
+            expected[(i, fidx)] = float(gray.mean())
+    assert got == expected
+    assert len(got) == 6 * 3  # 6 clips x frames 0,2,4

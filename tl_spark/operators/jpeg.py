@@ -316,6 +316,14 @@ def jpeg_decode_coefficients(payload: bytes):
     (blocks_v, blocks_h, 64) in natural order). This is the entropy-
     exactness surface the tests pin bit-for-bit."""
     qt, huff_dc, huff_ac, frame, ri, scan = _parse_jpeg_structure(payload)
+    # MJPEG convention (OpenDML): streams may omit DHT entirely, in
+    # which case the Annex-K typical tables apply. Fill only MISSING
+    # slots 0/1 — present tables always win.
+    for th, (d, a) in ((0, (DC_LUMA, AC_LUMA)), (1, (DC_CHROMA, AC_CHROMA))):
+        if th not in huff_dc:
+            huff_dc[th] = _build_huffman(*d)[0]
+        if th not in huff_ac:
+            huff_ac[th] = _build_huffman(*a)[0]
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -335,7 +343,12 @@ def jpeg_decode_coefficients(payload: bytes):
                 preds = [0] * len(comps)
             for ci, c in enumerate(comps):
                 td, ta = scan["mapping"][c["id"]]
-                dct, act = huff_dc[td], huff_ac[ta]
+                dct, act = huff_dc.get(td), huff_ac.get(ta)
+                if dct is None or act is None:
+                    raise ValueError(
+                        f"JPEG scan references missing Huffman table "
+                        f"dc={td} ac={ta}"
+                    )
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         blk = np.zeros(64, np.int32)

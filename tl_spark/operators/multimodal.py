@@ -648,6 +648,228 @@ def image_features(
     )
 
 
+def _parse_avi_frames(payload: bytes, max_frames: int | None = None):
+    """REAL decoder for RIFF/AVI video: yields (h, w, 3) uint8 RGB
+    frames from the first 'vids' stream. Codec-free path for 'DIB '
+    (uncompressed 24-bpp BGR bottom-up rasters) and a real MJPEG path
+    via :mod:`tl_spark.operators.jpeg` (per-frame baseline JPEG,
+    missing-DHT streams fall back to the Annex-K tables per the
+    OpenDML convention). Raises ValueError on malformed containers or
+    unsupported codecs."""
+    import struct
+
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        raise ValueError("not a RIFF/AVI payload")
+
+    def chunks(pos: int, end: int):
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            if pos + 8 + size > end:
+                raise ValueError(f"truncated AVI chunk {cid!r}")
+            yield cid, pos + 8, size
+            pos += 8 + size + (size & 1)
+
+    vids_stream = None  # (stream_index, handler, strf BITMAPINFOHEADER)
+    movi = None
+    stream_idx = 0
+
+    def scan_hdrl(pos: int, end: int):
+        nonlocal vids_stream, stream_idx
+        for cid, at, size in chunks(pos, end):
+            if cid == b"LIST" and payload[at : at + 4] == b"strl":
+                fcc_type = handler = strf = None
+                for c2, a2, s2 in chunks(at + 4, at + size):
+                    if c2 == b"strh":
+                        fcc_type = payload[a2 : a2 + 4]
+                        handler = payload[a2 + 4 : a2 + 8]
+                    elif c2 == b"strf":
+                        strf = payload[a2 : a2 + s2]
+                if fcc_type == b"vids" and vids_stream is None:
+                    vids_stream = (stream_idx, handler, strf)
+                stream_idx += 1
+
+    for cid, at, size in chunks(12, len(payload)):
+        if cid == b"LIST":
+            subtype = payload[at : at + 4]
+            if subtype == b"hdrl":
+                scan_hdrl(at + 4, at + size)
+            elif subtype == b"movi":
+                movi = (at + 4, at + size)
+    if vids_stream is None or movi is None:
+        raise ValueError("AVI missing vids stream or movi list")
+    sidx, handler, strf = vids_stream
+    tag = f"{sidx:02d}".encode()
+    handler = (handler or b"").upper()
+    is_mjpg = handler == b"MJPG"
+    if not is_mjpg and handler not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
+        raise ValueError(f"unsupported AVI codec {handler!r}")
+    if not is_mjpg:
+        if strf is None or len(strf) < 40:
+            raise ValueError("AVI DIB stream missing strf header")
+        w, h_raw = struct.unpack_from("<ii", strf, 4)
+        bpp = struct.unpack_from("<H", strf, 14)[0]
+        comp = struct.unpack_from("<I", strf, 16)[0]
+        if bpp != 24 or comp != 0:
+            raise ValueError(
+                f"unsupported AVI DIB: bpp={bpp} compression={comp}"
+            )
+        top_down = h_raw < 0
+        h = -h_raw if top_down else h_raw
+        stride = (w * 3 + 3) & ~3
+    n = 0
+    for cid, at, size in chunks(*movi):
+        if cid[:2] != tag or cid[2:4] not in (b"db", b"dc"):
+            continue
+        body = payload[at : at + size]
+        if is_mjpg:
+            from tl_spark.operators.jpeg import jpeg_decode
+
+            yield jpeg_decode(body)
+        else:
+            need = stride * h
+            if len(body) < need:
+                raise ValueError("truncated AVI DIB frame")
+            rows = np.frombuffer(body[:need], np.uint8).reshape(h, stride)
+            bgr = rows[:, : w * 3].reshape(h, w, 3)
+            if not top_down:
+                bgr = bgr[::-1]
+            yield bgr[:, :, ::-1].copy()
+        n += 1
+        if max_frames is not None and n >= max_frames:
+            return
+
+
+def avi_bytes(
+    frames,
+    codec: str = "MJPG",
+    fps: int = 10,
+    quality: int = 85,
+    strip_dht: bool = False,
+) -> bytes:
+    """Serialize (h, w, 3) uint8 RGB frames as a RIFF/AVI container —
+    writer counterpart of :func:`_parse_avi_frames` for tests.
+    ``codec``: "MJPG" (per-frame baseline JPEG; ``strip_dht=True``
+    drops the DHT segments to exercise the Annex-K fallback) or
+    "DIB " (uncompressed 24-bpp bottom-up BGR)."""
+    import struct
+
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("no frames")
+    h, w, _ = frames[0].shape
+
+    def enc(f: np.ndarray) -> bytes:
+        if codec == "MJPG":
+            from tl_spark.operators.jpeg import jpeg_bytes
+
+            data = jpeg_bytes(f, quality=quality, subsample="420")
+            if strip_dht:
+                out, pos = bytearray(data[:2]), 2
+                while pos + 4 <= len(data):
+                    if data[pos + 1] == 0xD9:
+                        out += data[pos:]
+                        break
+                    (ln,) = struct.unpack_from(">H", data, pos + 2)
+                    if data[pos + 1] != 0xC4:
+                        out += data[pos : pos + 2 + ln]
+                    if data[pos + 1] == 0xDA:
+                        out += data[pos + 2 + ln :]
+                        break
+                    pos += 2 + ln
+                data = bytes(out)
+            return data
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = f[:, :, ::-1].reshape(h, w * 3)
+        return rows[::-1].tobytes()
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            cid + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0, w, h,
+        0, 0, 0, 0,
+    )
+    handler = b"MJPG" if codec == "MJPG" else b"DIB "
+    strh = (
+        b"vids" + handler
+        + struct.pack("<IIIIIIIIII", 0, 0, 0, 1, fps, 0, len(frames), 0,
+                      0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    comp = 0 if codec != "MJPG" else struct.unpack("<I", b"MJPG")[0]
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, comp, h * w * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    tag = b"00dc" if codec == "MJPG" else b"00db"
+    movi = lst(b"movi", b"".join(chunk(tag, enc(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_avi_media(
+    spark,
+    n_rows: int = 12,
+    n_frames: int = 6,
+    width: int = 32,
+    height: int = 24,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic REAL-video table with RIFF/AVI payloads — even
+    ids are lossless 'DIB ' streams, odd ids MJPG (every third MJPG
+    with DHT stripped to exercise the Annex-K fallback). Tests decode
+    the same payloads locally and demand exact frame-mean equality
+    with the Spark-side :func:`sample_frames` output."""
+
+    def _payload(i: int) -> bytes:
+        yy, xx = np.mgrid[0:height, 0:width]
+        frames = [
+            (128 + 90 * np.sin(xx / (4 + i % 3) + k) * np.cos(yy / 4))
+            .clip(0, 255)
+            .astype(np.uint8)[..., None]
+            .repeat(3, 2)
+            for k in range(n_frames)
+        ]
+        if i % 2 == 0:
+            return avi_bytes(frames, codec="DIB ")
+        return avi_bytes(
+            frames, codec="MJPG", quality=85, strip_dht=(i % 3 == 0)
+        )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(
+                        [_payload(int(i)) for i in ids], type=pa.binary()
+                    ),
+                ],
+                names=["media_id", "payload"],
+            )
+
+    df = spark.range(n_rows).mapInArrow(fn, "media_id long, payload binary")
+    return attach_media_meta(df)
+
+
 def sample_frames(
     df: DataFrame,
     every_k: int = 10,
@@ -666,11 +888,19 @@ def sample_frames(
             metas = batch.column("media").to_pylist()
             out_ids, out_frame_idx, out_mean = [], [], []
             for i, p, m in zip(ids, payloads, metas):
-                if p and p[:4] == b"GIF8":
-                    # REAL animation path: the payload header is
+                is_avi = (
+                    p and len(p) >= 12
+                    and p[:4] == b"RIFF" and p[8:12] == b"AVI "
+                )
+                if (p and p[:4] == b"GIF8") or is_avi:
+                    # REAL animation/video path: the payload header is
                     # authoritative (same principle as _decode_image) —
                     # every every_k-th decoded frame's grayscale mean
-                    for fidx, frame in enumerate(_parse_gif_frames(p)):
+                    frames = (
+                        _parse_avi_frames(p) if is_avi
+                        else _parse_gif_frames(p)
+                    )
+                    for fidx, frame in enumerate(frames):
                         if fidx % every_k:
                             continue
                         gray = (
