@@ -1799,7 +1799,8 @@ def resize_images(
     id_col: str = "media_id",
     decode_stub: str = "error",
 ) -> DataFrame:
-    """Image resize (task brief op): decode (REAL for P6/PPM, stub
+    """Image resize (task brief op): decode (REAL for PPM/BMP/GIF/
+    PNG/JPEG via ``_decode_image``'s header sniff, stub
     policy otherwise), nearest-neighbor downsample the grayscale plane
     to (out_h, out_w) with deterministic index sampling, and emit the
     resized plane as a binary column plus dims. Map-only Arrow
