@@ -164,12 +164,12 @@ def test_jpeg_rejects_unsupported_and_malformed():
     good = bytearray(jpeg_bytes(img, quality=90))
     with pytest.raises(ValueError, match="not a JPEG"):
         jpeg_decode(b"\x89PNG" + bytes(good[2:]))
-    # flip SOF0 -> SOF2 (progressive): find the marker
+    # flip SOF0 -> SOF3 (lossless; progressive SOF2 is supported now)
     sof = bytes(good).find(b"\xff\xc0")
-    prog = bytearray(good)
-    prog[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF2"):
-        jpeg_decode(bytes(prog))
+    lossless = bytearray(good)
+    lossless[sof + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF3"):
+        jpeg_decode(bytes(lossless))
     # truncated segment
     with pytest.raises(ValueError, match="truncated|missing"):
         jpeg_decode(bytes(good[: sof + 6]))
@@ -202,3 +202,66 @@ def test_jpeg_payloads_decode_for_real_in_spark(spark):
         assert got[i][0] == hist, f"media {i}: histogram mismatch"
         assert got[i][1] == float(gray.mean())
         assert got[i][2] == float(gray.std())
+
+
+def test_progressive_jpeg_equals_baseline_exactly():
+    """jpeg_bytes_progressive shares jpeg_bytes' quantization front
+    half, so decoding its SOF2 multi-scan stream (spectral selection +
+    successive approximation: DC first/refine, AC first at Al 1-2, AC
+    refine with correction bits, EOB runs, ZRL) must recover the SAME
+    quantized coefficients on the visible block grid — and the SAME
+    pixels — as the baseline encoding. Exactness across a completely
+    different scan structure pins the whole progressive path."""
+    from tl_spark.operators.jpeg import (
+        jpeg_bytes,
+        jpeg_bytes_progressive,
+        jpeg_decode,
+        jpeg_decode_coefficients,
+    )
+
+    img = _smooth_img(45, 61)
+    for sub in ("444", "420"):
+        for q in (25, 75, 95):
+            sink_b, sink_p = [], []
+            base = jpeg_bytes(
+                img, quality=q, subsample=sub, _coef_sink=sink_b
+            )
+            prog = jpeg_bytes_progressive(
+                img, quality=q, subsample=sub, _coef_sink=sink_p
+            )
+            assert all(
+                np.array_equal(a, b) for a, b in zip(sink_b, sink_p)
+            )
+            fb, cb, _ = jpeg_decode_coefficients(base)
+            _, cp, _ = jpeg_decode_coefficients(prog)
+            for ci, c in enumerate(fb["comps"]):
+                bw, bh = c["_bw"], c["_bh"]
+                assert np.array_equal(
+                    cb[ci][:bh, :bw], cp[ci][:bh, :bw]
+                ), (sub, q, ci)
+            assert np.array_equal(jpeg_decode(base), jpeg_decode(prog))
+
+
+def test_progressive_jpeg_long_eob_runs():
+    """A mostly-flat image at low quality produces multi-block EOB
+    runs in the AC-first scans (run > 1 requires the EOBn extra-bits
+    path); decode must still be coefficient-exact."""
+    import numpy as np
+
+    from tl_spark.operators.jpeg import (
+        jpeg_bytes,
+        jpeg_bytes_progressive,
+        jpeg_decode,
+        jpeg_decode_coefficients,
+    )
+
+    img = np.full((64, 64, 3), 120, np.uint8)
+    img[30:34, 30:34] = 250  # one feature so not everything is EOB
+    base = jpeg_bytes(img, quality=25, subsample="420")
+    prog = jpeg_bytes_progressive(img, quality=25, subsample="420")
+    fb, cb, _ = jpeg_decode_coefficients(base)
+    _, cp, _ = jpeg_decode_coefficients(prog)
+    for ci, c in enumerate(fb["comps"]):
+        bw, bh = c["_bw"], c["_bh"]
+        assert np.array_equal(cb[ci][:bh, :bw], cp[ci][:bh, :bw])
+    assert np.array_equal(jpeg_decode(base), jpeg_decode(prog))

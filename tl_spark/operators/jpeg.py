@@ -1,12 +1,19 @@
-"""Baseline sequential JPEG codec (ITU-T T.81), pure numpy + stdlib.
+"""JPEG codec (ITU-T T.81), pure numpy + stdlib: baseline sequential
+(SOF0) AND progressive (SOF2).
 
-Decoder: SOI/APP*/COM/DQT/DHT/SOF0/DRI/SOS marker parse, canonical
-Huffman entropy decode with 0xFF00 unstuffing and RSTn handling, DC
-prediction, dezigzag, dequantize, orthonormal-matrix IDCT, integer-
-ratio chroma upsample, JFIF YCbCr->RGB. Encoder: the exact inverse
-pipeline with the standard Annex-K quantization/Huffman tables and a
-libjpeg-style quality scale. Baseline 8-bit only — progressive
-(SOF2), arithmetic coding, and 12-bit precision raise ValueError.
+Decoder: SOI/APP*/COM/DQT/DHT/SOF0/SOF2/DRI/SOS marker walk over any
+number of scans; canonical Huffman entropy decode with 0xFF00
+unstuffing and RSTn handling; for progressive streams the full G.2
+machinery — spectral selection, successive approximation (DC
+first/refine, AC first/refine with correction bits), EOB runs, ZRL —
+then DC prediction, dezigzag, dequantize, orthonormal-matrix IDCT,
+integer-ratio chroma upsample, JFIF YCbCr->RGB. Encoders: baseline
+(`jpeg_bytes`, Annex-K tables, libjpeg-style quality scale, restart
+markers) and progressive (`jpeg_bytes_progressive`, libjpeg-style
+scan script) sharing the same quantization front half — so the two
+encodings of an image are coefficient-identical, which the tests pin.
+Arithmetic coding, 12-bit precision, and lossless/hierarchical frames
+raise ValueError.
 
 Correctness strategy (tests/test_jpeg.py):
 - the entropy layer (Huffman + DC diff + zigzag + byte stuffing) is
@@ -118,6 +125,17 @@ AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
 ])
 
 
+# Progressive AC scans need the EOBn (n=1..14) run symbols, which the
+# Annex-K tables cannot host (their 16-bit bucket is full: exactly one
+# spare code, the reserved all-ones). Use a flat custom table instead:
+# every (run, size) symbol for run 0-15, size 0-10 — 176 symbols, all
+# at 8 bits (Kraft 176/256, canonically valid; size over optimality).
+_AC_PROG_SYMS = [(r << 4) | s for r in range(16) for s in range(11)]
+AC_PROG = ([0] * 7 + [176] + [0] * 8, _AC_PROG_SYMS)
+AC_LUMA_PROG = AC_PROG
+AC_CHROMA_PROG = AC_PROG
+
+
 def _dct_matrix() -> np.ndarray:
     """Orthonormal 8x8 DCT-II basis: F = C @ f @ C.T, f = C.T @ F @ C."""
     k = np.arange(8)[:, None]
@@ -140,6 +158,8 @@ def _build_huffman(bits: list[int], values: list[int]):
     idx = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("Huffman table overflows its code space")
             sym = values[idx]
             decode[(length, code)] = sym
             encode[sym] = (length, code)
@@ -228,8 +248,176 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _parse_jpeg_structure(payload: bytes):
-    """Marker walk shared by the coefficient and pixel decoders."""
+def _find_scan_end(payload: bytes, pos: int) -> int:
+    """Position of the first real marker (not stuffing, not RSTn)
+    after entropy-coded data starting at ``pos``."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_scan(
+    payload: bytes,
+    data_at: int,
+    scan_comps: list,
+    band: tuple[int, int],
+    approx: tuple[int, int],
+    ri: int,
+    grid: tuple[int, int],
+    coefs: list[np.ndarray],
+    progressive: bool,
+):
+    """Decode one scan's entropy data into ``coefs`` (T.81 F.2 for
+    baseline, G.2 for progressive DC/AC first/refine scans).
+    ``scan_comps``: [(comp_index, comp, dc_table, ac_table)];
+    ``band``=(Ss,Se); ``approx``=(Ah,Al); ``grid``=(mcus_x, mcus_y).
+    """
+    ss, se = band
+    ah, al = approx
+    mcus_x, mcus_y = grid
+    reader = _BitReader(payload, data_at)
+    preds = [0] * len(scan_comps)
+    eobrun = 0
+    interleaved = len(scan_comps) > 1
+
+    def decode_block(blk: np.ndarray, si: int, dct, act):
+        nonlocal eobrun
+        if not progressive:
+            s = reader.huff(dct)
+            preds[si] += _extend(reader.bits(s), s)
+            blk[0] = preds[si]
+            k = 1
+            while k < 64:
+                rs = reader.huff(act)
+                r, sz = rs >> 4, rs & 0x0F
+                if sz == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC index overflow")
+                blk[ZIGZAG[k]] = _extend(reader.bits(sz), sz)
+                k += 1
+            return
+        if ss == 0 and ah == 0:  # DC first
+            s = reader.huff(dct)
+            preds[si] += _extend(reader.bits(s), s)
+            blk[0] = preds[si] << al
+            return
+        if ss == 0:  # DC refine: one raw bit per block
+            if reader.bits(1):
+                blk[0] = int(blk[0]) | (1 << al)
+            return
+        if ah == 0:  # AC first (spectral band, with EOB runs)
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = reader.huff(act)
+                r, sz = rs >> 4, rs & 0x0F
+                if sz == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    return
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC band overflow")
+                blk[ZIGZAG[k]] = _extend(reader.bits(sz), sz) << al
+                k += 1
+            return
+        # AC refine (T.81 G.2, the correction-bit algorithm)
+        p1, m1 = 1 << al, -(1 << al)
+
+        def correct(pos: int):
+            v = int(blk[pos])
+            if v and reader.bits(1) and (v & p1) == 0:
+                blk[pos] = v + (p1 if v >= 0 else m1)
+            return v != 0
+
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.huff(act)
+                r, sz = rs >> 4, rs & 0x0F
+                if sz == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    newval = 0  # ZRL: skip 16 zero-history slots
+                else:
+                    if sz != 1:
+                        raise ValueError("bad AC-refine size")
+                    newval = p1 if reader.bits(1) else m1
+                while k <= se:
+                    if not correct(int(ZIGZAG[k])):
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[ZIGZAG[k]] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                correct(int(ZIGZAG[k]))
+                k += 1
+            eobrun -= 1
+
+    def restart():
+        nonlocal eobrun
+        reader.restart()
+        for i in range(len(preds)):
+            preds[i] = 0
+        eobrun = 0
+
+    unit = 0
+    if interleaved:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if ri and unit and unit % ri == 0:
+                    restart()
+                for si, (ci, c, dct, act) in enumerate(scan_comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            y, x = my * c["v"] + by, mx * c["h"] + bx
+                            decode_block(coefs[ci][y, x], si, dct, act)
+                unit += 1
+    else:
+        # non-interleaved: the MCU is one block; the scan covers only
+        # ceil(comp_dim/8) blocks, not the padded MCU grid (T.81 A.2.2)
+        ci, c, dct, act = scan_comps[0]
+        bw, bh_ = c["_bw"], c["_bh"]
+        for y in range(bh_):
+            for x in range(bw):
+                if ri and unit and unit % ri == 0:
+                    restart()
+                decode_block(coefs[ci][y, x], 0, dct, act)
+                unit += 1
+
+
+def jpeg_decode_coefficients(payload: bytes):
+    """Decode through the LOSSLESS layers only: returns
+    (frame, per-component quantized-coefficient arrays of shape
+    (blocks_v, blocks_h, 64) in natural order). Handles baseline
+    (SOF0, one interleaved scan) and progressive (SOF2, multiple
+    spectral-selection / successive-approximation scans). This is the
+    entropy-exactness surface the tests pin bit-for-bit."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -237,8 +425,11 @@ def _parse_jpeg_structure(payload: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    coefs = None
+    grid = None
+    saw_scan = False
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
@@ -277,7 +468,8 @@ def _parse_jpeg_structure(payload: bytes):
                 dec, _ = _build_huffman(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = dec
                 o += 17 + nvals
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -288,92 +480,73 @@ def _parse_jpeg_structure(payload: bytes):
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            grid = (-(-w // (8 * hmax)), -(-h // (8 * vmax)))
+            for c in comps:
+                # non-interleaved scan extent (T.81 A.2.2):
+                # ceil(ceil(dim * sampling / max_sampling) / 8)
+                cw = -(-(w * c["h"]) // hmax)
+                ch_ = -(-(h * c["v"]) // vmax)
+                c["_bw"] = -(-cw // 8)
+                c["_bh"] = -(-ch_ // 8)
+            coefs = [
+                np.zeros((grid[1] * c["v"], grid[0] * c["h"], 64), np.int32)
+                for c in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG frame type SOF{marker - 0xC0} "
-                "(baseline sequential only)"
+                "(baseline sequential and progressive only)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            if frame is None or coefs is None:
+                raise ValueError("JPEG SOS before SOF")
+            # MJPEG convention (OpenDML): streams may omit DHT
+            # entirely, in which case the Annex-K typical tables
+            # apply. Fill only MISSING slots 0/1 — present tables win.
+            for th, (d, a) in (
+                (0, (DC_LUMA, AC_LUMA)), (1, (DC_CHROMA, AC_CHROMA))
+            ):
+                if th not in huff_dc:
+                    huff_dc[th] = _build_huffman(*d)[0]
+                if th not in huff_ac:
+                    huff_ac[th] = _build_huffman(*a)[0]
             ns = body[0]
-            mapping = {}
+            scan_comps = []
             for i in range(ns):
                 cid, tables = struct.unpack_from(">BB", body, 1 + 2 * i)
-                mapping[cid] = (tables >> 4, tables & 0x0F)
-            scan = {"mapping": mapping, "data_at": pos + 2 + seglen}
-            break
-        pos += 2 + seglen
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF0/SOS")
-    return qt, huff_dc, huff_ac, frame, restart_interval, scan
-
-
-def jpeg_decode_coefficients(payload: bytes):
-    """Decode through the LOSSLESS layers only: returns
-    (frame, per-component quantized-coefficient arrays of shape
-    (blocks_v, blocks_h, 64) in natural order). This is the entropy-
-    exactness surface the tests pin bit-for-bit."""
-    qt, huff_dc, huff_ac, frame, ri, scan = _parse_jpeg_structure(payload)
-    # MJPEG convention (OpenDML): streams may omit DHT entirely, in
-    # which case the Annex-K typical tables apply. Fill only MISSING
-    # slots 0/1 — present tables always win.
-    for th, (d, a) in ((0, (DC_LUMA, AC_LUMA)), (1, (DC_CHROMA, AC_CHROMA))):
-        if th not in huff_dc:
-            huff_dc[th] = _build_huffman(*d)[0]
-        if th not in huff_ac:
-            huff_ac[th] = _build_huffman(*a)[0]
-    comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-frame["w"] // (8 * hmax))
-    mcus_y = -(-frame["h"] // (8 * vmax))
-    coefs = [
-        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int32)
-        for c in comps
-    ]
-    reader = _BitReader(payload, scan["data_at"])
-    preds = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if ri and mcu_count and mcu_count % ri == 0:
-                reader.restart()
-                preds = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                td, ta = scan["mapping"][c["id"]]
+                td, ta = tables >> 4, tables & 0x0F
+                matches = [
+                    (ci, c) for ci, c in enumerate(frame["comps"])
+                    if c["id"] == cid
+                ]
+                if not matches:
+                    raise ValueError(f"SOS references unknown comp {cid}")
+                ci, c = matches[0]
                 dct, act = huff_dc.get(td), huff_ac.get(ta)
                 if dct is None or act is None:
                     raise ValueError(
                         f"JPEG scan references missing Huffman table "
                         f"dc={td} ac={ta}"
                     )
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = np.zeros(64, np.int32)
-                        s = reader.huff(dct)
-                        diff = _extend(reader.bits(s), s)
-                        preds[ci] += diff
-                        blk[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.huff(act)
-                            r, sz = rs >> 4, rs & 0x0F
-                            if sz == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            blk[ZIGZAG[k]] = _extend(reader.bits(sz), sz)
-                            k += 1
-                        coefs[ci][
-                            my * c["v"] + by, mx * c["h"] + bx
-                        ] = blk
-            mcu_count += 1
+                scan_comps.append((ci, c, dct, act))
+            ss_, se_, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            data_at = pos + 2 + seglen
+            _decode_scan(
+                payload, data_at, scan_comps,
+                (ss_, se_), (ahal >> 4, ahal & 0x0F),
+                restart_interval, grid, coefs, progressive,
+            )
+            saw_scan = True
+            pos = _find_scan_end(payload, data_at)
+            continue
+        pos += 2 + seglen
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG missing SOF0/SOS")
     return frame, coefs, qt
 
 
@@ -441,21 +614,20 @@ def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
 
 
-def jpeg_bytes(
-    rgb: np.ndarray,
-    quality: int = 90,
-    subsample: str = "444",
-    restart_interval: int = 0,
-    _coef_sink: list | None = None,
-) -> bytes:
-    """Baseline JFIF encoder — writer counterpart of
-    :func:`jpeg_decode`. ``subsample``: "444" or "420".
-    ``_coef_sink``: tests pass a list to capture the encoder's
-    quantized coefficient arrays for bit-exact entropy-layer
-    comparison."""
+def _magnitude(v: int) -> tuple[int, int]:
+    """T.81 magnitude category + amplitude bits for a signed value."""
+    s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _quantized_coefficients(rgb: np.ndarray, quality: int, subsample: str):
+    """Shared encoder front half: color transform, subsample, FDCT,
+    quantize. Returns (h, w, sampling, qts, comp_q, all_coefs,
+    mcus_x, mcus_y)."""
     rgb = np.asarray(rgb, dtype=np.uint8)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
-        raise ValueError("jpeg_bytes expects (h, w, 3) RGB")
+        raise ValueError("jpeg encoder expects (h, w, 3) RGB")
     h, w, _ = rgb.shape
     f = rgb.astype(np.float64)
     y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
@@ -504,6 +676,51 @@ def jpeg_bytes(
         q = qts[comp_q[ci]].reshape(8, 8).astype(np.float64)
         quant = np.round(fdct / q).astype(np.int32)
         all_coefs.append(quant.reshape(bv, bh, 64))
+    return h, w, sampling, qts, comp_q, all_coefs, mcus_x, mcus_y
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _header_segments(
+    h: int, w: int, sampling, qts, comp_q, sof_marker: int,
+    ac_tables=(AC_LUMA, AC_CHROMA),
+) -> bytes:
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in enumerate(qts):
+        out += _seg(0xDB, bytes([tq]) + bytes(q[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci in range(3):
+        sh, sv = sampling[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, comp_q[ci]])
+    out += _seg(sof_marker, sof)
+    for tc, th, (bits, vals) in (
+        (0, 0, DC_LUMA), (1, 0, ac_tables[0]),
+        (0, 1, DC_CHROMA), (1, 1, ac_tables[1]),
+    ):
+        out += _seg(
+            0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        )
+    return bytes(out)
+
+
+def jpeg_bytes(
+    rgb: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+    _coef_sink: list | None = None,
+) -> bytes:
+    """Baseline JFIF encoder — writer counterpart of
+    :func:`jpeg_decode`. ``subsample``: "444" or "420".
+    ``_coef_sink``: tests pass a list to capture the encoder's
+    quantized coefficient arrays for bit-exact entropy-layer
+    comparison."""
+    h, w, sampling, qts, comp_q, all_coefs, mcus_x, mcus_y = (
+        _quantized_coefficients(rgb, quality, subsample)
+    )
     if _coef_sink is not None:
         _coef_sink.extend(all_coefs)
 
@@ -514,11 +731,7 @@ def jpeg_bytes(
     _, enc_ac_c = _build_huffman(*AC_CHROMA)
     enc_tables = [(enc_dc_l, enc_ac_l), (enc_dc_c, enc_ac_c),
                   (enc_dc_c, enc_ac_c)]
-
-    def magnitude(v: int) -> tuple[int, int]:
-        s = int(v).bit_length() if v > 0 else int(-v).bit_length()
-        bits = v if v >= 0 else v + (1 << s) - 1
-        return s, bits
+    magnitude = _magnitude
 
     writer = _BitWriter()
     preds = [0, 0, 0]
@@ -533,7 +746,7 @@ def jpeg_bytes(
                 writer.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 preds = [0, 0, 0]
-            for ci in range(len(planes)):
+            for ci in range(3):
                 sh, sv = sampling[ci]
                 enc_dc, enc_ac = enc_tables[ci]
                 for by in range(sv):
@@ -568,32 +781,249 @@ def jpeg_bytes(
             mcu_count += 1
     writer.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tq, q in enumerate(qts):
-        out += seg(0xDB, bytes([tq]) + bytes(q[ZIGZAG].astype(np.uint8)))
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    for ci in range(3):
-        sh, sv = sampling[ci]
-        sof += bytes([ci + 1, (sh << 4) | sv, comp_q[ci]])
-    out += seg(0xC0, sof)
-    for tc, th, (bits, vals) in (
-        (0, 0, DC_LUMA), (1, 0, AC_LUMA), (0, 1, DC_CHROMA), (1, 1, AC_CHROMA)
-    ):
-        out += seg(
-            0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
-        )
+    out = bytearray(
+        _header_segments(h, w, sampling, qts, comp_q, 0xC0)
+    )
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([3])
     for ci in range(3):
         td_ta = 0x00 if ci == 0 else 0x11
         sos += bytes([ci + 1, td_ta])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_bytes_progressive(
+    rgb: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    _coef_sink: list | None = None,
+) -> bytes:
+    """Progressive (SOF2) JFIF encoder using a libjpeg-style scan
+    script: interleaved DC first (Al=1) + DC refine, per-component
+    spectral-selection AC first scans at Al 1-2, and AC successive-
+    approximation refinement scans down to Al=0 — so the decoder's
+    EOB-run, ZRL, and correction-bit paths are all exercised. The
+    quantized coefficients are identical to :func:`jpeg_bytes` at the
+    same quality/subsample (same front half), which is exactly what
+    the entropy-exactness test pins. AC scan encoders mirror the
+    decoder's position walk, emitting bits in precisely the order
+    T.81 G.2 consumes them."""
+    h, w, sampling, qts, comp_q, all_coefs, mcus_x, mcus_y = (
+        _quantized_coefficients(rgb, quality, subsample)
+    )
+    if _coef_sink is not None:
+        _coef_sink.extend(all_coefs)
+    _, enc_dc_l = _build_huffman(*DC_LUMA)
+    _, enc_ac_l = _build_huffman(*AC_LUMA_PROG)
+    _, enc_dc_c = _build_huffman(*DC_CHROMA)
+    _, enc_ac_c = _build_huffman(*AC_CHROMA_PROG)
+    enc_dc = [enc_dc_l, enc_dc_c, enc_dc_c]
+    enc_ac = [enc_ac_l, enc_ac_c, enc_ac_c]
+
+    def comp_blocks(ci):
+        """Non-interleaved block extent for component ci."""
+        sh, sv = sampling[ci]
+        hmax = max(s[0] for s in sampling)
+        vmax = max(s[1] for s in sampling)
+        bw = -(-(-(-(w * sh) // hmax)) // 8)
+        bh_ = -(-(-(-(h * sv) // vmax)) // 8)
+        return bw, bh_
+
+    def scan_dc_first(wtr, al):
+        preds = [0, 0, 0]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(3):
+                    sh, sv = sampling[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            v = int(
+                                all_coefs[ci][my * sv + by, mx * sh + bx][0]
+                            ) >> al
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            s, bits = _magnitude(diff)
+                            ln, code = enc_dc[ci][s]
+                            wtr.put(code, ln)
+                            if s:
+                                wtr.put(bits, s)
+
+    def scan_dc_refine(wtr, al):
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(3):
+                    sh, sv = sampling[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            v = int(
+                                all_coefs[ci][my * sv + by, mx * sh + bx][0]
+                            )
+                            wtr.put((v >> al) & 1, 1)
+
+    def scan_ac_first(wtr, ci, ss, se, al):
+        table = enc_ac[ci]
+        bw, bh_ = comp_blocks(ci)
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            while eobrun > 0:
+                r = min(eobrun.bit_length() - 1, 14)
+                chunk = min(eobrun, (1 << (r + 1)) - 1)
+                r = chunk.bit_length() - 1
+                ln, code = table[r << 4]
+                wtr.put(code, ln)
+                if r:
+                    wtr.put(chunk - (1 << r), r)
+                eobrun -= chunk
+
+        for y in range(bh_):
+            for x in range(bw):
+                blk = all_coefs[ci][y, x]
+                zz = blk[ZIGZAG]
+                vals = []
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    av = (v if v >= 0 else -v) >> al
+                    vals.append(av if v >= 0 else -av)
+                if not any(vals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                run = 0
+                last_nz = max(i for i, v in enumerate(vals) if v)
+                for i, v in enumerate(vals):
+                    if i > last_nz:
+                        eobrun += 1  # trailing zeros -> EOB for block
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = table[0xF0]  # ZRL
+                        wtr.put(code, ln)
+                        run -= 16
+                    s, bits = _magnitude(v)
+                    ln, code = table[(run << 4) | s]
+                    wtr.put(code, ln)
+                    wtr.put(bits, s)
+                    run = 0
+
+        flush_eobrun()
+
+    def scan_ac_refine(wtr, ci, ss, se, ah, al):
+        """Mirrors the decoder's G.2 position walk exactly: per block,
+        emit new-coefficient symbols with zero-HISTORY runs, reading
+        order for correction bits identical to the decoder's inner
+        loop; blocks end with EOB(run=1) + remaining correction bits
+        (no cross-block EOB runs — spec-valid and decoder-exact)."""
+        table = enc_ac[ci]
+        bw, bh_ = comp_blocks(ci)
+        for by in range(bh_):
+            for bx in range(bw):
+                blk = all_coefs[ci][by, bx]
+                zz = [int(blk[ZIGZAG[k]]) for k in range(64)]
+
+                def hist(k):  # nonzero-history at this approximation?
+                    v = zz[k]
+                    return ((v if v >= 0 else -v) >> (al + 1)) != 0
+
+                def newly(k):
+                    v = zz[k]
+                    return ((v if v >= 0 else -v) >> al) == 1
+
+                def corr_bit(k):
+                    v = zz[k]
+                    return ((v if v >= 0 else -v) >> al) & 1
+
+                k = ss
+                while k <= se:
+                    # find next newly-significant coefficient
+                    j = k
+                    r = 0
+                    nxt = None
+                    while j <= se:
+                        if not hist(j) and newly(j):
+                            nxt = j
+                            break
+                        if not hist(j):
+                            r += 1
+                        j += 1
+                    if nxt is None:
+                        # EOB + correction bits for the rest of band
+                        ln, code = table[0x00]
+                        wtr.put(code, ln)
+                        while k <= se:
+                            if hist(k):
+                                wtr.put(corr_bit(k), 1)
+                            k += 1
+                        break
+                    while r > 15:
+                        ln, code = table[0xF0]  # ZRL: 16 zero-history
+                        wtr.put(code, ln)
+                        zeros = 0
+                        while zeros < 16:
+                            if hist(k):
+                                wtr.put(corr_bit(k), 1)
+                            else:
+                                zeros += 1
+                            k += 1
+                        r -= 16
+                    ln, code = table[(r << 4) | 1]
+                    wtr.put(code, ln)
+                    wtr.put(1 if zz[nxt] >= 0 else 0, 1)
+                    while k < nxt:
+                        if hist(k):
+                            wtr.put(corr_bit(k), 1)
+                        k += 1
+                    k = nxt + 1
+
+    # libjpeg-style default scan script
+    script = [
+        ("dc_first", None, 0, 0, 0, 1),
+        ("ac_first", 0, 1, 5, 0, 2),
+        ("ac_first", 2, 1, 63, 0, 1),
+        ("ac_first", 1, 1, 63, 0, 1),
+        ("ac_first", 0, 6, 63, 0, 2),
+        ("ac_refine", 0, 1, 63, 2, 1),
+        ("dc_refine", None, 0, 0, 1, 0),
+        ("ac_refine", 2, 1, 63, 1, 0),
+        ("ac_refine", 1, 1, 63, 1, 0),
+        ("ac_refine", 0, 1, 63, 1, 0),
+    ]
+    out = bytearray(
+        _header_segments(
+            h, w, sampling, qts, comp_q, 0xC2,
+            ac_tables=(AC_LUMA_PROG, AC_CHROMA_PROG),
+        )
+    )
+    for kind, ci, ss, se, ah, al in script:
+        if kind in ("dc_first", "dc_refine"):
+            sos = bytes([3])
+            for c in range(3):
+                sos += bytes([c + 1, (0x00 if c == 0 else 0x10)])
+            sos += bytes([ss, se, (ah << 4) | al])
+        else:
+            ta = 0x00 if ci == 0 else 0x01
+            sos = bytes([1, ci + 1, ta]) + bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        wtr = _BitWriter()
+        if kind == "dc_first":
+            scan_dc_first(wtr, al)
+        elif kind == "dc_refine":
+            scan_dc_refine(wtr, al)
+        elif kind == "ac_first":
+            scan_ac_first(wtr, ci, ss, se, al)
+        else:
+            scan_ac_refine(wtr, ci, ss, se, ah, al)
+        wtr.flush()
+        out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)

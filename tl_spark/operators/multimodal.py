@@ -1543,13 +1543,14 @@ def synth_jpeg_media(
     height: int = 32,
     seed: int = 42,
 ) -> DataFrame:
-    """Deterministic REAL-image table with baseline JFIF payloads
-    (odd ids 4:2:0-subsampled, every third id with restart markers).
-    JPEG is lossy, so the ground-truth contract differs from the other
-    synth tables: tests re-encode locally with the same parameters and
-    demand feature equality against a local decode of the SAME
-    payload (decode determinism), plus a PSNR bound vs the original."""
-    from tl_spark.operators.jpeg import jpeg_bytes
+    """Deterministic REAL-image table with JFIF payloads (odd ids
+    4:2:0-subsampled, every third id with restart markers, every
+    fifth id progressive/SOF2). JPEG is lossy, so the ground-truth
+    contract differs from the other synth tables: tests re-encode
+    locally with the same parameters and demand feature equality
+    against a local decode of the SAME payload (decode determinism),
+    plus a PSNR bound vs the original."""
+    from tl_spark.operators.jpeg import jpeg_bytes, jpeg_bytes_progressive
 
     def _payload(i: int) -> bytes:
         rng = np.random.default_rng(seed * 1000003 + int(i))
@@ -1564,6 +1565,10 @@ def synth_jpeg_media(
             axis=2,
         )
         img = (img + rng.normal(0, 2, img.shape)).clip(0, 255).astype(np.uint8)
+        if i % 5 == 4:
+            return jpeg_bytes_progressive(
+                img, quality=90, subsample="420" if i % 2 else "444"
+            )
         return jpeg_bytes(
             img,
             quality=90,
