@@ -25,3 +25,14 @@ from tl_spark.operators.multimodal import (  # noqa: F401
     synth_ppm_media,
     synth_wav_media,
 )
+from tl_spark.operators.bpe import (  # noqa: F401
+    bpe_apply_word,
+    bpe_encode,
+    train_bpe,
+)
+from tl_spark.operators.jpeg import (  # noqa: F401
+    jpeg_bytes,
+    jpeg_bytes_progressive,
+    jpeg_decode,
+    jpeg_decode_coefficients,
+)
