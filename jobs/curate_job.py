@@ -1,0 +1,67 @@
+"""spark-submit entrypoint for the corpus-curation pipeline.
+
+    spark-submit --py-files dist/tl_spark.zip jobs/curate_job.py \
+        --input  /path/to/transcripts_parquet \
+        --output /path/to/curated \
+        [--quality-min 0.2] [--min-tokens 2] [--neardup-jaccard 0.85] \
+        [--max-dup-word-frac F] [--lm-score-min F] [--normalize] \
+        [--benchmark /path/to/benchmark_parquet] [--contamination-n 13]
+
+Runs extract -> normalize? -> stats -> exact dedup -> MinHash near-dup
+-> decontamination? -> repetition? -> LM gate? -> quality/length
+filters in a single pass (shared DAG prefix cached once), writes
+``--output`` (curated) and ``--output``_dropped (doc_uid +
+drop_reason), and prints ONE JSON report line to stdout. On a
+cluster, add the usual --master/--num-executors flags — the job only
+ever talks to the SparkSession.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--quality-min", type=float, default=0.2)
+    ap.add_argument("--min-tokens", type=int, default=2)
+    ap.add_argument("--neardup-jaccard", type=float, default=0.85)
+    ap.add_argument("--max-dup-word-frac", type=float, default=None)
+    ap.add_argument("--lm-score-min", type=float, default=None)
+    ap.add_argument("--normalize", action="store_true")
+    ap.add_argument("--benchmark", default=None)
+    ap.add_argument("--contamination-n", type=int, default=13)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from tl_spark.curation import run_curation_job
+
+    spark = SparkSession.builder.appName("tl-curate").getOrCreate()
+    try:
+        benchmark = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
+        report = run_curation_job(
+            spark,
+            args.input,
+            args.output,
+            quality_min=args.quality_min,
+            min_tokens=args.min_tokens,
+            neardup_jaccard=args.neardup_jaccard,
+            max_dup_word_frac=args.max_dup_word_frac,
+            lm_score_min=args.lm_score_min,
+            normalize=args.normalize,
+            benchmark=benchmark,
+            contamination_n=args.contamination_n,
+        )
+        print(json.dumps(report))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
