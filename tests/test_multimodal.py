@@ -615,11 +615,11 @@ def test_png_parser_rejects_malformed():
     no_plte = paletted[:33] + paletted[33 + 12 + plte_len:]
     with _pytest.raises(ValueError, match="PLTE"):
         _parse_png(no_plte)
-    # unsupported-format payload (TIFF magic) under the error policy
-    # -> NotImplementedError (JPEG now decodes for real, so its magic
-    # no longer reaches the stub)
+    # unsupported-format payload (WebP magic) under the error policy
+    # -> NotImplementedError (JPEG and TIFF now decode for real, so
+    # their magics no longer reach the stub)
     with _pytest.raises(NotImplementedError):
-        _decode_image(b"II*\x00........", 4, 4, "error")
+        _decode_image(b"RIFF\x04\x00\x00\x00WEBP", 4, 4, "error")
 
 
 def test_g711_decode_tables_match_itu_formulas():
@@ -894,3 +894,72 @@ def test_avi_frame_sampling_is_real(spark):
             expected[(i, fidx)] = float(gray.mean())
     assert got == expected
     assert len(got) == 6 * 3  # 6 clips x frames 0,2,4
+
+
+def test_tiff_roundtrip_all_shapes():
+    """tiff_bytes -> _parse_tiff round-trips exactly across byte
+    orders (II/MM), compression (none/PackBits), strip layouts, and
+    gray vs RGB; PackBits compresses run-heavy rasters; malformed and
+    unsupported inputs raise ValueError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tl_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+        _parse_tiff,
+        tiff_bytes,
+    )
+
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, (13, 17, 3), np.uint8)
+    gray = rng.integers(0, 256, (13, 17), np.uint8)
+    for bo in ("II", "MM"):
+        for comp in (1, 32773):
+            for rps in (None, 4, 1):
+                assert np.array_equal(
+                    _parse_tiff(tiff_bytes(rgb, bo, comp, rps)), rgb
+                ), (bo, comp, rps)
+                assert np.array_equal(
+                    _parse_tiff(tiff_bytes(gray, bo, comp, rps)),
+                    np.repeat(gray[:, :, None], 3, 2),
+                ), (bo, comp, rps)
+    for row in (b"\x00" * 300, bytes(range(200)), b"aaabbbccc" + b"z" * 130):
+        assert _packbits_decode(_packbits_encode(row), len(row)) == row
+    runny = np.repeat(rng.integers(0, 4, (13, 3, 3), np.uint8) * 60, 6, 1)
+    assert len(tiff_bytes(runny, "II", 32773)) < len(tiff_bytes(runny))
+    good = tiff_bytes(rgb)
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        _parse_tiff(b"II+\x00" + good[4:])
+    with _pytest.raises(ValueError):
+        _parse_tiff(good[:40])
+
+
+def test_tiff_payloads_decode_for_real(spark):
+    """TIFF payloads take the REAL decode path in image_features even
+    with decode_stub='error': features equal ground truth recomputed
+    from the identically-seeded rasters across all producer shapes."""
+    import numpy as np
+
+    from tl_spark.operators.multimodal import image_features, synth_tiff_media
+
+    W, H, SEED = 17, 13, 42
+    media = synth_tiff_media(spark, n_rows=24, width=W, height=H, seed=SEED)
+    got = {
+        r["media_id"]: (list(r["hist16"]), r["mean_px"], r["std_px"])
+        for r in image_features(media, decode_stub="error").collect()
+    }
+    assert len(got) == 24
+    for i in range(24):
+        rng = np.random.default_rng(SEED * 1000003 + i)
+        if i % 5 == 0:
+            gray = rng.integers(0, 256, (H, W), np.uint8)
+        else:
+            raster = rng.integers(0, 256, (H, W, 3), np.uint8)
+            gray = (raster.astype(np.uint16).sum(axis=2) // 3).astype(
+                np.uint8
+            )
+        hist = [int(x) for x in np.bincount(gray.ravel() >> 4, minlength=16)]
+        assert got[i][0] == hist, f"media {i}: histogram mismatch"
+        assert got[i][1] == float(gray.mean())
+        assert got[i][2] == float(gray.std())

@@ -8,13 +8,16 @@ feature/frame outputs — is REAL and tested. Decoding has three tiers:
 - real decoders, no codec library: binary PPM (P6), uncompressed
   24-bpp BMP, and — since round 4 — GIF87a/89a with full LZW
   decompression and interlacing, 8-bit PNG (all five color types,
-  Adam7, stdlib zlib inflate + numpy unfiltering), baseline
-  sequential JPEG (tl_spark.operators.jpeg: Huffman entropy decode,
-  restart markers, 4:2:0/4:4:4, matrix IDCT), and RIFF/WAV in PCM16,
-  G.711 A-law/mu-law, and IMA ADPCM (``_parse_ppm`` / ``_parse_bmp``
-  / ``_parse_gif`` / ``_parse_png`` / ``jpeg_decode`` /
-  ``_parse_wav``; each ground-truth tested via its
-  ``synth_*_media`` generator) — genuine decode paths, not stubs;
+  Adam7, stdlib zlib inflate + numpy unfiltering), JPEG both baseline
+  and progressive (tl_spark.operators.jpeg: Huffman entropy decode,
+  restart markers, SOF2 successive approximation, 4:2:0/4:4:4, matrix
+  IDCT), baseline TIFF (II/MM, strips, none/PackBits), RIFF/WAV in
+  PCM16, G.711 A-law/mu-law, and IMA ADPCM, and RIFF/AVI video
+  (MJPEG + uncompressed DIB) (``_parse_ppm`` / ``_parse_bmp`` /
+  ``_parse_gif`` / ``_parse_png`` / ``jpeg_decode`` / ``_parse_tiff``
+  / ``_parse_wav`` / ``_parse_avi_frames``; each ground-truth tested
+  via its ``synth_*_media`` generator) — genuine decode paths, not
+  stubs;
 - ``decode_stub="error"``  -> NotImplementedError for the REMAINING
   formats (progressive JPEG, MP3/AAC, video codecs: the honest
   default — those need codec libraries this container lacks; plug
@@ -600,6 +603,9 @@ def _decode_image(payload: bytes, width: int, height: int, stub: str) -> np.ndar
         from tl_spark.operators.jpeg import jpeg_decode
 
         rgb = jpeg_decode(payload)
+        return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+    if payload and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        rgb = _parse_tiff(payload)
         return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
     if stub == "fake":
         return _fake_decode(payload, width * height).reshape(height, width)
@@ -1338,6 +1344,235 @@ def synth_png_media(
     return attach_media_meta(df)
 
 
+def _packbits_decode(data: bytes, need: int) -> bytes:
+    """Apple PackBits (TIFF compression 32773): n>=0 -> n+1 literals;
+    n in [-127,-1] -> next byte repeated 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < need:
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+    if len(out) < need:
+        raise ValueError("truncated PackBits stream")
+    return bytes(out[:need])
+
+
+def _parse_tiff(payload: bytes) -> np.ndarray:
+    """REAL decoder for baseline TIFF: pure struct/numpy, both byte
+    orders (II/MM), 8-bit grayscale (photometric 0/1) and RGB/RGBA,
+    chunky planar config, strip layout, uncompressed (1) or PackBits
+    (32773). Returns (h, w, 3) uint8 RGB. Raises ValueError on
+    malformed or unsupported input (tiled, LZW/deflate, 16-bit,
+    palette TIFFs stay on the stub policy)."""
+    import struct
+
+    if len(payload) < 8 or payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    for e in range(n_entries):
+        at = ifd_off + 2 + 12 * e
+        if at + 12 > len(payload):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ = struct.unpack_from(bo + "HH", payload, at)
+        (count,) = struct.unpack_from(bo + "I", payload, at + 4)
+        if typ not in type_size:
+            continue  # rationals etc. — not needed for raster decode
+        total = type_size[typ] * count
+        src = at + 8 if total <= 4 else struct.unpack_from(
+            bo + "I", payload, at + 8
+        )[0]
+        if src + total > len(payload):
+            raise ValueError("TIFF tag data out of bounds")
+        tags[tag] = list(
+            struct.unpack_from(bo + str(count) + type_fmt[typ], payload, src)
+        )
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    comp = one(259, 1)
+    photo = one(262)
+    planar = one(284, 1)
+    if any(b != 8 for b in bits) or planar != 1:
+        raise ValueError(
+            f"unsupported TIFF: bits={bits} planar={planar} (8-bit chunky only)"
+        )
+    if comp not in (1, 32773):
+        raise ValueError(
+            f"unsupported TIFF compression {comp} (none/PackBits only)"
+        )
+    if photo not in (0, 1, 2) or spp not in (1, 3, 4):
+        raise ValueError(
+            f"unsupported TIFF photometric={photo} samples={spp}"
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rows_per_strip = one(278, h)
+    raster = bytearray()
+    rows_done = 0
+    for off, cnt in zip(offsets, counts):
+        strip = payload[off : off + cnt]
+        if len(strip) != cnt:
+            raise ValueError("truncated TIFF strip")
+        rows = min(rows_per_strip, h - rows_done)
+        need = rows * w * spp
+        raster += (
+            _packbits_decode(strip, need) if comp == 32773 else strip[:need]
+        )
+        if comp == 1 and cnt < need:
+            raise ValueError("truncated TIFF strip data")
+        rows_done += rows
+    if len(raster) < h * w * spp:
+        raise ValueError("TIFF raster short of declared dimensions")
+    img = np.frombuffer(
+        bytes(raster[: h * w * spp]), np.uint8
+    ).reshape(h, w, spp)
+    if spp == 1:
+        if photo == 0:  # WhiteIsZero -> invert
+            img = 255 - img
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3].copy()  # drop alpha if present
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Minimal spec-valid PackBits: runs of >=3 as repeats, else
+    literals (row-bounded, as TIFF requires)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i
+        while j + 1 < n and row[j + 1] == row[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i = j + 1
+        else:
+            lit_start = i
+            while (
+                i < n
+                and i - lit_start < 128
+                and not (
+                    i + 2 < n and row[i] == row[i + 1] == row[i + 2]
+                )
+            ):
+                i += 1
+            out += bytes([i - lit_start - 1]) + row[lit_start:i]
+    return bytes(out)
+
+
+def tiff_bytes(
+    img: np.ndarray,
+    byte_order: str = "II",
+    compression: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Serialize 8-bit grayscale (h, w) or RGB (h, w, 3) as a baseline
+    TIFF — writer counterpart of :func:`_parse_tiff` for tests.
+    ``compression``: 1 (none) or 32773 (PackBits, encoded per row as
+    the spec requires)."""
+    import struct
+
+    img = np.asarray(img, np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else img.shape[2]
+    bo = "<" if byte_order == "II" else ">"
+    rps = h if rows_per_strip is None else rows_per_strip
+    flat = img.reshape(h, w * spp)
+    strips = []
+    for r0 in range(0, h, rps):
+        chunk = flat[r0 : r0 + rps].tobytes()
+        if compression == 32773:
+            rowlen = w * spp
+            chunk = b"".join(
+                _packbits_encode(chunk[i : i + rowlen])
+                for i in range(0, len(chunk), rowlen)
+            )
+        strips.append(chunk)
+
+    header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
+    entries = []
+    extra = bytearray()
+    data_base = None  # patched after layout
+
+    def entry(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [compression])
+    entry(262, 3, [1 if gray else 2])
+    entry(273, 4, ["STRIPS"])  # placeholder, patched below
+    entry(277, 3, [spp])
+    entry(278, 4, [rps])
+    entry(279, 4, [len(s) for s in strips])
+    n = len(entries)
+    ifd_size = 2 + 12 * n + 4
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    # lay out overflow tag data after the IFD, strips after that
+    overflow_at = 8 + ifd_size
+    blobs = []
+    for tag, typ, vals in entries:
+        if vals == ["STRIPS"]:
+            vals = [0] * len(strips)  # placeholder length
+        total = type_size[typ] * len(vals)
+        if total > 4:
+            blobs.append(total)
+    strips_at = overflow_at + sum(blobs)
+    strip_offsets = []
+    at = strips_at
+    for s in strips:
+        strip_offsets.append(at)
+        at += len(s)
+    out = bytearray(header)
+    out += struct.pack(bo + "H", n)
+    overflow = bytearray()
+    ov_at = overflow_at
+    for tag, typ, vals in entries:
+        if vals == ["STRIPS"]:
+            vals = strip_offsets
+        total = type_size[typ] * len(vals)
+        packed = struct.pack(bo + str(len(vals)) + type_fmt[typ], *vals)
+        if total <= 4:
+            val_field = packed + b"\x00" * (4 - total)
+        else:
+            val_field = struct.pack(bo + "I", ov_at)
+            overflow += packed
+            ov_at += total
+        out += struct.pack(bo + "HHI", tag, typ, len(vals)) + val_field
+    out += struct.pack(bo + "I", 0)  # next-IFD pointer
+    out += overflow
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def _g711_luts() -> tuple[np.ndarray, np.ndarray]:
     """256-entry int16 decode tables for ITU-T G.711 mu-law and A-law,
     built from the published expansion formulas (the classic public-
@@ -1534,6 +1769,49 @@ def wav_bytes(
         + (b"\x00" if len(data) & 1 else b"")
     )
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def synth_tiff_media(
+    spark,
+    n_rows: int = 24,
+    width: int = 17,
+    height: int = 13,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic REAL-image table with baseline TIFF payloads
+    cycling byte order (odd ids MM), compression (every third id
+    PackBits), strip layout (every fourth id 4-row strips), and
+    grayscale vs RGB (every fifth id gray); same ground-truth-equality
+    contract as :func:`synth_ppm_media`."""
+
+    def _payload(i: int) -> bytes:
+        rng = np.random.default_rng(seed * 1000003 + int(i))
+        if i % 5 == 0:
+            img = rng.integers(0, 256, (height, width), np.uint8)
+        else:
+            img = rng.integers(0, 256, (height, width, 3), np.uint8)
+        return tiff_bytes(
+            img,
+            byte_order="MM" if i % 2 else "II",
+            compression=32773 if i % 3 == 0 else 1,
+            rows_per_strip=4 if i % 4 == 0 else None,
+        )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(
+                        [_payload(int(i)) for i in ids], type=pa.binary()
+                    ),
+                ],
+                names=["media_id", "payload"],
+            )
+
+    df = spark.range(n_rows).mapInArrow(fn, "media_id long, payload binary")
+    return attach_media_meta(df)
 
 
 def synth_jpeg_media(
