@@ -963,3 +963,69 @@ def test_tiff_payloads_decode_for_real(spark):
         assert got[i][0] == hist, f"media {i}: histogram mismatch"
         assert got[i][1] == float(gray.mean())
         assert got[i][2] == float(gray.std())
+
+
+def test_audio_spectral_features_match_direct_dft(spark):
+    """Spark-side spectral features equal a reference computed with an
+    independent O(n^2) direct DFT (no np.fft) on the same decoded
+    samples — pinning the rfft path, the bin-frequency mapping, and
+    every descriptor formula. A pure sine's centroid must also land
+    near its true frequency (physics sanity)."""
+    import numpy as np
+
+    from tl_spark.operators.multimodal import (
+        _parse_wav,
+        audio_spectral_features,
+        synth_wav_media,
+    )
+
+    N, RATE = 256, 8000
+    media = synth_wav_media(spark, n_rows=6, n_samples=N, rate=RATE, seed=42)
+    got = {
+        r["media_id"]: (
+            r["centroid_hz"], r["bandwidth_hz"], r["flatness"],
+            r["rolloff_hz"],
+        )
+        for r in audio_spectral_features(
+            media, decode_stub="error"
+        ).collect()
+    }
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert len(got) == 6
+    for i, p in payloads.items():
+        samples, rate = _parse_wav(p)
+        mono = samples.astype(np.float64).mean(axis=1)
+        n = len(mono)
+        # direct DFT, rfft bins only
+        k = np.arange(n // 2 + 1)
+        ang = -2j * np.pi * np.outer(k, np.arange(n)) / n
+        m = np.abs((np.exp(ang) @ mono))
+        f = k * rate / n
+        tot = m.sum()
+        centroid = (f * m).sum() / tot
+        bandwidth = np.sqrt((((f - centroid) ** 2) * m).sum() / tot)
+        body = m[1:]
+        flat = (
+            float(np.exp(np.mean(np.log(body))) / body.mean())
+            if (body > 0).all()
+            else 0.0
+        )
+        ro = f[int(np.searchsorted(np.cumsum(m), 0.85 * tot))]
+        exp = (centroid, bandwidth, flat, ro)
+        for a, b in zip(got[i], exp):
+            assert abs(a - b) < 1e-4, (i, got[i], exp)
+
+    # physics sanity on a NOISELESS sine (the synth clips carry
+    # broadband noise, which legitimately drags a magnitude-weighted
+    # centroid far above the tone): centroid ~ tone frequency
+    from tl_spark.operators.multimodal import wav_bytes
+
+    t = np.arange(2048)
+    tone = (8000 * np.sin(2 * np.pi * 500 * t / RATE)).astype(np.int16)
+    clean = spark.createDataFrame(
+        [(99, bytearray(wav_bytes(tone[:, None], RATE, 1)))],
+        "media_id long, payload binary",
+    )
+    row = audio_spectral_features(clean, decode_stub="error").collect()[0]
+    assert abs(row["centroid_hz"] - 500) < 60, row["centroid_hz"]
+    assert row["flatness"] < 0.5  # a tone is the opposite of flat
