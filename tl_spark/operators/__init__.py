@@ -36,3 +36,15 @@ from tl_spark.operators.jpeg import (  # noqa: F401
     jpeg_decode,
     jpeg_decode_coefficients,
 )
+from tl_spark.operators.retrieval import (  # noqa: F401
+    bm25_scores,
+    bm25_topk,
+)
+from tl_spark.operators.graph import (  # noqa: F401
+    connected_components,
+    neardup_clusters,
+)
+from tl_spark.operators.dedup_index import (  # noqa: F401
+    incremental_neardup,
+    write_minhash_index,
+)
