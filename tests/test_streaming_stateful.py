@@ -114,3 +114,68 @@ def test_streaming_exact_dedup(spark, tmp_path):
     got = spark.read.parquet(out).collect()
     texts = sorted(r["text"] for r in got)
     assert texts == ["hello world", "something else", "third text"]
+
+
+def test_streaming_incremental_neardup_vs_index(spark, tmp_path):
+    """Stream an increment against a persisted corpus MinHash index:
+    the streamed matches equal the direct batch incremental_neardup
+    on the same files, and re-running from the same checkpoint
+    processes nothing new (no duplicate rows — the exactly-once
+    shape)."""
+    import pyspark.sql.functions as F
+
+    from tl_spark.cache import unpersist_handles
+    from tl_spark.operators.dedup_index import (
+        incremental_neardup,
+        write_minhash_index,
+    )
+    from tl_spark.streaming.extract_stream import (
+        run_streaming_incremental_neardup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "jumping through the long afternoon sun without any rest"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "entirely different corpus text right here")],
+        "doc_id long, text string",
+    )
+    index_path = str(tmp_path / "idx")
+    write_minhash_index(corpus, index_path)
+
+    increment = spark.createDataFrame(
+        [(101, base + " tail"), (102, "novel unseen content only")],
+        "doc_id long, text string",
+    )
+    in_path = str(tmp_path / "in")
+    increment.write.parquet(in_path)
+
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_streaming_incremental_neardup(
+        spark, in_path, index_path, out_path, ckpt, threshold=0.3
+    )
+    got = [
+        (r["id_new"], r["id_index"], r["est_jaccard"])
+        for r in spark.read.parquet(out_path)
+        .orderBy("id_new", "id_index")
+        .collect()
+    ]
+    direct = incremental_neardup(
+        spark.read.parquet(in_path), index_path, threshold=0.3
+    )
+    exp = [
+        (r["id_new"], r["id_index"], r["est_jaccard"])
+        for r in direct.orderBy("id_new", "id_index").collect()
+    ]
+    unpersist_handles(direct)
+    assert got == exp
+    assert len(got) >= 1 and all(r[0] == 101 for r in got)
+
+    # replay from the same checkpoint: availableNow finds no new
+    # files; output unchanged (no duplicate appends)
+    run_streaming_incremental_neardup(
+        spark, in_path, index_path, out_path, ckpt, threshold=0.3
+    )
+    assert spark.read.parquet(out_path).count() == len(got)
