@@ -48,3 +48,7 @@ from tl_spark.operators.dedup_index import (  # noqa: F401
     incremental_neardup,
     write_minhash_index,
 )
+from tl_spark.operators.winnow import (  # noqa: F401
+    substring_overlap_pairs,
+    winnow_fingerprints,
+)
