@@ -1029,3 +1029,78 @@ def test_audio_spectral_features_match_direct_dft(spark):
     row = audio_spectral_features(clean, decode_stub="error").collect()[0]
     assert abs(row["centroid_hz"] - 500) < 60, row["centroid_hz"]
     assert row["flatness"] < 0.5  # a tone is the opposite of flat
+
+
+def test_media_on_error_skip_policy(spark):
+    """on_error='skip': one corrupt payload in the batch drops its row
+    instead of failing the whole task (the corpus-scale posture);
+    on_error='raise' (default) still fails; bad policy values are
+    rejected eagerly. Exercised for image, audio, spectral, resize,
+    and frame-sampling ops."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+    import numpy as np
+
+    from tl_spark.operators.multimodal import (
+        attach_media_meta,
+        audio_features,
+        audio_spectral_features,
+        avi_bytes,
+        bmp_bytes,
+        image_features,
+        resize_images,
+        sample_frames,
+        wav_bytes,
+    )
+
+    rng = np.random.default_rng(5)
+    good_img = bmp_bytes(rng.integers(0, 256, (8, 8, 3), np.uint8))
+    corrupt_img = good_img[:30]  # truncated BMP
+    imgs = attach_media_meta(
+        spark.createDataFrame(
+            [(1, bytearray(good_img)), (2, bytearray(corrupt_img))],
+            "media_id long, payload binary",
+        )
+    )
+    with _pytest.raises(Exception):
+        image_features(imgs, decode_stub="error").collect()
+    kept = image_features(imgs, decode_stub="error", on_error="skip").collect()
+    assert [r["media_id"] for r in kept] == [1]
+    kept = resize_images(imgs, decode_stub="error", on_error="skip").collect()
+    assert [r["media_id"] for r in kept] == [1]
+    with _pytest.raises(ValueError, match="on_error"):
+        image_features(imgs, on_error="ignore")
+
+    good_wav = wav_bytes(
+        (1000 * np.ones(64, np.int16))[:, None], 8000, 1
+    )
+    bad_wav = good_wav[:20]  # truncated RIFF
+    auds = spark.createDataFrame(
+        [(1, bytearray(good_wav)), (2, bytearray(bad_wav))],
+        "media_id long, payload binary",
+    )
+    kept = audio_features(auds, decode_stub="error", on_error="skip").collect()
+    assert [r["media_id"] for r in kept] == [1]
+    kept = audio_spectral_features(
+        auds, decode_stub="error", on_error="skip"
+    ).collect()
+    assert [r["media_id"] for r in kept] == [1]
+    with _pytest.raises(Exception):
+        audio_features(auds, decode_stub="error").collect()
+
+    frames = [np.zeros((8, 8, 3), np.uint8)] * 3
+    good_avi = avi_bytes(frames, codec="DIB ")
+    bad_avi = good_avi[:60]
+    vids = attach_media_meta(
+        spark.createDataFrame(
+            [(1, bytearray(good_avi)), (2, bytearray(bad_avi))],
+            "media_id long, payload binary",
+        )
+    )
+    kept = sample_frames(
+        vids, every_k=1, decode_stub="error", on_error="skip"
+    ).collect()
+    assert {r["media_id"] for r in kept} == {1}
+    assert len(kept) == 3
+    with _pytest.raises(Exception):
+        sample_frames(vids, every_k=1, decode_stub="error").collect()

@@ -71,6 +71,11 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+
 def _fake_decode(payload: bytes, n: int) -> np.ndarray:
     """Deterministic pseudo-decode: stretch a sha256 stream over n bytes."""
     if payload is None:
@@ -622,25 +627,41 @@ def image_features(
     payload_col: str = "payload",
     id_col: str = "media_id",
     decode_stub: str = "error",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Per-image feature extraction: decode -> 16-bin histogram +
-    mean/std, vectorized per Arrow batch."""
+    mean/std, vectorized per Arrow batch.
+
+    ``on_error``: "raise" (default — a malformed payload fails the
+    task, the right default for tests/small jobs) or "skip" (drop the
+    row — the 100-TB posture, where one corrupt payload must not kill
+    a million-task job; count dropped rows by anti-joining the output
+    against the input ids)."""
+    _check_on_error(on_error)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            ids = batch.column(id_col)
+            ids = batch.column(id_col).to_pylist()
             payloads = batch.column(payload_col).to_pylist()
             metas = batch.column("media").to_pylist()
-            hists, means, stds = [], [], []
-            for p, m in zip(payloads, metas):
-                img = _decode_image(p, m["width"], m["height"], decode_stub)
+            keep, hists, means, stds = [], [], [], []
+            for i, p, m in zip(ids, payloads, metas):
+                try:
+                    img = _decode_image(
+                        p, m["width"], m["height"], decode_stub
+                    )
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    continue
                 hist = np.bincount(img.ravel() >> 4, minlength=16)
+                keep.append(i)
                 hists.append([int(x) for x in hist])
                 means.append(float(img.mean()) if img.size else 0.0)
                 stds.append(float(img.std()) if img.size else 0.0)
             yield pa.RecordBatch.from_arrays(
                 [
-                    ids,
+                    pa.array(keep, type=pa.int64()),
                     pa.array(hists, type=pa.list_(pa.int64())),
                     pa.array(means, type=pa.float64()),
                     pa.array(stds, type=pa.float64()),
@@ -882,10 +903,13 @@ def sample_frames(
     payload_col: str = "payload",
     id_col: str = "media_id",
     decode_stub: str = "error",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Frame sampling for video payloads: one OUTPUT ROW per kept frame
     (row-expanding mapInArrow — batch cardinality legitimately changes).
-    """
+    ``on_error="skip"`` drops undecodable payloads instead of failing
+    the task (the corpus-scale posture)."""
+    _check_on_error(on_error)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -901,20 +925,31 @@ def sample_frames(
                 if (p and p[:4] == b"GIF8") or is_avi:
                     # REAL animation/video path: the payload header is
                     # authoritative (same principle as _decode_image) —
-                    # every every_k-th decoded frame's grayscale mean
-                    frames = (
-                        _parse_avi_frames(p) if is_avi
-                        else _parse_gif_frames(p)
-                    )
-                    for fidx, frame in enumerate(frames):
-                        if fidx % every_k:
-                            continue
-                        gray = (
-                            frame.astype(np.uint16).sum(axis=2) // 3
-                        ).astype(np.uint8)
+                    # every every_k-th decoded frame's grayscale mean.
+                    # Rows buffer per payload so a decode failure
+                    # mid-stream drops the WHOLE payload under "skip"
+                    # (no partial clips in the output).
+                    rows = []
+                    try:
+                        frames = (
+                            _parse_avi_frames(p) if is_avi
+                            else _parse_gif_frames(p)
+                        )
+                        for fidx, frame in enumerate(frames):
+                            if fidx % every_k:
+                                continue
+                            gray = (
+                                frame.astype(np.uint16).sum(axis=2) // 3
+                            ).astype(np.uint8)
+                            rows.append((fidx, float(gray.mean())))
+                    except (ValueError, NotImplementedError):
+                        if on_error == "raise":
+                            raise
+                        continue
+                    for fidx, mean in rows:
                         out_ids.append(i)
                         out_frame_idx.append(fidx)
-                        out_mean.append(float(gray.mean()))
+                        out_mean.append(mean)
                     continue
                 if m["media_type"] != "video":
                     continue
@@ -924,6 +959,8 @@ def sample_frames(
                             (p or b"") + fidx.to_bytes(4, "little"), 256
                         )
                         out_mean.append(float(frame.mean()))
+                    elif on_error == "skip":
+                        break
                     else:
                         raise NotImplementedError(
                             "video frame decode requires a codec; use "
@@ -1924,13 +1961,16 @@ def audio_features(
     payload_col: str = "payload",
     id_col: str = "media_id",
     decode_stub: str = "error",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Per-clip audio features: duration_ms, RMS, zero-crossing rate,
     peak — computed from REAL samples for RIFF/WAV payloads in PCM16,
     G.711 A-law/mu-law, or IMA ADPCM (parsed by :func:`_parse_wav`);
     non-WAV payloads follow the stub policy (fake = deterministic
     sha256 sample stream, error = NotImplementedError). Map-only
-    Arrow batches."""
+    Arrow batches. ``on_error="skip"`` drops undecodable payloads
+    instead of failing the task (the corpus-scale posture)."""
+    _check_on_error(on_error)
 
     def _features(samples: np.ndarray, rate: int):
         mono = samples.astype(np.float64).mean(axis=1)
@@ -1949,30 +1989,36 @@ def audio_features(
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            ids = batch.column(id_col)
+            ids = batch.column(id_col).to_pylist()
             payloads = batch.column(payload_col).to_pylist()
-            dur, rms, zcr, peak = [], [], [], []
-            for p in payloads:
-                if p and p[:4] == b"RIFF":
-                    samples, rate = _parse_wav(p)
-                elif decode_stub == "fake":
-                    raw = _fake_decode(p, 2048)
-                    samples = raw.view("<i2").reshape(-1, 1).copy()
-                    rate = 16000
-                else:
-                    raise NotImplementedError(
-                        "compressed-audio decoding requires a codec; "
-                        "RIFF/WAV PCM16 decodes for real, or pass "
-                        "decode_stub='fake'"
-                    )
+            keep, dur, rms, zcr, peak = [], [], [], [], []
+            for i, p in zip(ids, payloads):
+                try:
+                    if p and p[:4] == b"RIFF":
+                        samples, rate = _parse_wav(p)
+                    elif decode_stub == "fake":
+                        raw = _fake_decode(p, 2048)
+                        samples = raw.view("<i2").reshape(-1, 1).copy()
+                        rate = 16000
+                    else:
+                        raise NotImplementedError(
+                            "compressed-audio decoding requires a codec; "
+                            "RIFF/WAV PCM16 decodes for real, or pass "
+                            "decode_stub='fake'"
+                        )
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    continue
                 d, r, z, pk = _features(samples, rate)
+                keep.append(i)
                 dur.append(d)
                 rms.append(r)
                 zcr.append(z)
                 peak.append(pk)
             yield pa.RecordBatch.from_arrays(
                 [
-                    ids,
+                    pa.array(keep, type=pa.int64()),
                     pa.array(dur, type=pa.int64()),
                     pa.array(rms, type=pa.float64()),
                     pa.array(zcr, type=pa.float64()),
@@ -1993,6 +2039,7 @@ def audio_spectral_features(
     id_col: str = "media_id",
     decode_stub: str = "error",
     rolloff: float = 0.85,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Spectral descriptors per clip — centroid_hz, bandwidth_hz,
     flatness, rolloff_hz — from the magnitude spectrum (rfft) of the
@@ -2031,28 +2078,38 @@ def audio_spectral_features(
             round(flat, 6), round(ro, 6),
         )
 
+    _check_on_error(on_error)
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            ids = batch.column(id_col)
+            ids = batch.column(id_col).to_pylist()
             payloads = batch.column(payload_col).to_pylist()
+            keep = []
             cols = ([], [], [], [])
-            for p in payloads:
-                if p and p[:4] == b"RIFF":
-                    samples, rate = _parse_wav(p)
-                elif decode_stub == "fake":
-                    raw = _fake_decode(p, 2048)
-                    samples = raw.view("<i2").reshape(-1, 1).copy()
-                    rate = 16000
-                else:
-                    raise NotImplementedError(
-                        "compressed-audio decoding requires a codec; "
-                        "WAV (PCM16/G.711/ADPCM) decodes for real, or "
-                        "pass decode_stub='fake'"
-                    )
+            for i, p in zip(ids, payloads):
+                try:
+                    if p and p[:4] == b"RIFF":
+                        samples, rate = _parse_wav(p)
+                    elif decode_stub == "fake":
+                        raw = _fake_decode(p, 2048)
+                        samples = raw.view("<i2").reshape(-1, 1).copy()
+                        rate = 16000
+                    else:
+                        raise NotImplementedError(
+                            "compressed-audio decoding requires a codec; "
+                            "WAV (PCM16/G.711/ADPCM) decodes for real, or "
+                            "pass decode_stub='fake'"
+                        )
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                keep.append(i)
                 for c, v in zip(cols, _spectral(samples, rate)):
                     c.append(v)
             yield pa.RecordBatch.from_arrays(
-                [ids] + [pa.array(c, type=pa.float64()) for c in cols],
+                [pa.array(keep, type=pa.int64())]
+                + [pa.array(c, type=pa.float64()) for c in cols],
                 names=[
                     id_col, "centroid_hz", "bandwidth_hz",
                     "flatness", "rolloff_hz",
@@ -2160,6 +2217,7 @@ def resize_images(
     payload_col: str = "payload",
     id_col: str = "media_id",
     decode_stub: str = "error",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Image resize (task brief op): decode (REAL for PPM/BMP/GIF/
     PNG/JPEG via ``_decode_image``'s header sniff, stub
@@ -2170,24 +2228,34 @@ def resize_images(
     downstream shuffle or embedding step sees bounded rows regardless
     of source resolution."""
 
+    _check_on_error(on_error)
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            ids = batch.column(id_col)
+            ids = batch.column(id_col).to_pylist()
             payloads = batch.column(payload_col).to_pylist()
             metas = batch.column("media").to_pylist()
-            blobs, means = [], []
-            for p, m in zip(payloads, metas):
-                img = _decode_image(p, m["width"], m["height"], decode_stub)
+            keep, blobs, means = [], [], []
+            for i, p, m in zip(ids, payloads, metas):
+                try:
+                    img = _decode_image(
+                        p, m["width"], m["height"], decode_stub
+                    )
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    continue
                 h, w = img.shape
                 # nearest-neighbor: index grid centers, deterministic
                 ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
                 xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
                 small = img[np.ix_(ys, xs)]
+                keep.append(i)
                 blobs.append(small.tobytes())
                 means.append(float(small.mean()))
             yield pa.RecordBatch.from_arrays(
                 [
-                    ids,
+                    pa.array(keep, type=pa.int64()),
                     pa.array(blobs, type=pa.binary()),
                     pa.array([out_w] * len(blobs), type=pa.int32()),
                     pa.array([out_h] * len(blobs), type=pa.int32()),
