@@ -31,6 +31,7 @@ def main() -> None:
     ap.add_argument("--neardup-jaccard", type=float, default=0.85)
     ap.add_argument("--max-dup-word-frac", type=float, default=None)
     ap.add_argument("--lm-score-min", type=float, default=None)
+    ap.add_argument("--substring-min-shared", type=int, default=None)
     ap.add_argument("--normalize", action="store_true")
     ap.add_argument("--benchmark", default=None)
     ap.add_argument("--contamination-n", type=int, default=13)
@@ -54,6 +55,7 @@ def main() -> None:
             neardup_jaccard=args.neardup_jaccard,
             max_dup_word_frac=args.max_dup_word_frac,
             lm_score_min=args.lm_score_min,
+            substring_min_shared=args.substring_min_shared,
             normalize=args.normalize,
             benchmark=benchmark,
             contamination_n=args.contamination_n,

@@ -289,3 +289,48 @@ def test_curation_lm_gate(spark):
     assert [r["drop_reason"] for r in dropped.collect()] == ["low_lm"]
     assert {r["conv_id"] for r in curated.collect()} == {"c1"}
     unpersist_handles(curated)
+
+
+def test_curation_substring_gate(spark):
+    """substring_min_shared: the doc that reuses a long boilerplate
+    passage from an earlier doc (but is NOT a whole-document near-dup)
+    drops as substring_dup; unrelated docs survive; precedence sits
+    after near_dup."""
+    from tl_spark.cache import unpersist_handles
+    from tl_spark.curation import curate
+
+    boiler = (
+        "this exact licensing boilerplate paragraph is repeated "
+        "verbatim across otherwise different documents"
+    )
+    rows = [
+        ("c1", 0, "user", "original framing text. " + boiler, None, None),
+        (
+            "c1", 1, "user",
+            "completely different subject matter here. " + boiler
+            + " plus extensive additional novel content that makes the "
+            "whole document dissimilar at the minhash level entirely",
+            None, None,
+        ),
+        ("c2", 0, "user", "no shared passages with anyone at all", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    curated, dropped = curate(
+        df, quality_min=0.0, min_tokens=1, neardup_jaccard=1.01,
+        substring_min_shared=2,
+    )
+    assert sorted(
+        (r["conv_id"], r["turn_idx"]) for r in curated.collect()
+    ) == [("c1", 0), ("c2", 0)]
+    assert [r["drop_reason"] for r in dropped.collect()] == ["substring_dup"]
+    unpersist_handles(curated)
+
+    # gate off -> everything survives
+    curated2, _ = curate(
+        df, quality_min=0.0, min_tokens=1, neardup_jaccard=1.01
+    )
+    assert curated2.count() == 3
+    unpersist_handles(curated2)

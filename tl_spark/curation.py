@@ -7,10 +7,10 @@ the already-tested operator, composed with the same scale rules
 (broadcast small sides, digest-only shuffles, map-only extraction).
 
 Drop precedence (a row is counted once, in this order):
-  exact_dup > near_dup > contaminated > repetitive > low_quality
-  > too_short
-(contaminated requires ``benchmark=``, repetitive requires
-``max_dup_word_frac=``; both default off.)
+  exact_dup > near_dup > substring_dup > contaminated > repetitive
+  > low_lm > low_quality > too_short
+(the optional gates — substring_dup/contaminated/repetitive/low_lm —
+require their parameters and default off.)
 """
 
 from __future__ import annotations
@@ -44,15 +44,16 @@ def curate(
     max_dup_word_frac: float | None = None,
     normalize: bool = False,
     lm_score_min: float | None = None,
+    substring_min_shared: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated, dropped) DataFrames.
 
     ``curated``: conv_id, turn_idx, role, ts, extracted_text, n_tokens,
     quality, lang_guess, doc_uid.
     ``dropped``: doc_uid + drop_reason (exact_dup | near_dup |
-    contaminated | repetitive | low_quality | too_short — drop
-    precedence is total in that order, so every input row lands in
-    exactly one output).
+    substring_dup | contaminated | repetitive | low_lm | low_quality
+    | too_short — drop precedence is total in that order, so every
+    input row lands in exactly one output).
 
     ``normalize=True`` applies :func:`tl_spark.functions.text.
     normalize_text` (control-char strip + Unicode NFC) to the
@@ -64,6 +65,13 @@ def curate(
     log-probability falls below the threshold drop as ``low_lm``
     (runs on dedup/contamination/repetition survivors; docs too short
     to have bigrams pass through to the later length gate).
+
+    ``substring_min_shared`` (optional): winnowing substring-reuse
+    gate — near-dup survivors sharing at least that many winnowing
+    fingerprints with an earlier doc (long verbatim boilerplate, see
+    :func:`tl_spark.operators.winnow.substring_overlap_pairs`) drop
+    as ``substring_dup``; precedence sits between near_dup and
+    contaminated.
 
     ``max_dup_word_frac`` (optional): Gopher-style repetition gate —
     docs whose fraction of repeated tokens exceeds the threshold drop
@@ -190,6 +198,52 @@ def curate(
         near_dups.select("doc_uid"), "doc_uid", "left_anti"
     )
 
+    # optional winnowing substring-reuse gate (after near-dup, before
+    # decontamination): docs sharing >= substring_min_shared selected
+    # fingerprints with an EARLIER doc drop as substring_dup — catches
+    # long verbatim boilerplate reuse between otherwise-different docs
+    # (see tl_spark.operators.winnow; same later-(conv,turn)-drops
+    # rule as near-dup)
+    substring_dups = None
+    if substring_min_shared is not None:
+        from tl_spark.operators.winnow import substring_overlap_pairs
+
+        sp = substring_overlap_pairs(
+            kept_after_dedup.select(
+                F.col("doc_uid").alias("doc_id"),
+                F.col("extracted_text").alias("text"),
+            ),
+            min_shared=substring_min_shared,
+        )
+        sp_att = sp.join(
+            keys.select(
+                F.col("doc_uid").alias("id_a"),
+                F.col("conv_id").alias("_conv_a"),
+                F.col("turn_idx").alias("_turn_a"),
+            ),
+            "id_a",
+        ).join(
+            keys.select(
+                F.col("doc_uid").alias("id_b"),
+                F.col("conv_id").alias("_conv_b"),
+                F.col("turn_idx").alias("_turn_b"),
+            ),
+            "id_b",
+        )
+        sp_earlier = (F.col("_conv_a") < F.col("_conv_b")) | (
+            (F.col("_conv_a") == F.col("_conv_b"))
+            & (F.col("_turn_a") < F.col("_turn_b"))
+        )
+        sp_later = F.when(sp_earlier, F.col("id_b")).otherwise(F.col("id_a"))
+        substring_dups = (
+            sp_att.select(sp_later.alias("doc_uid"))
+            .distinct()
+            .select("doc_uid", F.lit("substring_dup").alias("drop_reason"))
+        )
+        kept_after_dedup = kept_after_dedup.join(
+            substring_dups.select("doc_uid"), "doc_uid", "left_anti"
+        )
+
     # optional benchmark decontamination (between dedup and the quality
     # filters): exact n-gram overlap against the broadcast benchmark
     # shingle set — corpus side map-only, dedup-after-join shape
@@ -259,6 +313,8 @@ def curate(
         (F.col("quality") >= quality_min) & (F.col("n_tokens") >= min_tokens)
     )
     dropped = exact_dups.unionByName(near_dups)
+    if substring_dups is not None:
+        dropped = dropped.unionByName(substring_dups)
     if contaminated is not None:
         dropped = dropped.unionByName(contaminated)
     if repetitive is not None:
