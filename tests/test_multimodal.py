@@ -915,7 +915,7 @@ def test_tiff_roundtrip_all_shapes():
     rgb = rng.integers(0, 256, (13, 17, 3), np.uint8)
     gray = rng.integers(0, 256, (13, 17), np.uint8)
     for bo in ("II", "MM"):
-        for comp in (1, 32773):
+        for comp in (1, 8, 32773):
             for rps in (None, 4, 1):
                 assert np.array_equal(
                     _parse_tiff(tiff_bytes(rgb, bo, comp, rps)), rgb

@@ -1403,10 +1403,10 @@ def _packbits_decode(data: bytes, need: int) -> bytes:
 def _parse_tiff(payload: bytes) -> np.ndarray:
     """REAL decoder for baseline TIFF: pure struct/numpy, both byte
     orders (II/MM), 8-bit grayscale (photometric 0/1) and RGB/RGBA,
-    chunky planar config, strip layout, uncompressed (1) or PackBits
-    (32773). Returns (h, w, 3) uint8 RGB. Raises ValueError on
-    malformed or unsupported input (tiled, LZW/deflate, 16-bit,
-    palette TIFFs stay on the stub policy)."""
+    chunky planar config, strip layout, uncompressed (1), Adobe
+    Deflate (8, stdlib zlib), or PackBits (32773). Returns (h, w, 3)
+    uint8 RGB. Raises ValueError on malformed or unsupported input
+    (tiled, LZW, 16-bit, palette TIFFs stay on the stub policy)."""
     import struct
 
     if len(payload) < 8 or payload[:4] not in (b"II*\x00", b"MM\x00*"):
@@ -1455,9 +1455,10 @@ def _parse_tiff(payload: bytes) -> np.ndarray:
         raise ValueError(
             f"unsupported TIFF: bits={bits} planar={planar} (8-bit chunky only)"
         )
-    if comp not in (1, 32773):
+    if comp not in (1, 8, 32773):
         raise ValueError(
-            f"unsupported TIFF compression {comp} (none/PackBits only)"
+            f"unsupported TIFF compression {comp} "
+            "(none/Deflate/PackBits only)"
         )
     if photo not in (0, 1, 2) or spp not in (1, 3, 4):
         raise ValueError(
@@ -1476,11 +1477,22 @@ def _parse_tiff(payload: bytes) -> np.ndarray:
             raise ValueError("truncated TIFF strip")
         rows = min(rows_per_strip, h - rows_done)
         need = rows * w * spp
-        raster += (
-            _packbits_decode(strip, need) if comp == 32773 else strip[:need]
-        )
-        if comp == 1 and cnt < need:
-            raise ValueError("truncated TIFF strip data")
+        if comp == 32773:
+            raster += _packbits_decode(strip, need)
+        elif comp == 8:  # Adobe Deflate (zlib stream per strip)
+            import zlib
+
+            try:
+                inflated = zlib.decompress(strip)
+            except zlib.error as exc:
+                raise ValueError(f"bad TIFF deflate strip: {exc}") from exc
+            if len(inflated) < need:
+                raise ValueError("short TIFF deflate strip")
+            raster += inflated[:need]
+        else:
+            if cnt < need:
+                raise ValueError("truncated TIFF strip data")
+            raster += strip[:need]
         rows_done += rows
     if len(raster) < h * w * spp:
         raise ValueError("TIFF raster short of declared dimensions")
@@ -1529,8 +1541,8 @@ def tiff_bytes(
 ) -> bytes:
     """Serialize 8-bit grayscale (h, w) or RGB (h, w, 3) as a baseline
     TIFF — writer counterpart of :func:`_parse_tiff` for tests.
-    ``compression``: 1 (none) or 32773 (PackBits, encoded per row as
-    the spec requires)."""
+    ``compression``: 1 (none), 8 (Adobe Deflate, zlib per strip), or
+    32773 (PackBits, encoded per row as the spec requires)."""
     import struct
 
     img = np.asarray(img, np.uint8)
@@ -1549,6 +1561,10 @@ def tiff_bytes(
                 _packbits_encode(chunk[i : i + rowlen])
                 for i in range(0, len(chunk), rowlen)
             )
+        elif compression == 8:
+            import zlib
+
+            chunk = zlib.compress(chunk, 6)
         strips.append(chunk)
 
     header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
