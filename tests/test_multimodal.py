@@ -898,9 +898,11 @@ def test_avi_frame_sampling_is_real(spark):
 
 def test_tiff_roundtrip_all_shapes():
     """tiff_bytes -> _parse_tiff round-trips exactly across byte
-    orders (II/MM), compression (none/PackBits), strip layouts, and
-    gray vs RGB; PackBits compresses run-heavy rasters; malformed and
-    unsupported inputs raise ValueError."""
+    orders (II/MM), compressions (none/LZW/Deflate/PackBits),
+    predictors (none/horizontal-differencing), strip layouts, and
+    gray vs RGB; LZW survives the early-change width boundaries and
+    table resets; PackBits compresses run-heavy rasters; malformed
+    and unsupported inputs raise ValueError."""
     import numpy as np
     import pytest as _pytest
 
@@ -915,15 +917,37 @@ def test_tiff_roundtrip_all_shapes():
     rgb = rng.integers(0, 256, (13, 17, 3), np.uint8)
     gray = rng.integers(0, 256, (13, 17), np.uint8)
     for bo in ("II", "MM"):
-        for comp in (1, 8, 32773):
-            for rps in (None, 4, 1):
-                assert np.array_equal(
-                    _parse_tiff(tiff_bytes(rgb, bo, comp, rps)), rgb
-                ), (bo, comp, rps)
-                assert np.array_equal(
-                    _parse_tiff(tiff_bytes(gray, bo, comp, rps)),
-                    np.repeat(gray[:, :, None], 3, 2),
-                ), (bo, comp, rps)
+        for comp in (1, 5, 8, 32773):
+            for pred in (1, 2):
+                for rps in (None, 4):
+                    assert np.array_equal(
+                        _parse_tiff(tiff_bytes(rgb, bo, comp, rps, pred)),
+                        rgb,
+                    ), (bo, comp, pred, rps)
+                    assert np.array_equal(
+                        _parse_tiff(tiff_bytes(gray, bo, comp, rps, pred)),
+                        np.repeat(gray[:, :, None], 3, 2),
+                    ), (bo, comp, pred, rps)
+    # LZW round-trips across code-width boundaries and table resets
+    from tl_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    for data in (
+        b"aaaa",
+        bytes(rng.integers(0, 4, 5000, np.uint8)),
+        bytes(rng.integers(0, 256, 30000, np.uint8)),
+        b"abc" * 8000,
+    ):
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+    # horizontal differencing makes smooth rasters compress better
+    smooth = np.cumsum(
+        rng.integers(0, 3, (13, 17, 3), np.uint8), axis=1
+    ).astype(np.uint8)
+    assert len(tiff_bytes(smooth, "II", 5, None, 2)) < len(
+        tiff_bytes(smooth, "II", 5, None, 1)
+    )
     for row in (b"\x00" * 300, bytes(range(200)), b"aaabbbccc" + b"z" * 130):
         assert _packbits_decode(_packbits_encode(row), len(row)) == row
     runny = np.repeat(rng.integers(0, 4, (13, 3, 3), np.uint8) * 60, 6, 1)

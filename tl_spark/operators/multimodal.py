@@ -11,7 +11,7 @@ feature/frame outputs — is REAL and tested. Decoding has three tiers:
   Adam7, stdlib zlib inflate + numpy unfiltering), JPEG both baseline
   and progressive (tl_spark.operators.jpeg: Huffman entropy decode,
   restart markers, SOF2 successive approximation, 4:2:0/4:4:4, matrix
-  IDCT), baseline TIFF (II/MM, strips, none/PackBits), RIFF/WAV in
+  IDCT), baseline TIFF (II/MM, strips, none/LZW/Deflate/PackBits, predictor 2), RIFF/WAV in
   PCM16, G.711 A-law/mu-law, and IMA ADPCM, and RIFF/AVI video
   (MJPEG + uncompressed DIB) (``_parse_ppm`` / ``_parse_bmp`` /
   ``_parse_gif`` / ``_parse_png`` / ``jpeg_decode`` / ``_parse_tiff``
@@ -1400,6 +1400,110 @@ def _packbits_decode(data: bytes, need: int) -> bytes:
     return bytes(out[:need])
 
 
+def _tiff_lzw_decode(data: bytes, need: int) -> bytes:
+    """TIFF-flavor LZW (compression 5): MSB-first variable-width codes
+    starting at 9 bits, clear=256, EOI=257, EARLY code-width change
+    (width bumps when the table reaches 2^width - 1, one entry sooner
+    than GIF's LSB-first variant)."""
+    out = bytearray()
+    pos = buf = nbits = 0
+    CLEAR, EOI = 256, 257
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while len(out) < need:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (buf >> nbits) & ((1 << width) - 1)
+        buf &= (1 << nbits) - 1
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first TIFF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"TIFF LZW code {code} out of range")
+        out += entry
+        prev = entry
+        # EARLY change, decoder side: the decoder's table lags the
+        # encoder's by one entry, so it must widen one entry sooner
+        # than its own size suggests (libtiff's maxcode-1 rule — the
+        # famous TIFF6 spec off-by-one)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) < need:
+        raise ValueError("short TIFF LZW stream")
+    return bytes(out[:need])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Encoder counterpart of :func:`_tiff_lzw_decode` (same early-
+    change bookkeeping; table reset at 4094 entries per the spec)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        if next_code == 4094:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _parse_tiff(payload: bytes) -> np.ndarray:
     """REAL decoder for baseline TIFF: pure struct/numpy, both byte
     orders (II/MM), 8-bit grayscale (photometric 0/1) and RGB/RGBA,
@@ -1455,11 +1559,14 @@ def _parse_tiff(payload: bytes) -> np.ndarray:
         raise ValueError(
             f"unsupported TIFF: bits={bits} planar={planar} (8-bit chunky only)"
         )
-    if comp not in (1, 8, 32773):
+    if comp not in (1, 5, 8, 32773):
         raise ValueError(
             f"unsupported TIFF compression {comp} "
-            "(none/Deflate/PackBits only)"
+            "(none/LZW/Deflate/PackBits only)"
         )
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     if photo not in (0, 1, 2) or spp not in (1, 3, 4):
         raise ValueError(
             f"unsupported TIFF photometric={photo} samples={spp}"
@@ -1479,6 +1586,8 @@ def _parse_tiff(payload: bytes) -> np.ndarray:
         need = rows * w * spp
         if comp == 32773:
             raster += _packbits_decode(strip, need)
+        elif comp == 5:  # LZW
+            raster += _tiff_lzw_decode(strip, need)
         elif comp == 8:  # Adobe Deflate (zlib stream per strip)
             import zlib
 
@@ -1499,6 +1608,8 @@ def _parse_tiff(payload: bytes) -> np.ndarray:
     img = np.frombuffer(
         bytes(raster[: h * w * spp]), np.uint8
     ).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo via row cumsum
+        img = np.cumsum(img, axis=1, dtype=np.uint8)
     if spp == 1:
         if photo == 0:  # WhiteIsZero -> invert
             img = 255 - img
@@ -1538,24 +1649,36 @@ def tiff_bytes(
     byte_order: str = "II",
     compression: int = 1,
     rows_per_strip: int | None = None,
+    predictor: int = 1,
 ) -> bytes:
     """Serialize 8-bit grayscale (h, w) or RGB (h, w, 3) as a baseline
     TIFF — writer counterpart of :func:`_parse_tiff` for tests.
-    ``compression``: 1 (none), 8 (Adobe Deflate, zlib per strip), or
-    32773 (PackBits, encoded per row as the spec requires)."""
+    ``compression``: 1 (none), 5 (LZW, early-change), 8 (Adobe
+    Deflate, zlib per strip), or 32773 (PackBits, encoded per row as
+    the spec requires). ``predictor=2`` applies horizontal
+    differencing before compression (tag 317)."""
     import struct
 
     img = np.asarray(img, np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else img.shape[2]
+    if predictor == 2:
+        wide = img.reshape(h, w, spp).astype(np.int16)
+        img = (
+            np.concatenate(
+                [wide[:, :1], np.diff(wide, axis=1)], axis=1
+            ) & 0xFF
+        ).astype(np.uint8)
     bo = "<" if byte_order == "II" else ">"
     rps = h if rows_per_strip is None else rows_per_strip
     flat = img.reshape(h, w * spp)
     strips = []
     for r0 in range(0, h, rps):
         chunk = flat[r0 : r0 + rps].tobytes()
-        if compression == 32773:
+        if compression == 5:
+            chunk = _tiff_lzw_encode(chunk)
+        elif compression == 32773:
             rowlen = w * spp
             chunk = b"".join(
                 _packbits_encode(chunk[i : i + rowlen])
@@ -1584,6 +1707,8 @@ def tiff_bytes(
     entry(277, 3, [spp])
     entry(278, 4, [rps])
     entry(279, 4, [len(s) for s in strips])
+    if predictor == 2:
+        entry(317, 3, [2])
     n = len(entries)
     ifd_size = 2 + 12 * n + 4
     type_size = {1: 1, 3: 2, 4: 4}
