@@ -1128,3 +1128,75 @@ def test_media_on_error_skip_policy(spark):
     assert len(kept) == 3
     with _pytest.raises(Exception):
         sample_frames(vids, every_k=1, decode_stub="error").collect()
+
+
+def test_decoders_never_leak_raw_exceptions():
+    """Untrusted-payload boundary: arbitrary bytes behind every
+    supported magic — random tails, truncations, and bit-flips of
+    valid files — must either decode or raise ValueError /
+    NotImplementedError, NEVER IndexError/struct.error/KeyError/...
+    (those would bypass the on_error='skip' policy and kill a
+    corpus-scale job)."""
+    import numpy as np
+
+    from tl_spark.operators.jpeg import jpeg_bytes
+    from tl_spark.operators.multimodal import (
+        _decode_image,
+        _malformed_as_valueerror,
+        _parse_wav,
+        avi_bytes,
+        bmp_bytes,
+        gif_bytes,
+        png_bytes,
+        tiff_bytes,
+        wav_bytes,
+    )
+
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (9, 11, 3), np.uint8)
+    sig = rng.integers(-5000, 5000, (64, 1)).astype(np.int16)
+    valid = [
+        b"P6\n11 9\n255\n" + img.tobytes(),
+        bmp_bytes(img),
+        gif_bytes(
+            np.ascontiguousarray(img[:, :, 0] % 64),
+            rng.integers(0, 256, (64, 3), np.uint8),
+        ),
+        png_bytes(img),
+        jpeg_bytes(img),
+        tiff_bytes(img, compression=5, predictor=2),
+    ]
+    magics = [
+        b"P6 ", b"BM", b"GIF89a", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff",
+        b"II*\x00", b"MM\x00*",
+    ]
+    payloads = []
+    for m in magics:
+        for ln in (0, 3, 17, 120):
+            payloads.append(m + bytes(rng.integers(0, 256, ln, np.uint8)))
+    for v in valid:
+        for cut in (5, len(v) // 3, len(v) - 2):
+            payloads.append(v[:cut])
+        for _ in range(10):
+            b = bytearray(v)
+            for _ in range(3):
+                b[int(rng.integers(0, len(b)))] ^= int(
+                    rng.integers(1, 256)
+                )
+            payloads.append(bytes(b))
+    ok = bad = 0
+    for p in payloads:
+        try:
+            _decode_image(p, 4, 4, "error")
+            ok += 1
+        except (ValueError, NotImplementedError):
+            bad += 1
+    assert ok + bad == len(payloads)
+
+    wav_payloads = [wav_bytes(sig, 8000, f) for f in (1, 6, 7, 0x11)]
+    for v in wav_payloads:
+        for cut in (5, 20, len(v) - 3):
+            try:
+                _malformed_as_valueerror(_parse_wav, v[:cut], "WAV")
+            except (ValueError, NotImplementedError):
+                pass

@@ -586,39 +586,52 @@ def synth_gif_media(
     return attach_media_meta(df)
 
 
+def _malformed_as_valueerror(fn, payload: bytes, fmt: str) -> np.ndarray:
+    """Untrusted-payload boundary: a decoder tripping over crafted
+    bytes may surface struct.error / IndexError / zlib.error / ... —
+    normalize ALL of it to ValueError so the on_error policy (which
+    correctly catches only ValueError/NotImplementedError) can never
+    be bypassed by a malformed payload at corpus scale."""
+    try:
+        return fn(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except Exception as exc:  # noqa: BLE001 — the decode boundary
+        raise ValueError(f"malformed {fmt} payload: {exc!r}") from exc
+
+
 def _decode_image(payload: bytes, width: int, height: int, stub: str) -> np.ndarray:
     # codec-free formats decode FOR REAL regardless of the stub mode:
     # P6/PPM is header + raw RGB, uncompressed 24-bpp BMP is header +
     # padded BGR rows — both parseable with struct/numpy alone. The
     # metadata (width, height) args are ignored for them — the header
     # is authoritative. Grayscale = integer channel mean (uint8).
+    decoder = None
     if payload and payload[:2] == b"P6":
-        rgb = _parse_ppm(payload)
-        return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
-    if payload and payload[:2] == b"BM":
-        rgb = _parse_bmp(payload)
-        return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
-    if payload and payload[:4] == b"GIF8":
-        rgb = _parse_gif(payload)
-        return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
-    if payload and payload[:8] == _PNG_SIG:
-        rgb = _parse_png(payload)
-        return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
-    if payload and payload[:2] == b"\xff\xd8":
+        decoder, fmt = _parse_ppm, "PPM"
+    elif payload and payload[:2] == b"BM":
+        decoder, fmt = _parse_bmp, "BMP"
+    elif payload and payload[:4] == b"GIF8":
+        decoder, fmt = _parse_gif, "GIF"
+    elif payload and payload[:8] == _PNG_SIG:
+        decoder, fmt = _parse_png, "PNG"
+    elif payload and payload[:2] == b"\xff\xd8":
         from tl_spark.operators.jpeg import jpeg_decode
 
-        rgb = jpeg_decode(payload)
-        return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
-    if payload and payload[:4] in (b"II*\x00", b"MM\x00*"):
-        rgb = _parse_tiff(payload)
+        decoder, fmt = jpeg_decode, "JPEG"
+    elif payload and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        decoder, fmt = _parse_tiff, "TIFF"
+    if decoder is not None:
+        rgb = _malformed_as_valueerror(decoder, payload, fmt)
         return (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
     if stub == "fake":
         return _fake_decode(payload, width * height).reshape(height, width)
     raise NotImplementedError(
         "this image format needs a codec library this container "
-        "lacks — P6/PPM, 24-bpp BMP, GIF, PNG, and baseline JPEG "
-        "payloads decode for real, pass decode_stub='fake' for the "
-        "deterministic test decoder, or plug a real codec in here"
+        "lacks — P6/PPM, 24-bpp BMP, GIF, PNG, baseline/progressive "
+        "JPEG, and TIFF payloads decode for real, pass "
+        "decode_stub='fake' for the deterministic test decoder, or "
+        "plug a real codec in here"
     )
 
 
@@ -929,11 +942,11 @@ def sample_frames(
                     # Rows buffer per payload so a decode failure
                     # mid-stream drops the WHOLE payload under "skip"
                     # (no partial clips in the output).
-                    rows = []
-                    try:
+                    def _decode_rows(pp):
+                        decoded = []
                         frames = (
-                            _parse_avi_frames(p) if is_avi
-                            else _parse_gif_frames(p)
+                            _parse_avi_frames(pp) if is_avi
+                            else _parse_gif_frames(pp)
                         )
                         for fidx, frame in enumerate(frames):
                             if fidx % every_k:
@@ -941,7 +954,13 @@ def sample_frames(
                             gray = (
                                 frame.astype(np.uint16).sum(axis=2) // 3
                             ).astype(np.uint8)
-                            rows.append((fidx, float(gray.mean())))
+                            decoded.append((fidx, float(gray.mean())))
+                        return decoded
+
+                    try:
+                        rows = _malformed_as_valueerror(
+                            _decode_rows, p, "AVI" if is_avi else "GIF"
+                        )
                     except (ValueError, NotImplementedError):
                         if on_error == "raise":
                             raise
@@ -2136,7 +2155,7 @@ def audio_features(
             for i, p in zip(ids, payloads):
                 try:
                     if p and p[:4] == b"RIFF":
-                        samples, rate = _parse_wav(p)
+                        samples, rate = _malformed_as_valueerror(_parse_wav, p, "WAV")
                     elif decode_stub == "fake":
                         raw = _fake_decode(p, 2048)
                         samples = raw.view("<i2").reshape(-1, 1).copy()
@@ -2230,7 +2249,7 @@ def audio_spectral_features(
             for i, p in zip(ids, payloads):
                 try:
                     if p and p[:4] == b"RIFF":
-                        samples, rate = _parse_wav(p)
+                        samples, rate = _malformed_as_valueerror(_parse_wav, p, "WAV")
                     elif decode_stub == "fake":
                         raw = _fake_decode(p, 2048)
                         samples = raw.view("<i2").reshape(-1, 1).copy()
