@@ -88,3 +88,44 @@ def test_incremental_threshold_and_meta_params(spark, tmp_path):
     ]
     # the signature length follows meta (64), not the default (32):
     # a wrong length would make est_jaccard of an exact dup != 1.0
+
+
+def test_incremental_neardup_broadcasts_the_increment(spark, tmp_path):
+    """Plan pin for the scale claim: the candidate join must be a
+    BroadcastHashJoin with the INCREMENT side broadcast — the index
+    bucket table is scanned map-only, never shuffled."""
+    from tl_spark.cache import unpersist_handles
+    from tl_spark.operators.dedup_index import (
+        incremental_neardup,
+        write_minhash_index,
+    )
+
+    corpus = _corpus(
+        spark, [(i, f"corpus document number {i} with words") for i in range(20)]
+    )
+    path = str(tmp_path / "idx3")
+    write_minhash_index(corpus, path)
+    inc = _corpus(spark, [(100, "corpus document number 3 with words")])
+    out = incremental_neardup(inc, path, threshold=0.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    unpersist_handles(out)
+    lines = plan.splitlines()
+    # the candidate join is the BroadcastHashJoin on (band, bh)
+    cand = [
+        i for i, l in enumerate(lines)
+        if "BroadcastHashJoin" in l and "band#" in l
+    ]
+    assert cand, "candidate (band, bh) broadcast join missing from plan"
+    # the index bucket table feeds it as the STREAMED side: the first
+    # parquet FileScan under the join arrives with no shuffle Exchange
+    # in between (tmp paths get truncated out of Location, so match
+    # structurally, not by path)
+    after = lines[cand[0] + 1 :]
+    scan_at = next(
+        i for i, l in enumerate(after) if "FileScan parquet" in l
+    )
+    assert not any(
+        "Exchange hashpartitioning" in l for l in after[:scan_at]
+    ), after[: scan_at + 1]
+    # and the increment side is the broadcast build
+    assert any("BroadcastExchange" in l for l in after[scan_at:])
