@@ -598,14 +598,14 @@ def test_png_parser_rejects_malformed():
     with _pytest.raises(ValueError, match="truncated|missing"):
         _parse_png(bytes(good[: len(good) - 20]))
     deep = bytearray(good)
-    deep[24] = 16  # IHDR bit-depth byte
+    deep[24] = 4  # IHDR bit-depth byte (16 is SUPPORTED now; 4 is not)
     # CRC must be recomputed or the corruption reads as a CRC error
     import struct
     import zlib
 
     ihdr = bytes(deep[16:29])
     deep[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
-    with _pytest.raises(ValueError, match="depth=16"):
+    with _pytest.raises(ValueError, match="depth=4"):
         _parse_png(bytes(deep))
     idx = rng.integers(0, 4, (4, 4), np.uint8)
     pal = rng.integers(0, 256, (4, 3), np.uint8)
@@ -1200,3 +1200,40 @@ def test_decoders_never_leak_raw_exceptions():
                 _malformed_as_valueerror(_parse_wav, v[:cut], "WAV")
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_png_16bit_depth_roundtrip():
+    """depth=16 PNGs (all non-palette color types, every filter, both
+    interlace modes) decode back to the 8-bit original via the
+    high-byte reduction; filters operate on bpp = channels * 2 bytes
+    per the spec. Palette at depth 16 is spec-invalid and rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tl_spark.operators.multimodal import _parse_png, png_bytes
+
+    rng = np.random.default_rng(7)
+    h, w = 13, 17
+    rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+    gray = rng.integers(0, 256, (h, w), np.uint8)
+    rgba = rng.integers(0, 256, (h, w, 4), np.uint8)
+    ga = rng.integers(0, 256, (h, w, 2), np.uint8)
+    for il in (False, True):
+        for ft in (0, 1, 2, 3, 4, [0, 1, 2, 3, 4]):
+            assert np.array_equal(
+                _parse_png(png_bytes(rgb, 2, ft, il, depth=16)), rgb
+            ), (il, ft)
+        assert np.array_equal(
+            _parse_png(png_bytes(gray, 0, 4, il, depth=16)),
+            np.repeat(gray[:, :, None], 3, 2),
+        )
+        assert np.array_equal(
+            _parse_png(png_bytes(rgba, 6, 3, il, depth=16)),
+            rgba[:, :, :3],
+        )
+        assert np.array_equal(
+            _parse_png(png_bytes(ga, 4, 2, il, depth=16)),
+            np.repeat(ga[:, :, :1], 3, 2),
+        )
+    with _pytest.raises(ValueError, match="depth 16"):
+        png_bytes(gray, 3, 0, palette=np.zeros((4, 3), np.uint8), depth=16)

@@ -1209,41 +1209,48 @@ def _parse_png(payload: bytes) -> np.ndarray:
     )
     if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError("malformed PNG IHDR")
-    if depth != 8 or ct not in _PNG_CHANNELS:
+    if depth not in (8, 16) or ct not in _PNG_CHANNELS or (
+        depth == 16 and ct == 3
+    ):
         raise ValueError(
             f"unsupported PNG: depth={depth} color_type={ct} "
-            "(only 8-bit color types 0/2/3/4/6)"
+            "(8/16-bit color types 0/2/4/6, 8-bit palette)"
         )
     if w == 0 or h == 0:
         raise ValueError("malformed PNG dimensions")
     ch = _PNG_CHANNELS[ct]
+    sb = depth // 8  # bytes per sample; filters operate on BYTES with
+    bpp = ch * sb    # bpp = channels * sample bytes (spec 9.2)
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        need = h * (w * ch + 1)
+        need = h * (w * bpp + 1)
         if len(raw) != need:
             raise ValueError(f"PNG raster: {len(raw)} bytes, need {need}")
         img = _png_unfilter(
-            np.frombuffer(raw, np.uint8).reshape(h, w * ch + 1), ch
-        ).reshape(h, w, ch)
+            np.frombuffer(raw, np.uint8).reshape(h, w * bpp + 1), bpp
+        ).reshape(h, w, bpp)
     else:  # Adam7: 7 independently-filtered sub-images, scattered back
-        img = np.zeros((h, w, ch), dtype=np.uint8)
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            take = ph * (pw * ch + 1)
+            take = ph * (pw * bpp + 1)
             chunk = raw[off : off + take]
             if len(chunk) != take:
                 raise ValueError("truncated PNG interlace pass")
             off += take
             sub = _png_unfilter(
-                np.frombuffer(chunk, np.uint8).reshape(ph, pw * ch + 1), ch
-            ).reshape(ph, pw, ch)
+                np.frombuffer(chunk, np.uint8).reshape(ph, pw * bpp + 1),
+                bpp,
+            ).reshape(ph, pw, bpp)
             img[y0::dy, x0::dx] = sub
         if off != len(raw):
             raise ValueError("trailing bytes after PNG interlace passes")
+    if sb == 2:  # 16-bit big-endian samples -> high byte (std 16->8)
+        img = np.ascontiguousarray(img.reshape(h, w, ch, 2)[..., 0])
     if ct == 2:
         return img.copy()
     if ct == 6:
@@ -1266,8 +1273,9 @@ def png_bytes(
     row_filters=0,
     interlace: bool = False,
     palette: np.ndarray | None = None,
+    depth: int = 8,
 ) -> bytes:
-    """Serialize an image as an 8-bit PNG — the writer counterpart of
+    """Serialize an image as a PNG — the writer counterpart of
     :func:`_parse_png`, used by :func:`synth_png_media` and tests.
 
     ``arr``: (h, w, 3) RGB for color_type 2, (h, w) gray for 0,
@@ -1276,10 +1284,14 @@ def png_bytes(
     ``row_filters``: a filter type 0-4 or a per-scanline sequence
     (cycled), applied with the true encoder formulas so every decode
     branch is exercisable. ``interlace=True`` writes Adam7 passes.
+    ``depth=16`` widens each 8-bit sample to the 16-bit value v*257
+    (hi byte == v, so the decoder's high-byte reduction round-trips).
     """
     import struct
     import zlib
 
+    if depth not in (8, 16) or (depth == 16 and color_type == 3):
+        raise ValueError(f"unsupported depth {depth} for ct {color_type}")
     ch = _PNG_CHANNELS[color_type]
     a = np.asarray(arr, dtype=np.uint8)
     if ch == 1 and a.ndim == 2:
@@ -1287,10 +1299,15 @@ def png_bytes(
     if a.ndim != 3 or a.shape[2] != ch:
         raise ValueError(f"array shape {a.shape} != channels {ch}")
     h, w, _ = a.shape
+    if depth == 16:  # v -> (v, v) big-endian == v * 257
+        a = np.repeat(a.reshape(h, w, ch, 1), 2, axis=3).reshape(
+            h, w, ch * 2
+        )
+    bpp = ch * (depth // 8)
 
     def filter_pass(sub: np.ndarray, base: int) -> bytes:
-        ph, pw, _ = sub.shape
-        flat = sub.reshape(ph, pw * ch).astype(np.int16)
+        ph, pw = sub.shape[:2]
+        flat = sub.reshape(ph, pw * bpp).astype(np.int16)
         out = bytearray()
         for y in range(ph):
             ft = (
@@ -1301,9 +1318,9 @@ def png_bytes(
             cur = flat[y]
             prev = flat[y - 1] if y > 0 else np.zeros_like(cur)
             left = np.zeros_like(cur)
-            left[ch:] = cur[:-ch]
+            left[bpp:] = cur[:-bpp]
             upleft = np.zeros_like(cur)
-            upleft[ch:] = prev[:-ch]
+            upleft[bpp:] = prev[:-bpp]
             if ft == 0:
                 enc = cur
             elif ft == 1:
@@ -1346,7 +1363,9 @@ def png_bytes(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace)
+    )
     out = _PNG_SIG + chunk(b"IHDR", ihdr)
     if color_type == 3:
         if palette is None:
