@@ -1237,3 +1237,27 @@ def test_png_16bit_depth_roundtrip():
         )
     with _pytest.raises(ValueError, match="depth 16"):
         png_bytes(gray, 3, 0, palette=np.zeros((4, 3), np.uint8), depth=16)
+
+
+def test_wav_pcm_bit_depths():
+    """PCM WAV at 8/16/24 bits: 24-bit round-trips int16 exactly
+    (top 16 of the widened 24 preserved), 8-bit preserves the high
+    byte, and the unsupported-depth error path still fires."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tl_spark.operators.multimodal import _parse_wav, wav_bytes
+
+    rng = np.random.default_rng(2)
+    for ch in (1, 2):
+        x = rng.integers(-32768, 32768, (100, ch)).astype(np.int16)
+        d, r = _parse_wav(wav_bytes(x, 8000, 1, pcm_bits=24))
+        assert np.array_equal(d, x)
+        d, r = _parse_wav(wav_bytes(x, 8000, 1, pcm_bits=8))
+        assert np.array_equal(
+            d, (x.astype(np.int32) & 0xFFFFFF00).astype(np.int16)
+        )
+    bad = bytearray(wav_bytes(x, 8000, 1))
+    bad[34] = 32  # bits-per-sample field
+    with _pytest.raises(ValueError, match="bits=32"):
+        _parse_wav(bytes(bad))

@@ -1940,20 +1940,36 @@ def _ima_adpcm_encode(
 
 
 def wav_bytes(
-    samples: np.ndarray, rate: int = 8000, audio_fmt: int = 1
+    samples: np.ndarray, rate: int = 8000, audio_fmt: int = 1,
+    pcm_bits: int = 16,
 ) -> bytes:
     """Serialize (n, channels) int16 samples as a RIFF/WAV payload in
-    format 1 (PCM16), 6 (A-law), 7 (mu-law), or 0x11 (IMA ADPCM) — the
-    writer counterpart of :func:`_parse_wav` for tests/synth tables.
-    G.711 encoding picks the nearest code by decoded magnitude (exact
-    inverse of the decode LUT on its own range)."""
+    format 1 (PCM at ``pcm_bits`` = 8/16/24), 6 (A-law), 7 (mu-law),
+    or 0x11 (IMA ADPCM) — the writer counterpart of
+    :func:`_parse_wav` for tests/synth tables. G.711 encoding picks
+    the nearest code by decoded magnitude (exact inverse of the
+    decode LUT on its own range)."""
     import struct
 
     samples = np.asarray(samples, dtype=np.int16)
     if samples.ndim == 1:
         samples = samples[:, None]
     n, channels = samples.shape
-    if audio_fmt == 1:
+    if audio_fmt == 1 and pcm_bits == 8:
+        data = ((samples.astype(np.int32) >> 8) + 128).astype(
+            np.uint8
+        ).tobytes()
+        bits, block_align = 8, channels
+    elif audio_fmt == 1 and pcm_bits == 24:
+        v = samples.astype(np.int32) << 8
+        b = np.empty((n * channels, 3), np.uint8)
+        flat = v.reshape(-1)
+        b[:, 0] = flat & 0xFF
+        b[:, 1] = (flat >> 8) & 0xFF
+        b[:, 2] = (flat >> 16) & 0xFF
+        data = b.tobytes()
+        bits, block_align = 24, 3 * channels
+    elif audio_fmt == 1:
         data = samples.astype("<i2").tobytes()
         bits, block_align = 16, 2 * channels
     elif audio_fmt in (6, 7):
@@ -2121,6 +2137,24 @@ def _parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
             data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2"
         ).reshape(-1, channels)
         return samples, rate
+    if audio_fmt == 1 and bits == 8:  # unsigned 8-bit PCM -> int16
+        u = np.frombuffer(
+            data[: (len(data) // channels) * channels], dtype=np.uint8
+        )
+        samples = ((u.astype(np.int16) - 128) << 8).reshape(-1, channels)
+        return samples, rate
+    if audio_fmt == 1 and bits == 24:  # little-endian 24-bit -> int16
+        frame = 3 * channels
+        trimmed = data[: (len(data) // frame) * frame]
+        b = np.frombuffer(trimmed, dtype=np.uint8).reshape(-1, 3)
+        # assemble signed 24-bit, then keep the top 16 bits
+        v = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return (v >> 8).astype(np.int16).reshape(-1, channels), rate
     if audio_fmt in (6, 7) and bits == 8:  # G.711 A-law / mu-law
         lut = _ALAW_LUT if audio_fmt == 6 else _ULAW_LUT
         codes = np.frombuffer(
