@@ -52,3 +52,7 @@ from tl_spark.operators.winnow import (  # noqa: F401
     substring_overlap_pairs,
     winnow_fingerprints,
 )
+from tl_spark.operators.archives import (  # noqa: F401
+    expand_archives,
+    iter_archive_members,
+)
