@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--lm-score-min", type=float, default=None)
     ap.add_argument("--substring-min-shared", type=int, default=None)
     ap.add_argument("--normalize", action="store_true")
+    ap.add_argument(
+        "--neardup-mode", default="pairs", choices=["pairs", "clusters"]
+    )
     ap.add_argument("--benchmark", default=None)
     ap.add_argument("--contamination-n", type=int, default=13)
     args = ap.parse_args()
@@ -57,6 +60,7 @@ def main() -> None:
             lm_score_min=args.lm_score_min,
             substring_min_shared=args.substring_min_shared,
             normalize=args.normalize,
+            neardup_mode=args.neardup_mode,
             benchmark=benchmark,
             contamination_n=args.contamination_n,
         )

@@ -334,3 +334,58 @@ def test_curation_substring_gate(spark):
     )
     assert curated2.count() == 3
     unpersist_handles(curated2)
+
+
+def test_curation_neardup_clusters_mode(spark):
+    """neardup_mode='clusters' vs 'pairs' on a transitive hub: A~C and
+    B~C are verified edges but A~B is below threshold. Pair mode drops
+    only C (the later doc of each pair) and B SURVIVES; cluster mode
+    computes the transitive component {A, B, C} and keeps only the
+    earliest turn A."""
+    import numpy as np
+
+    from tl_spark.cache import unpersist_handles
+    from tl_spark.curation import curate
+
+    rng = np.random.default_rng(3)
+
+    def words(n, tag):
+        return " ".join(
+            f"{tag}{rng.integers(0, 999999):06d}" for _ in range(n)
+        )
+
+    core = words(40, "core")        # ~400 distinct-shingle chars
+    ta = words(6, "alpha")          # ~60-char distinct tails
+    tb = words(6, "beta")
+    rows = [
+        ("a", 1, "user", core + " " + ta, None, None),   # A
+        ("a", 2, "user", core + " " + tb, None, None),   # B
+        ("a", 3, "user", core, None, None),              # C ~ both
+        ("b", 1, "user", words(30, "other"), None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    pair_kept = None
+    for mode, expected in (
+        ("pairs", [("a", 1), ("a", 2), ("b", 1)]),     # C dropped only
+        ("clusters", [("a", 1), ("b", 1)]),            # B and C dropped
+    ):
+        curated, dropped = curate(
+            df, quality_min=0.0, min_tokens=1, neardup_jaccard=0.8,
+            neardup_mode=mode,
+        )
+        kept = sorted(
+            (r["conv_id"], r["turn_idx"]) for r in curated.collect()
+        )
+        assert kept == expected, (mode, kept)
+        assert all(
+            r["drop_reason"] == "near_dup" for r in dropped.collect()
+        )
+        unpersist_handles(curated)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="neardup_mode"):
+        curate(df, neardup_mode="bogus")

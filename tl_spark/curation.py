@@ -45,6 +45,7 @@ def curate(
     normalize: bool = False,
     lm_score_min: float | None = None,
     substring_min_shared: int | None = None,
+    neardup_mode: str = "pairs",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated, dropped) DataFrames.
 
@@ -72,6 +73,15 @@ def curate(
     :func:`tl_spark.operators.winnow.substring_overlap_pairs`) drop
     as ``substring_dup``; precedence sits between near_dup and
     contaminated.
+
+    ``neardup_mode``: "pairs" (default — of each verified pair the
+    later (conv_id, turn_idx) drops; matches the driver oracle) or
+    "clusters" — the TRANSITIVE closure of verified pairs is computed
+    with :func:`tl_spark.operators.graph.connected_components` and
+    only the earliest (conv_id, turn_idx) doc per duplicate cluster
+    survives (A~B and B~C with no A~C edge still collapse to one
+    doc). Cluster mode runs the iterative CC rounds EAGERLY at plan
+    construction (bounded driver actions, O(log diameter) rounds).
 
     ``max_dup_word_frac`` (optional): Gopher-style repetition gate —
     docs whose fraction of repeated tokens exceeds the threshold drop
@@ -163,33 +173,62 @@ def curate(
     verified = ngram_jaccard_pairs(
         docs, cands, threshold=neardup_jaccard
     )
+    if neardup_mode not in ("pairs", "clusters"):
+        raise ValueError(f"neardup_mode must be pairs|clusters")
     keys = survivors.select("doc_uid", "conv_id", "turn_idx")
-    attached = verified.join(
-        keys.select(
-            F.col("doc_uid").alias("id_a"),
-            F.col("conv_id").alias("_conv_a"),
-            F.col("turn_idx").alias("_turn_a"),
-        ),
-        "id_a",
-    ).join(
-        keys.select(
-            F.col("doc_uid").alias("id_b"),
-            F.col("conv_id").alias("_conv_b"),
-            F.col("turn_idx").alias("_turn_b"),
-        ),
-        "id_b",
-    )
-    a_earlier = (F.col("_conv_a") < F.col("_conv_b")) | (
-        (F.col("_conv_a") == F.col("_conv_b"))
-        & (F.col("_turn_a") < F.col("_turn_b"))
-    )
-    later_uid = F.when(a_earlier, F.col("id_b")).otherwise(F.col("id_a"))
-    near_dups = (
-        attached.select(later_uid.alias("doc_uid"))
-        .distinct()
-        .join(exact_dups.select("doc_uid"), "doc_uid", "left_anti")
-        .select("doc_uid", F.lit("near_dup").alias("drop_reason"))
-    )
+    if neardup_mode == "clusters":
+        # transitive closure: only the earliest (conv, turn) per
+        # duplicate CLUSTER survives (A~B~C collapses even without an
+        # A~C edge). CC runs eagerly (bounded O(log diameter) driver
+        # rounds); the cluster table is tiny (docs touched by pairs).
+        from tl_spark.operators.graph import connected_components
+
+        cc = connected_components(verified, "id_a", "id_b")
+        ranked = cc.join(
+            keys.select(
+                F.col("doc_uid").alias("id"), "conv_id", "turn_idx"
+            ),
+            "id",
+        )
+        wc = Window.partitionBy("component").orderBy(
+            "conv_id", "turn_idx"
+        )
+        near_dups = (
+            ranked.withColumn("_cr", F.row_number().over(wc))
+            .filter(F.col("_cr") > 1)
+            .select(F.col("id").alias("doc_uid"))
+            .join(exact_dups.select("doc_uid"), "doc_uid", "left_anti")
+            .select("doc_uid", F.lit("near_dup").alias("drop_reason"))
+        )
+    else:
+        attached = verified.join(
+            keys.select(
+                F.col("doc_uid").alias("id_a"),
+                F.col("conv_id").alias("_conv_a"),
+                F.col("turn_idx").alias("_turn_a"),
+            ),
+            "id_a",
+        ).join(
+            keys.select(
+                F.col("doc_uid").alias("id_b"),
+                F.col("conv_id").alias("_conv_b"),
+                F.col("turn_idx").alias("_turn_b"),
+            ),
+            "id_b",
+        )
+        a_earlier = (F.col("_conv_a") < F.col("_conv_b")) | (
+            (F.col("_conv_a") == F.col("_conv_b"))
+            & (F.col("_turn_a") < F.col("_turn_b"))
+        )
+        later_uid = F.when(a_earlier, F.col("id_b")).otherwise(
+            F.col("id_a")
+        )
+        near_dups = (
+            attached.select(later_uid.alias("doc_uid"))
+            .distinct()
+            .join(exact_dups.select("doc_uid"), "doc_uid", "left_anti")
+            .select("doc_uid", F.lit("near_dup").alias("drop_reason"))
+        )
     if persist:
         near_dups = near_dups.persist()
         handles.append(near_dups)
