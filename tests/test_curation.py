@@ -389,3 +389,59 @@ def test_curation_neardup_clusters_mode(spark):
 
     with _pytest.raises(ValueError, match="neardup_mode"):
         curate(df, neardup_mode="bogus")
+
+
+def test_curation_totality_across_gate_combinations(spark):
+    """Invariant: every input row lands in EXACTLY one output (curated
+    or dropped-with-one-reason), for every combination of optional
+    gates and both near-dup modes — the drop precedence really is a
+    total partition of the input."""
+    from tl_spark.cache import unpersist_handles
+    from tl_spark.curation import curate
+
+    base = "the quick brown fox jumps over the lazy dog once more " * 3
+    rows = [
+        ("c1", 0, "user", base, None, None),
+        ("c1", 1, "user", base, None, None),               # exact dup
+        ("c1", 2, "user", base + "tail", None, None),       # near dup
+        ("c1", 3, "user", "x", None, None),                 # too short
+        ("c1", 4, "user", "!!! ??? ...", None, None),       # low quality
+        ("c2", 0, "user", "benchmark holdout passage here today "
+         "with trailing novel words", None, None),
+        ("c2", 1, "user", "spam spam spam spam spam spam spam spam",
+         None, None),                                       # repetitive
+        ("c2", 2, "user", "zq wv ts qp nm kj hg fd sa", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    bench = spark.createDataFrame(
+        [("benchmark holdout passage here today",)], "text string"
+    )
+    combos = [
+        dict(),
+        dict(benchmark=bench),
+        dict(max_dup_word_frac=0.5),
+        dict(lm_score_min=-3.0),
+        dict(substring_min_shared=2, normalize=True),
+        dict(
+            benchmark=bench, max_dup_word_frac=0.5, lm_score_min=-9.9,
+            substring_min_shared=2, neardup_mode="clusters",
+        ),
+    ]
+    n_in = len(rows)
+    for kw in combos:
+        curated, dropped = curate(
+            df, quality_min=0.3, min_tokens=2, **kw
+        )
+        kept_ids = [r["doc_uid"] for r in curated.collect()]
+        drop_rows = dropped.collect()
+        drop_ids = [r["doc_uid"] for r in drop_rows]
+        assert len(kept_ids) == len(set(kept_ids)), kw
+        assert len(drop_ids) == len(set(drop_ids)), (
+            kw, sorted(r["drop_reason"] for r in drop_rows),
+        )
+        assert len(kept_ids) + len(drop_ids) == n_in, kw
+        assert not (set(kept_ids) & set(drop_ids)), kw
+        unpersist_handles(curated)
