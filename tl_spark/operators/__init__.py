@@ -56,3 +56,8 @@ from tl_spark.operators.archives import (  # noqa: F401
     expand_archives,
     iter_archive_members,
 )
+from tl_spark.operators.urls import (  # noqa: F401
+    cap_per_domain,
+    domain_stats,
+    url_host,
+)
