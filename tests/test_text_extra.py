@@ -171,3 +171,64 @@ def test_pii_redact_spark_duckdb_parity_on_adversarial_corpus(spark):
         ).fetchall()
     )
     assert got == duck
+
+
+def test_script_profile_hand_cases_and_duckdb_parity(spark):
+    """script_counts/dominant_script: hand-checked mixed-script docs,
+    plus Java-regex-vs-RE2 parity on the major scripts (DuckDB counts
+    the same \\p{Script} classes over the documents corpus)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from tl_spark.functions.text import dominant_script, script_counts
+
+    rows = [
+        (1, "hello world"),
+        (2, "привет мир"),
+        (3, "你好世界"),
+        (4, "hello привет mixed"),
+        (5, "مرحبا"),
+        (6, "123 !!! ..."),
+        (7, "こんにちは カタカナ"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["sc"].asDict(), r["dom"])
+        for r in df.select(
+            "id",
+            script_counts(F.col("text")).alias("sc"),
+            dominant_script(F.col("text")).alias("dom"),
+        ).collect()
+    }
+    assert got[1][1] == "latin" and got[1][0]["latin"] == 10
+    assert got[2][1] == "cyrillic"
+    assert got[3] == ({**{k: 0 for k in got[3][0]}, "han": 4}, "han")
+    assert got[4][0]["latin"] == 10 and got[4][0]["cyrillic"] == 6
+    assert got[5][1] == "arabic"
+    assert got[6][1] == "none"
+    assert got[7][0]["hiragana"] == 5 and got[7][0]["katakana"] == 4
+
+    # cross-engine parity on real corpus text
+    path = "/root/testdata/sf0.01/documents.parquet"
+    docs = spark.read.parquet(path).filter(F.col("doc_id") < 200)
+    sp = {
+        r["doc_id"]: r["sc"].asDict()
+        for r in docs.select(
+            "doc_id", script_counts(F.col("text")).alias("sc")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    duck = con.execute(
+        """
+        SELECT doc_id,
+               length(regexp_replace(text, '[^\\p{Latin}]', '', 'g')),
+               length(regexp_replace(text, '[^\\p{Cyrillic}]', '', 'g')),
+               length(regexp_replace(text, '[^\\p{Han}]', '', 'g'))
+        FROM documents WHERE doc_id < 200
+        """
+    ).fetchall()
+    for doc_id, lat, cyr, han in duck:
+        assert sp[doc_id]["latin"] == lat, doc_id
+        assert sp[doc_id]["cyrillic"] == cyr, doc_id
+        assert sp[doc_id]["han"] == han, doc_id

@@ -274,3 +274,38 @@ def normalize_text(col) -> Column:
     Unicode NFC — the standard pre-tokenization cleanup for web text.
     """
     return nfc_normalize(strip_controls(col))
+
+
+# Writing-system profile: Java regex Unicode script properties (also
+# supported, with the same definitions for these major scripts, by
+# DuckDB's RE2 — which is what makes the suite oracle possible).
+SCRIPTS = ("Latin", "Cyrillic", "Han", "Arabic", "Devanagari",
+           "Greek", "Hangul", "Hiragana", "Katakana")
+
+
+def script_counts(col) -> Column:
+    """struct<latin:long, cyrillic:long, ...> — per-script character
+    counts via JVM regexp_count (one pass per script, all codegen'd).
+    A multilingual-corpus signal: script mix flags mixed-language or
+    transliterated documents that token-level language ID misses."""
+    return F.struct(
+        *[
+            F.regexp_count(col, F.lit(rf"\p{{Is{s}}}")).alias(s.lower())
+            for s in SCRIPTS
+        ]
+    )
+
+
+def dominant_script(col) -> Column:
+    """Name of the script with the highest character count (ties break
+    by SCRIPTS order; 'none' when no scripted characters at all)."""
+    counts = [
+        F.regexp_count(col, F.lit(rf"\p{{Is{s}}}")) for s in SCRIPTS
+    ]
+    best = F.greatest(*counts)
+    expr = F.lit("none")
+    for s, c in reversed(list(zip(SCRIPTS, counts))):
+        expr = F.when((best > 0) & (c == best), F.lit(s.lower())).otherwise(
+            expr
+        )
+    return expr
