@@ -1,0 +1,93 @@
+"""spark-submit entrypoint for the full crawl-to-corpus pipeline.
+
+    spark-submit --py-files dist/tl_spark.zip jobs/crawl_job.py \
+        --input '/path/to/*.warc.gz' --output /path/to/corpus \
+        [--max-per-host 1000] [--quality-min 0.2] [--min-tokens 20]
+
+Composes the crawl-side operators end to end:
+  WARC records -> 200 text/html -> extraction kernel -> per-domain
+  cap (C4-style diversity) -> exact dedup (first URL per digest) ->
+  quality/length/script stats + filters -> parquet + one JSON report.
+
+Every stage is an already-tested operator; the composition is the
+"point the engine at a crawl" story. All map-only except the domain
+cap (one window shuffle on host) and the dedup (one digest shuffle).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--max-per-host", type=int, default=1000)
+    ap.add_argument("--quality-min", type=float, default=0.2)
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--on-error", default="skip", choices=["skip", "raise"])
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tl_spark.functions.text import (
+        dominant_script,
+        lang_guess,
+        quality_score,
+        token_count,
+    )
+    from tl_spark.operators.urls import cap_per_domain
+    from tl_spark.sources.warc import extract_warc_html
+
+    spark = SparkSession.builder.appName("tl-crawl").getOrCreate()
+    try:
+        ex = extract_warc_html(spark, args.input, on_error=args.on_error)
+        ex = ex.withColumn(
+            "doc_id",
+            F.xxhash64("warc_file", "record_idx"),
+        )
+        n_extracted = ex.count()
+        capped = cap_per_domain(
+            ex, args.max_per_host, url_col="target_uri", id_col="doc_id"
+        )
+        # exact dedup across the crawl: keep the first URL per digest
+        w = Window.partitionBy(F.sha2("extracted_text", 256)).orderBy(
+            "target_uri", "doc_id"
+        )
+        deduped = (
+            capped.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
+        c = F.col("extracted_text")
+        curated = (
+            deduped.withColumn("n_tokens", token_count(c))
+            .withColumn("quality", quality_score(c))
+            .withColumn("lang_guess", lang_guess(c))
+            .withColumn("dominant_script", dominant_script(c))
+            .filter(
+                (F.col("quality") >= args.quality_min)
+                & (F.col("n_tokens") >= args.min_tokens)
+            )
+        )
+        curated.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        print(
+            json.dumps(
+                {
+                    "html_extracted": n_extracted,
+                    "corpus_rows": n_out,
+                    "output": args.output,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
