@@ -1,0 +1,123 @@
+"""In-process coverage for the spark-submit CLI mains.
+
+The jobs are driven for real via spark-submit in verification, but
+running their main() in-process (argv patched; getOrCreate reuses the
+test session) pins the argument wiring and report contracts in CI.
+"""
+
+import json
+
+import numpy as np
+import pyspark.sql.functions as F
+
+
+def _run_main(monkeypatch, capsys, module, argv):
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr("sys.argv", ["job"] + argv)
+    # the jobs stop their session on exit; in-process that would kill
+    # the shared test session — neutralize stop() for the call
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    module.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    return json.loads(out[-1])
+
+
+def test_curate_job_main(spark, tmp_path, monkeypatch, capsys):
+    import jobs.curate_job as J
+    from tl_spark.sources.transcripts import (
+        synth_transcripts,
+        write_transcripts,
+    )
+
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    write_transcripts(
+        synth_transcripts(spark, n_convs=10, median_turns=4, skew_mult=2),
+        inp,
+    )
+    report = _run_main(
+        monkeypatch, capsys, J,
+        ["--input", inp, "--output", outp,
+         "--quality-min", "0.0", "--min-tokens", "1", "--normalize"],
+    )
+    assert report["rows_curated"] == spark.read.parquet(outp).count()
+    assert report["rows_in"] == report["rows_curated"] + sum(
+        report["dropped"].values()
+    )
+
+
+def test_index_job_main_build_and_check(spark, tmp_path, monkeypatch, capsys):
+    import jobs.index_job as J
+
+    rng = np.random.default_rng(5)
+    texts = [
+        " ".join(f"w{rng.integers(0, 10**9):09d}" for _ in range(20))
+        for _ in range(8)
+    ]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cpath = str(tmp_path / "corpus")
+    corpus.write.parquet(cpath)
+    idx = str(tmp_path / "idx")
+    rep = _run_main(
+        monkeypatch, capsys, J,
+        ["build", "--input", cpath, "--index", idx],
+    )
+    assert rep["docs_indexed"] == 8
+    inc = spark.createDataFrame(
+        [(101, texts[3])], "doc_id long, text string"
+    )
+    ipath = str(tmp_path / "inc")
+    inc.write.parquet(ipath)
+    mpath = str(tmp_path / "matches")
+    rep = _run_main(
+        monkeypatch, capsys, J,
+        ["check", "--input", ipath, "--index", idx,
+         "--output", mpath, "--threshold", "0.5"],
+    )
+    assert rep["matches"] == 1
+    m = spark.read.parquet(mpath).collect()[0]
+    assert (m["id_new"], m["id_index"]) == (101, 3)
+
+
+def test_crawl_job_main(spark, tmp_path, monkeypatch, capsys):
+    import jobs.crawl_job as J
+    from tl_spark.sources.warc import http_response_block, warc_bytes
+
+    long = " ".join(
+        f"token{i:03d} meaningful article content" for i in range(12)
+    )
+
+    def page(body):
+        return http_response_block(
+            (
+                "<html><nav>chrome</nav><main><p>" + body
+                + "</p></main></html>"
+            ).encode()
+        )
+
+    recs = [
+        ("response", f"http://big.example.com/p{k}", page(long + f" p{k}"))
+        for k in range(4)
+    ]
+    recs.append(("response", "http://tiny.org/short", page("too short")))
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "c.warc.gz").write_bytes(warc_bytes(recs, gzip_members=True))
+    outp = str(tmp_path / "corpus_out")
+    rep = _run_main(
+        monkeypatch, capsys, J,
+        ["--input", str(d) + "/*.warc.gz", "--output", outp,
+         "--max-per-host", "2", "--quality-min", "0.0",
+         "--min-tokens", "10"],
+    )
+    assert rep["html_extracted"] == 5
+    assert rep["corpus_rows"] == 2  # capped to 2; short page filtered
+    hosts = (
+        spark.read.parquet(outp)
+        .select(F.try_parse_url(F.col("target_uri"), F.lit("HOST")))
+        .collect()
+    )
+    assert all(r[0] == "big.example.com" for r in hosts)
