@@ -1,0 +1,81 @@
+"""Feature-hashing embeddings: reference parity + retrieval loop."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+
+def test_hashed_embedding_matches_local_reference(spark):
+    """Spark vectors equal a local reference built from the SAME
+    xxhash64 values (exported as columns, so the reference shares
+    only the hash primitive, not the pipeline)."""
+    from tl_spark.operators.embed import hashed_embedding
+
+    docs = [
+        (1, "the quick brown fox"),
+        (2, "jumps over the lazy dog"),
+        (3, ""),
+        (4, "THE QUICK the quick"),
+    ]
+    dim = 32
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: np.array(r["embedding"], dtype=np.float32)
+        for r in hashed_embedding(df, dim=dim).collect()
+    }
+    # export the JVM hash values for each distinct token
+    toks = sorted(
+        {w.lower() for _, t in docs for w in t.split() if w}
+    )
+    tok_df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    hrows = tok_df.select(
+        "tok",
+        F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int").alias("slot"),
+        (F.pmod(F.xxhash64("tok", F.lit("sign-salt")), F.lit(2)) * 2 - 1)
+        .cast("double")
+        .alias("sign"),
+    ).collect()
+    hmap = {r["tok"]: (r["slot"], r["sign"]) for r in hrows}
+    for doc_id, text in docs:
+        v = np.zeros(dim)
+        for w in text.split():
+            s, sg = hmap[w.lower()]
+            v[s] += sg
+        n = np.linalg.norm(v)
+        if n > 0:
+            v = v / n
+        assert np.allclose(got[doc_id], v, atol=1e-6), doc_id
+    assert len(got) == 4 and np.all(got[3] == 0)  # empty doc -> zeros
+
+
+def test_hashed_embedding_closes_the_retrieval_loop(spark):
+    """text -> hashed vectors -> exact cosine top-k: each doc's
+    nearest neighbor (excluding itself) is its planted paraphrase,
+    not an unrelated doc — the model-free retrieval path end to end."""
+    from tl_spark.operators.embed import hashed_embedding
+    from tl_spark.operators.similarity import cosine_topk_bruteforce
+
+    pairs = [
+        ("database engine query optimizer join index scan plan",
+         "query optimizer plan for database join index scan engine"),
+        ("deep learning neural network training gradient descent",
+         "training a neural network with gradient descent learning"),
+        ("sailing ships across the ocean with strong winds tonight",
+         "ships sailing the ocean tonight with strong winds blowing"),
+    ]
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        rows.append((2 * i, a))
+        rows.append((2 * i + 1, b))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hashed_embedding(df, dim=64).select(
+        F.col("id").alias("vec_id"), "embedding"
+    )
+    for i in range(len(pairs)):
+        probe = [
+            r["embedding"]
+            for r in emb.filter(F.col("vec_id") == 2 * i).collect()
+        ][0]
+        top = cosine_topk_bruteforce(emb, probe, k=2).collect()
+        ids = [r["id"] for r in top]
+        assert ids[0] == 2 * i  # itself
+        assert ids[1] == 2 * i + 1, (i, ids)  # its paraphrase

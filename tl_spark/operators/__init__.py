@@ -61,3 +61,4 @@ from tl_spark.operators.urls import (  # noqa: F401
     domain_stats,
     url_host,
 )
+from tl_spark.operators.embed import hashed_embedding  # noqa: F401
