@@ -368,8 +368,20 @@ pub unsafe extern "C" fn tl_extract_batch(
     let offs = std::slice::from_raw_parts(offs, base + n + 1);
     let total = offs[base + n] as usize;
     let first = offs[base] as usize;
-    let data = if total > first {
+    // Offsets are absolute into the (possibly sliced) Arrow buffer, which the
+    // caller guarantees readable to `total` bytes. Build the slice whenever
+    // total > 0 — gating on `total > first` left `data` empty for a sliced
+    // batch whose docs are all empty strings but preceded by non-empty data
+    // (offs[base] == offs[base+n] > 0), and `&data[s..e]` with s=e>0 then
+    // panicked across the FFI boundary, aborting the worker.
+    if total > 0 && data.is_null() {
+        return std::ptr::null_mut(); // caller falls back to Python
+    }
+    let data = if total > 0 {
         std::slice::from_raw_parts(data, total)
+    } else if first > 0 {
+        // Absolute offsets > 0 with a zero-length buffer is inconsistent.
+        return std::ptr::null_mut();
     } else {
         &[]
     };

@@ -197,3 +197,54 @@ def test_native_batches_do_not_leak_memory():
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     growth_mb = (rss1 - rss0) / 1024  # ru_maxrss is KB on Linux
     assert growth_mb < 120, f"RSS grew {growth_mb:.0f} MB over 300 batches"
+
+
+def _read_text_bytes(text_arr, n):
+    """Byte-level text column read (see _native_batch for why)."""
+    bufs = text_arr.buffers()
+    offs = memoryview(bufs[1]).cast("i")
+    data = bytes(memoryview(bufs[2])) if bufs[2] is not None else b""
+    return [data[offs[i] : offs[i + 1]] for i in range(n)]
+
+
+def test_native_sliced_all_empty_batch_does_not_abort():
+    """ADVICE r4 (medium): a sliced Arrow batch (col.offset > 0) whose
+    docs are ALL empty strings preceded by non-empty data has
+    offs[base] == offs[base+n] > 0; the kernel used to leave `data` as
+    an empty slice and panic at `&data[s..e]` with s=e>0 — a panic
+    across the extern "C" boundary that SIGABRTs the whole worker
+    process (uncatchable from Python). Must return empty outputs."""
+    full = pa.array(["<p>hello</p>", "", "", ""], type=pa.string())
+    col = full.slice(1)  # 3 empty docs; non-empty parent data buffer
+    assert col.offset > 0
+    res = extract_batch_arrays(col, DEFAULT_STRIP_TAGS)
+    assert res is not None
+    text_arr, spans_arr, n_nodes_arr, version_arr = res
+    assert _read_text_bytes(text_arr, 3) == [b"", b"", b""]
+    for i in range(3):
+        assert spans_arr[i].as_py() == []
+        assert n_nodes_arr[i].as_py() == 0
+        assert version_arr[i].as_py() is None
+
+
+def test_native_sliced_batches_match_python_at_every_offset():
+    """Sliced batches (absolute Arrow offsets) must equal the Python
+    scanner doc-for-doc at every slice start, including slices that
+    begin or end on empty docs."""
+    docs = ["<div>a</div>", "", "<p>x <b>y</b></p>", "", "<span>z</span>", ""]
+    full = pa.array(docs, type=pa.string())
+    for start in range(len(docs)):
+        col = full.slice(start)
+        if len(col) == 0:
+            continue
+        res = extract_batch_arrays(col, DEFAULT_STRIP_TAGS)
+        assert res is not None
+        texts = _read_text_bytes(res[0], len(col))
+        for i, doc in enumerate(docs[start:]):
+            exp_text, exp_spans, exp_nodes, exp_ver = _python_one(doc)
+            assert texts[i] == exp_text, (start, i)
+            assert [
+                (s["start"], s["end"]) for s in res[1][i].as_py()
+            ] == list(exp_spans)
+            assert res[2][i].as_py() == exp_nodes
+            assert res[3][i].as_py() == exp_ver

@@ -1005,3 +1005,33 @@ def test_pack_documents_hand_case(spark):
     assert got[3] == (1, 0, False)
     assert got[4] == (2, 0, True)
     assert got[5] == (3, 0, False)
+
+
+def test_pack_documents_zero_token_docs_before_oversize(spark):
+    """ADVICE r4 (low): zero-token docs occupy positions without
+    raising cur_fill, so the oversize break must check occupancy
+    (cur_pos), not fill — an oversize doc after only zero-token docs
+    gets its OWN pack, and pack_pos stays unique within the pack."""
+    from tl_spark.operators.packing import pack_documents
+
+    rows = [
+        (1, ""),          # 0 tokens
+        (2, "   "),       # 0 tokens (whitespace only)
+        (3, " ".join(f"t{i}" for i in range(12))),  # oversize (cap 10)
+        (4, "a b"),       # 2 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["pack_id"] & 0xFFFFFFFF, r["pack_pos"], r["oversize"])
+        for r in pack_documents(df, capacity=10, n_buckets=1).collect()
+    }
+    assert got[1] == (0, 0, False)
+    assert got[2] == (0, 1, False)
+    assert got[3][2] is True
+    assert got[3][0] != got[1][0], "oversize doc shares a pack"
+    # every (pack_id, pack_pos) pair unique
+    pairs = [(p, pos) for (p, pos, _) in got.values()]
+    assert len(set(pairs)) == len(pairs)
+    # doc 4 opens a fresh pack after the oversize one
+    assert got[4][0] not in (got[1][0], got[3][0])
+    assert got[4][1] == 0

@@ -69,8 +69,11 @@ def pack_documents(
         for n in pdf["n_tokens"]:
             n = int(n)
             if n > capacity:
-                # oversize: its own pack, never shared
-                if cur_fill > 0:
+                # oversize: its own pack, never shared. Break on
+                # cur_pos (occupancy), not cur_fill — zero-token docs
+                # occupy positions without raising cur_fill, and the
+                # oversize doc must not share their pack.
+                if cur_pos > 0:
                     cur_pack += 1
                 pack_ids.append(base + cur_pack)
                 positions.append(0)
