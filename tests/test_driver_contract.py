@@ -86,8 +86,10 @@ def test_driver_window_is_fully_oracle_backed():
     """The driver verifies only the FIRST 50 registry entries
     (CORRECTNESS_r02.json has exactly the first 50 keys of the r2
     registry). Every query inside that window must carry a DuckDB
-    oracle, and only the no-oracle media decoders may sit beyond it —
-    otherwise an oracle-backed query is silently never driver-checked.
+    oracle, and no oracle-backed query may sit beyond it (beyond-window
+    entries are the no-oracle media decoders plus the round-5 rotated
+    queries, whose exact checks continue as suite-oracles) — otherwise
+    an oracle-backed query is silently never driver-checked.
     """
     names = list(Q.queries())
     window, beyond = names[:50], names[50:]
@@ -223,6 +225,14 @@ def F_text():
 SUITE_GATED_BEYOND_WINDOW = {
     "media_image_features": "tests/test_multimodal.py",
     "media_frame_sample": "tests/test_multimodal.py",
+    # rotated out in round 5 (slots now carry bm25_corpus_topk,
+    # doc_hashed_embedding, docs_cap_per_domain,
+    # curate_documents_clusters); exact DuckDB checks continue below
+    # in test_rotated_r5_queries_still_match_oracle
+    "selector_attr_ws": "tests/test_driver_contract.py::ROTATED_R5",
+    "selector_id_class": "tests/test_driver_contract.py::ROTATED_R5",
+    "lookup_by_id": "tests/test_driver_contract.py::ROTATED_R5",
+    "lookup_by_class": "tests/test_driver_contract.py::ROTATED_R5",
 }
 
 
@@ -291,6 +301,31 @@ def test_retired_attr_selector_variants_still_match_oracle(spark, ddb, name):
     qdf = getattr(Q, name)(spark, SF_DIR)
     spark_rows = [tuple(r) for r in qdf.collect()]
     res = ddb.execute(Q.SELECTOR_ATTR_SQL)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(qdf.columns) == sorted(duck_cols)
+    assert normalize(spark_rows, qdf.columns) == normalize(duck_rows, duck_cols)
+
+
+# Round-5 rotation: these four left the driver window (their slots now
+# carry bm25_corpus_topk / doc_hashed_embedding / docs_cap_per_domain /
+# curate_documents_clusters) but keep the SAME exact DuckDB oracles as
+# suite gates. The selector pair is additionally pinned by the golden
+# corpus; the lookup pair's oracles are shared with the _tracked twins
+# that stayed in the window.
+ROTATED_R5 = {
+    "selector_attr_ws": "SELECTOR_ATTR_WS_SQL",
+    "selector_id_class": "SELECTOR_ID_CLASS_SQL",
+    "lookup_by_id": "LOOKUP_BY_ID_SQL",
+    "lookup_by_class": "LOOKUP_BY_CLASS_SQL",
+}
+
+
+@pytest.mark.parametrize("name", sorted(ROTATED_R5))
+def test_rotated_r5_queries_still_match_oracle(spark, ddb, name):
+    qdf = Q.queries()[name](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in qdf.collect()]
+    res = ddb.execute(getattr(Q, ROTATED_R5[name]))
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
     assert sorted(qdf.columns) == sorted(duck_cols)

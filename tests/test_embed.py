@@ -79,3 +79,48 @@ def test_hashed_embedding_closes_the_retrieval_loop(spark):
         ids = [r["id"] for r in top]
         assert ids[0] == 2 * i  # itself
         assert ids[1] == 2 * i + 1, (i, ids)  # its paraphrase
+
+
+def test_hashed_embedding_md5_leg_matches_python_reference(spark):
+    """The md5 hash leg (the driver-oracle-expressible variant) must
+    equal a local reference computed with hashlib: slot from the
+    first 8 hex chars, sign from the next 8 — same md5, zero Spark
+    primitives shared."""
+    import hashlib
+
+    from tl_spark.operators.embed import hashed_embedding
+
+    docs = [
+        (1, "the quick brown fox"),
+        (2, "jumps over the lazy dog dog dog"),
+        (3, ""),
+        (4, "Unicode töken café café"),
+    ]
+    dim = 16
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: np.array(r["embedding"], dtype=np.float32)
+        for r in hashed_embedding(df, dim=dim, hash_fn="md5").collect()
+    }
+    for doc_id, text in docs:
+        v = np.zeros(dim)
+        for w in text.split():
+            h = hashlib.md5(w.lower().encode("utf-8")).hexdigest()
+            slot = int(h[:8], 16) % dim
+            sign = 1.0 if int(h[8:16], 16) % 2 == 1 else -1.0
+            v[slot] += sign
+        n = np.linalg.norm(v)
+        if n > 0:
+            v = v / n
+        assert np.allclose(got[doc_id], v, atol=1e-6), doc_id
+    assert np.all(got[3] == 0)
+
+
+def test_hashed_embedding_rejects_unknown_hash(spark):
+    import pytest
+
+    from tl_spark.operators.embed import hashed_embedding
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        hashed_embedding(df, hash_fn="sha1")

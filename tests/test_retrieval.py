@@ -115,3 +115,33 @@ def test_bm25_duckdb_suite_oracle(spark):
     assert len(got) > 10  # the corpus genuinely matches these terms
     for i in got:
         assert abs(got[i] - exp[i]) < 1e-5, (i, got[i], exp[i])
+
+
+def test_bm25_stable_sum_equals_default_and_is_bit_reproducible(spark):
+    """stable_sum changes only the summation ORDER: scores agree with
+    the default mode to float tolerance, and repeated runs over
+    different partitionings are bit-identical (the property the
+    driver oracle relies on)."""
+    from tl_spark.operators.retrieval import bm25_scores
+
+    rows = [
+        (i, f"alpha beta gamma{i % 3} " + ("target " * (i % 4)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = ["target", "alpha", "gamma1"]
+    base = {r["id"]: r["bm25"] for r in bm25_scores(df, q).collect()}
+    stable = {
+        r["id"]: r["bm25"]
+        for r in bm25_scores(df, q, stable_sum=True).collect()
+    }
+    assert set(base) == set(stable)
+    for i in base:
+        assert abs(base[i] - stable[i]) < 1e-5, i
+    again = {
+        r["id"]: r["bm25"]
+        for r in bm25_scores(
+            df.repartition(7), q, stable_sum=True
+        ).collect()
+    }
+    assert stable == again  # exact equality, not tolerance

@@ -184,6 +184,11 @@ def curate(
         from tl_spark.operators.graph import connected_components
 
         cc = connected_components(verified, "id_a", "id_b")
+        # CC's final labels are a localCheckpoint: carry its handle so
+        # unpersist_handles(curated) releases the RDD-level persistence
+        # (after which cluster-mode outputs cannot be recomputed —
+        # materialize both outputs first, as the protocol requires)
+        handles.extend(carried_handles(cc))
         ranked = cc.join(
             keys.select(
                 F.col("doc_uid").alias("id"), "conv_id", "turn_idx"

@@ -29,20 +29,43 @@ def hashed_embedding(
     text_col: str = "text",
     id_col: str = "doc_id",
     lowercase: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, embedding array<float>) — L2-normalized signed-hash
     bag-of-words vectors. Documents with no tokens get the zero
-    vector (normalization guarded)."""
+    vector (normalization guarded).
+
+    ``hash_fn``: "xxhash64" (default; fastest, Spark-specific) or
+    "md5" — slot from the first 8 hex chars, sign from the next 8.
+    The md5 leg exists because it is exactly re-expressible in ANSI
+    SQL (DuckDB ``CAST('0x'||substr(md5(tok),1,8) AS UBIGINT)``), so
+    the driver oracle can pin the full hashing+normalization path;
+    both legs share every other step."""
     if dim < 2:
         raise ValueError("dim must be >= 2")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     tok = F.explode(tokens(F.col(text_col))).alias("tok")
     t = df.select(F.col(id_col).alias("id"), tok)
     if lowercase:
         t = t.select("id", F.lower(F.col("tok")).alias("tok"))
-    slot = F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int")
-    sign = (
-        F.pmod(F.xxhash64("tok", F.lit("sign-salt")), F.lit(2)) * 2 - 1
-    ).cast("double")
+    if hash_fn == "md5":
+        h = F.md5(F.col("tok"))
+        slot = F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(dim)
+        ).cast("int")
+        sign = (
+            F.pmod(
+                F.conv(F.substring(h, 9, 8), 16, 10).cast("long"), F.lit(2)
+            )
+            * 2
+            - 1
+        ).cast("double")
+    else:
+        slot = F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int")
+        sign = (
+            F.pmod(F.xxhash64("tok", F.lit("sign-salt")), F.lit(2)) * 2 - 1
+        ).cast("double")
     sums = (
         t.select("id", slot.alias("slot"), sign.alias("s"))
         .groupBy("id", "slot")

@@ -21,6 +21,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class _LocalCheckpointHandle:
+    """Cache-protocol handle (duck-typed ``.unpersist()``) for a
+    localCheckpoint's RDD-level persistence, which DataFrame.unpersist
+    cannot release (it only clears CacheManager entries). NOTE: a
+    localCheckpoint's lineage is truncated, so after release the plan
+    that reads it CANNOT be recomputed — the protocol's
+    materialize-then-release contract is mandatory here, not merely
+    advisable."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        try:
+            self._df._jdf.queryExecution().analyzed().rdd().unpersist(
+                blocking
+            )
+        except Exception:
+            pass  # session gone / already released
+
+
+def _release_ckpt(df: DataFrame) -> None:
+    _LocalCheckpointHandle(df).unpersist()
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
@@ -31,7 +56,14 @@ def connected_components(
     ``component`` is the smallest node id in the connected component.
     Deterministic; self-loops and duplicate edges are fine. Raises
     RuntimeError if not converged within ``max_iter`` pointer-jumping
-    rounds (~2^max_iter diameter — unreachable in practice)."""
+    rounds (~2^max_iter diameter — unreachable in practice).
+
+    Cache ownership: intermediate per-round checkpoints are released
+    eagerly inside the loop; the FINAL labels checkpoint (which the
+    returned plan reads) is attached as a cache-protocol handle —
+    materialize the result, then ``unpersist_handles`` it. After
+    release the result cannot be recomputed (truncated lineage)."""
+    from tl_spark.cache import attach_handles
     e = (
         edges.select(
             F.col(id_a).cast("long").alias("src"),
@@ -99,9 +131,16 @@ def connected_components(
             .filter(F.col("_old") != F.col("label"))
             .count()
         )
+        # jumped is materialized (eager) and no longer reads labels:
+        # drop the superseded round's checkpoint immediately
+        _release_ckpt(labels)
         labels = jumped
         if changed == 0:
-            return labels.select("id", F.col("label").alias("component"))
+            _release_ckpt(sym)
+            out = labels.select("id", F.col("label").alias("component"))
+            return attach_handles(out, _LocalCheckpointHandle(labels))
+    _release_ckpt(sym)
+    _release_ckpt(labels)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
@@ -117,9 +156,12 @@ def neardup_clusters(
     is canonical (keep it, drop the rest). The cluster-correct
     upgrade over per-pair later-doc dropping when duplicate groups
     are larger than 2."""
+    from tl_spark.cache import keep_handles
+
     cc = connected_components(pairs, id_a, id_b)
-    return cc.select(
+    out = cc.select(
         "id",
         "component",
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+    return keep_handles(out, cc)

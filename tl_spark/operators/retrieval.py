@@ -35,6 +35,7 @@ def bm25_scores(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    stable_sum: bool = False,
 ) -> DataFrame:
     """(id, bm25) for every document matching >=1 query term, higher =
     more relevant. Standard Okapi BM25 with the non-negative idf
@@ -42,17 +43,31 @@ def bm25_scores(
 
     Scores are deterministic and exactly re-expressible in ANSI SQL
     (the suite pins them against DuckDB); ``round`` to 6 places makes
-    the cross-engine float comparison stable."""
+    the cross-engine float comparison stable.
+
+    ``stable_sum=True`` makes the per-doc score bit-reproducible
+    across engines: per-term contributions are summed in term-sorted
+    order (a sequential fold over a sorted array) instead of
+    aggregation order, and ``avgdl`` is computed as exact-integer
+    sum(dl)/n rather than a float running average. Used by the
+    driver-window query so the DuckDB oracle matches to the last
+    ulp before rounding."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     q = [t.lower() for t in query_terms]
     toks = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_t")
     )
-    # doc lengths + corpus stats (1-row broadcast)
+    # doc lengths + corpus stats (1-row broadcast). sum(dl) over longs
+    # is exact, so avgdl is one correctly-rounded division — identical
+    # in any engine — where avg() would be an order-dependent float sum.
     lens = toks.select("id", F.size("_t").alias("dl"))
     stats = lens.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
     )
     # query-term postings: filter BEFORE the count aggregation
     qlit = F.array(*[F.lit(t) for t in q])
@@ -75,12 +90,13 @@ def bm25_scores(
             ).alias("idf"),
         )
     )
-    scored = (
+    contrib = (
         tf.join(F.broadcast(idf), "term")
         .join(lens, "id")
         .crossJoin(F.broadcast(stats))
         .select(
             "id",
+            "term",
             (
                 F.col("idf")
                 * (F.col("tf") * (k1 + 1.0))
@@ -90,10 +106,21 @@ def bm25_scores(
                 )
             ).alias("_s"),
         )
-        .groupBy("id")
-        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
     )
-    return scored
+    if stable_sum:
+        # sequential fold over the term-sorted contributions: the same
+        # additions in the same order every run and in the oracle
+        score = F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "_s"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_s"],
+            ),
+            6,
+        ).alias("bm25")
+    else:
+        score = F.round(F.sum("_s"), 6).alias("bm25")
+    return contrib.groupBy("id").agg(score)
 
 
 def bm25_topk(
@@ -104,11 +131,12 @@ def bm25_topk(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    stable_sum: bool = False,
 ) -> DataFrame:
     """Top-k BM25 matches, deterministically tie-broken by id
     (TakeOrderedAndProject — no full sort at scale)."""
     return (
-        bm25_scores(df, query_terms, text_col, id_col, k1, b)
+        bm25_scores(df, query_terms, text_col, id_col, k1, b, stable_sum)
         .orderBy(F.col("bm25").desc(), F.col("id"))
         .limit(k)
     )

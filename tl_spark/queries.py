@@ -1586,6 +1586,33 @@ SELECT doc_id, 'HTML5' AS html_version FROM documents ORDER BY doc_id
 """
 
 
+def _doc_transcripts(d):
+    """HTML-wrap the documents table as single-turn transcripts
+    (conv_id constant, turn_idx = doc_id) — the curation queries'
+    shared input shape."""
+    return d.select(
+        F.lit("cdoc").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(
+            F.lit(_DOC_HTML_TMPL[0]), F.col("text"), F.lit(_DOC_HTML_TMPL[1])
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def _curated_out(curated):
+    out = curated.select(
+        "turn_idx",
+        "extracted_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality",
+        "lang_guess",
+    ).orderBy("turn_idx")
+    return keep_handles(out, curated)  # carry curate's cache handles
+
+
 def curate_documents(spark, sf_dir):
     """Composed curation pipeline over HTML-wrapped documents:
     extract -> stats -> exact dedup -> near-dup (LSH + exact Jaccard
@@ -1599,40 +1626,64 @@ def curate_documents(spark, sf_dir):
     from tl_spark.curation import curate
 
     d = _t(spark, sf_dir, "documents")
-    transcripts = d.select(
-        F.lit("cdoc").alias("conv_id"),
-        F.col("doc_id").cast("int").alias("turn_idx"),
-        F.lit("user").alias("role"),
-        F.concat(
-            F.lit(_DOC_HTML_TMPL[0]), F.col("text"), F.lit(_DOC_HTML_TMPL[1])
-        ).alias("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.lit(None).cast("timestamp").alias("ts"),
+    curated, _dropped = curate(
+        _doc_transcripts(d), quality_min=0.0, min_tokens=1
     )
-    curated, _dropped = curate(transcripts, quality_min=0.0, min_tokens=1)
-    out = curated.select(
-        "turn_idx",
-        "extracted_text",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        "quality",
-        "lang_guess",
-    ).orderBy("turn_idx")
-    return keep_handles(out, curated)  # carry curate's cache handles
+    return _curated_out(curated)
 
 
-def _curate_sql() -> str:
+def curate_documents_clusters(spark, sf_dir):
+    """curate_documents with ``neardup_mode="clusters"``: the
+    TRANSITIVE closure of verified near-dup pairs collapses to one
+    surviving doc per cluster (connected components via min-label +
+    pointer jumping, operators/graph.py) instead of the pairwise
+    later-drops rule. The oracle computes the same closure with a
+    recursive CTE over the brute-force verified pair set — the two
+    modes genuinely differ on shapes like A~C, B~C with A<B<C (pairs
+    keeps A and B; clusters keeps only A)."""
+    from tl_spark.curation import curate
+
+    d = _t(spark, sf_dir, "documents")
+    curated, _dropped = curate(
+        _doc_transcripts(d),
+        quality_min=0.0,
+        min_tokens=1,
+        neardup_mode="clusters",
+    )
+    return _curated_out(curated)
+
+
+def _curate_sql(neardup_mode: str = "pairs") -> str:
     """Brute-force re-expression of the composed curation pipeline:
-    near-dup drop set = all-pairs exact 5-shingle Jaccard >= 0.85,
-    later doc_id dropped; survivors carry the (independently green)
-    token/quality/lang formulas."""
+    verified near-dup set = all-pairs exact 5-shingle Jaccard >= 0.85.
+    ``pairs`` mode drops the later doc_id of each verified pair;
+    ``clusters`` mode drops every doc whose TRANSITIVE closure over
+    verified pairs (recursive CTE) reaches a smaller doc_id — only the
+    earliest doc per duplicate cluster survives (A~B and B~C with no
+    A~C edge still collapse to one doc). Survivors carry the
+    (independently green) token/quality/lang formulas."""
     from tl_spark.functions.text import LANG_MARKERS
 
     en = _lang_hits_sql(LANG_MARKERS["en"])
     de = _lang_hits_sql(LANG_MARKERS["de"])
     fr = _lang_hits_sql(LANG_MARKERS["fr"])
     es = _lang_hits_sql(LANG_MARKERS["es"])
+    if neardup_mode == "pairs":
+        dropped_cte = "SELECT DISTINCT id_b AS doc_id FROM verified"
+        closure_ctes = ""
+    else:
+        closure_ctes = """ edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION
+  SELECT id_b, id_a FROM verified
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),"""
+        dropped_cte = "SELECT u AS doc_id FROM reach GROUP BY u HAVING MIN(v) < u"
     return f"""
-WITH sh AS (
+WITH RECURSIVE sh AS (
   SELECT doc_id,
          unnest(list_distinct([text[i:i+4] for i in range(1, length(text)-3)]))
            AS s
@@ -1643,12 +1694,14 @@ WITH sh AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-), dropped AS (
-  SELECT DISTINCT id_b AS doc_id
+), verified AS (
+  SELECT id_a, id_b
   FROM common
   JOIN sizes na ON na.doc_id = id_a
   JOIN sizes nb ON nb.doc_id = id_b
   WHERE ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) >= 0.85
+),{closure_ctes} dropped AS (
+  {dropped_cte}
 ), kept AS (
   SELECT doc_id, text FROM documents
   WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
@@ -1790,6 +1843,177 @@ def selector_counts(spark, sf_dir):
 
 # ---------------------------------------------------------------- registry
 
+# ---- round-5 window rotations: fresh operators with exact oracles ----
+
+_BM25_TERMS = ["the", "data", "model"]
+
+
+def bm25_corpus_topk(spark, sf_dir):
+    """Okapi BM25 top-25 over documents for a fixed 3-term query,
+    ``stable_sum`` mode (operators/retrieval.py): avgdl is an exact
+    integer-sum division and per-doc scores fold in term-sorted order,
+    so every double matches the DuckDB re-expression bit-for-bit
+    before the final round-6 (the one residual cross-engine delta is
+    <=1 ulp of ln(), absorbed by the rounding)."""
+    from tl_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(
+        d, _BM25_TERMS, k=25, text_col="text", id_col="doc_id",
+        stable_sum=True,
+    )
+
+
+# The pivoted sum mirrors the Spark-side sequential fold exactly:
+# contributions added in lexicographic term order, and x + 0.0 == x in
+# IEEE for the positive BM25 terms, so missing terms don't perturb it.
+BM25_TOPK_SQL = f"""
+WITH lens AS (
+  SELECT doc_id AS id, len({_TOKENS_SQL}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM lens
+), toks AS (
+  SELECT doc_id AS id, lower(t.term) AS term
+  FROM documents, UNNEST({_TOKENS_SQL}) AS t(term)
+), tf AS (
+  SELECT id, term, count(*) AS tf FROM toks
+  WHERE term IN ('data', 'model', 'the') GROUP BY id, term
+), dfreq AS (
+  SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term
+), idf AS (
+  SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM dfreq, stats
+), contrib AS (
+  SELECT tf.id, tf.term,
+         idf.idf * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl)) AS s
+  FROM tf JOIN idf USING (term) JOIN lens USING (id), stats
+), folded AS (
+  SELECT id,
+         ((0.0 + COALESCE(MAX(CASE WHEN term = 'data' THEN s END), 0.0))
+            + COALESCE(MAX(CASE WHEN term = 'model' THEN s END), 0.0))
+            + COALESCE(MAX(CASE WHEN term = 'the' THEN s END), 0.0) AS raw
+  FROM contrib GROUP BY id
+)
+SELECT id, round(raw, 6) AS bm25 FROM folded
+ORDER BY bm25 DESC, id LIMIT 25
+"""
+
+
+_HEMB_DIM = 16
+
+
+def doc_hashed_embedding(spark, sf_dir):
+    """Signed feature-hashing embeddings (operators/embed.py, md5 leg,
+    dim=16) exploded to (id, slot, val) rows. Exactness chain: slot
+    sums are exact integer-valued doubles; the L2 norm is sqrt of an
+    exact integer sum (order-free); val narrows to float32 and back —
+    every step correctly-rounded IEEE on identical inputs, so the
+    DuckDB oracle (which mirrors the float narrowing) reproduces the
+    values bit-for-bit before round-6."""
+    from tl_spark.operators.embed import hashed_embedding
+
+    d = _t(spark, sf_dir, "documents")
+    emb = hashed_embedding(d, dim=_HEMB_DIM, hash_fn="md5")
+    return (
+        emb.select("id", F.posexplode("embedding").alias("slot", "v"))
+        .select(
+            "id",
+            "slot",
+            F.round(F.col("v").cast("double"), 6).alias("val"),
+        )
+        .orderBy("id", "slot")
+    )
+
+
+HASHED_EMB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS id, lower(t.term) AS tok
+  FROM documents, UNNEST({_TOKENS_SQL}) AS t(term)
+), hashed AS (
+  SELECT id,
+         CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) % {_HEMB_DIM}
+              AS INT) AS slot,
+         CASE WHEN CAST('0x' || substr(md5(tok), 9, 8) AS UBIGINT) % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM toks
+), sums AS (
+  SELECT id, slot, SUM(s) AS v FROM hashed GROUP BY id, slot
+), grid AS (
+  SELECT d.doc_id AS id, CAST(r.range AS INT) AS slot
+  FROM documents d CROSS JOIN range({_HEMB_DIM}) r
+), dense AS (
+  SELECT g.id, g.slot, COALESCE(s.v, 0.0) AS v
+  FROM grid g LEFT JOIN sums s ON s.id = g.id AND s.slot = g.slot
+), norms AS (
+  SELECT id, sqrt(SUM(v * v)) AS nrm FROM dense GROUP BY id
+)
+SELECT d.id, d.slot,
+       CASE WHEN n.nrm > 0
+            THEN round(CAST(CAST(d.v / n.nrm AS FLOAT) AS DOUBLE), 6)
+            ELSE 0.0 END AS val
+FROM dense d JOIN norms n USING (id)
+ORDER BY d.id, d.slot
+"""
+
+
+def docs_cap_per_domain(spark, sf_dir):
+    """C4-style per-domain cap (operators/urls.py) over a
+    deterministic URL synthesis: host{doc_id % 7}.example.com, except
+    doc_id % 13 == 0 rows get an unparseable URL (null host — kept,
+    uncapped). Cap 3 per host ranked by doc_id (order_by_hash=False;
+    the xxhash64 rank mode stays suite-gated — not SQL-expressible).
+    Output (doc_id, host) where host comes from Spark's
+    try_parse_url and the oracle recomputes it from the construction,
+    so a parse regression surfaces as a value mismatch."""
+    from tl_spark.operators.urls import cap_per_domain, url_host
+
+    d = _t(spark, sf_dir, "documents")
+    with_url = d.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 13) == 0,
+            F.concat(F.lit("not a url "), F.col("doc_id")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://host"),
+                F.col("doc_id") % 7,
+                F.lit(".example.com/"),
+                F.col("source"),
+                F.lit("/"),
+                F.col("doc_id"),
+            )
+        )
+        .alias("url"),
+    )
+    capped = cap_per_domain(with_url, max_per_host=3, order_by_hash=False)
+    return capped.select(
+        "doc_id", url_host(F.col("url")).alias("host")
+    ).orderBy("doc_id")
+
+
+CAP_DOMAIN_SQL = """
+WITH urls AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              ELSE 'host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+         END AS host
+  FROM documents
+), ranked AS (
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+  FROM urls WHERE host IS NOT NULL
+)
+SELECT doc_id, host FROM ranked WHERE rn <= 3
+UNION ALL
+SELECT doc_id, host FROM urls WHERE host IS NULL
+ORDER BY doc_id
+"""
+
+
 def queries():
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1834,28 +2058,39 @@ def queries():
         # triply redundant). Their slots carry two training-data ops.
         "doc_repetition": doc_repetition,
         "doc_pii_redaction": doc_pii_redaction,
-        "selector_attr_ws": selector_attr_ws,
-        "selector_id_class": selector_id_class,
+        # Round-5 rotation (VERDICT r4 item 3): bm25 / hashed-embedding
+        # / domain-cap / cluster-curation take the window slots of
+        # selector_attr_ws, selector_id_class, lookup_by_id and
+        # lookup_by_class — those four were redundantly gated (the
+        # golden corpus pins every selector variant, and the lookup
+        # pair shared oracles with their _tracked twins, which stay).
+        # The displaced queries keep identical suite-oracles
+        # (tests/test_driver_contract.py ROTATED_R5).
+        "bm25_corpus_topk": bm25_corpus_topk,
+        "doc_hashed_embedding": doc_hashed_embedding,
         "selector_extract_p_outer": selector_extract_p_outer,
         "selector_extract_main_inner": selector_extract_main_inner,
         "events_dedup_latest": events_dedup_latest,
-        "lookup_by_id": lookup_by_id,
+        "docs_cap_per_domain": docs_cap_per_domain,
         "lookup_by_id_tracked": lookup_by_id_tracked,
-        "lookup_by_class": lookup_by_class,
+        "curate_documents_clusters": curate_documents_clusters,
         "lookup_by_class_tracked": lookup_by_class_tracked,
         "doc_outer_html_roundtrip": doc_outer_html_roundtrip,
         "doc_html_version": doc_html_version,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
         "curate_documents": curate_documents,
         # The driver verifies only the FIRST 50 registry entries
-        # (CORRECTNESS_r02.json). The two sha256-fake media decoders are
-        # the only queries WITHOUT a DuckDB oracle (rows-only check at
-        # best), so they sit at positions 51-52: every oracle-backed
-        # query lands inside the driver window. Their gates are
-        # tests/test_multimodal.py (determinism, row expansion) and
-        # tests/test_driver_contract.py (registry executes end to end).
+        # (CORRECTNESS_r02.json). Entries from here down have no
+        # oracle_sql() row: the sha256-fake media decoders are not
+        # SQL-reproducible (gates: tests/test_multimodal.py), and the
+        # four round-5 rotated-out queries keep their exact DuckDB
+        # checks as suite-oracles in tests/test_driver_contract.py.
         "media_image_features": media_image_features,
         "media_frame_sample": media_frame_sample,
+        "selector_attr_ws": selector_attr_ws,
+        "selector_id_class": selector_id_class,
+        "lookup_by_id": lookup_by_id,
+        "lookup_by_class": lookup_by_class,
     }
 
 
@@ -1890,11 +2125,17 @@ def oracle_sql():
         "selector_attr_prefix": SELECTOR_ATTR_SQL,
         "doc_repetition": DOC_REPETITION_SQL,
         "doc_pii_redaction": DOC_PII_SQL,
-        "selector_attr_ws": SELECTOR_ATTR_WS_SQL,
-        "selector_id_class": SELECTOR_ID_CLASS_SQL,
+        "bm25_corpus_topk": BM25_TOPK_SQL,
+        "doc_hashed_embedding": HASHED_EMB_SQL,
+        "docs_cap_per_domain": CAP_DOMAIN_SQL,
+        "curate_documents_clusters": _curate_sql("clusters"),
         "selector_extract_p_outer": SELECTOR_P_OUTER_SQL,
         "selector_extract_main_inner": SELECTOR_MAIN_INNER_SQL,
         "events_dedup_latest": EVENTS_DEDUP_LATEST_SQL,
+        # selector_attr_ws / selector_id_class / lookup_by_id /
+        # lookup_by_class rotated OUT of the driver window in round 5;
+        # their SQL constants stay and gate them as suite-oracles
+        # (tests/test_driver_contract.py ROTATED_R5).
         "lookup_by_class_tracked": LOOKUP_BY_CLASS_SQL,
         "parse_nodes_docs": PARSE_NODES_SQL,
         "dedup_minhash": DEDUP_MINHASH_SQL,
@@ -1906,11 +2147,10 @@ def oracle_sql():
         "embedding_neardup": NEARDUP_SQL,
         "doc_rolling_fingerprint": _rolling_fp_sql(),
         "curate_documents": _curate_sql(),
-        # lookup_by_id is also SQL-expressible for THIS wrapper: every
-        # doc yields exactly one hit with node_idx 0 and the doc text
-        "lookup_by_id": LOOKUP_BY_ID_SQL,
+        # lookup_by_id(_tracked) is also SQL-expressible for THIS
+        # wrapper: every doc yields exactly one hit with node_idx 0
+        # and the doc text
         "lookup_by_id_tracked": LOOKUP_BY_ID_SQL,
-        "lookup_by_class": LOOKUP_BY_CLASS_SQL,
         "doc_outer_html_roundtrip": DOC_OUTER_HTML_SQL,
         "doc_html_version": DOC_HTML_VERSION_SQL,
         # media_image_features: the deterministic fake decoder is a
