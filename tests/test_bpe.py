@@ -126,3 +126,88 @@ def test_train_bpe_sample_mod_is_content_deterministic(spark):
     # and sampling changed the corpus vs the full train
     full = train_bpe(df, n_merges=20)
     assert isinstance(full, list)
+
+
+def test_batch_bpe_equals_scalar_greedy_fuzz():
+    """The vectorized batch applier must equal bpe_apply_word (the
+    greedy source of truth) word-for-word: random merge tables over a
+    small alphabet maximize overlapping runs, repeated pairs, EOW
+    interactions, and multi-round rank cascades."""
+    import random
+
+    from tl_spark.operators.bpe import (
+        EOW,
+        _BatchBpe,
+        bpe_apply_word,
+    )
+
+    rng = random.Random(42)
+    alpha = "abc"
+    for trial in range(30):
+        # random but well-formed merge table: build like training does,
+        # always pairing currently-existing symbols
+        symbols = list(alpha) + [c + EOW for c in alpha]
+        merges = []
+        for _ in range(rng.randint(1, 25)):
+            a = rng.choice(symbols)
+            b = rng.choice([s for s in symbols if not s.endswith(EOW)] or symbols)
+            if rng.random() < 0.5:
+                a, b = b, a
+            if a.endswith(EOW):
+                continue
+            merges.append((a, b))
+            symbols.append(a + b)
+        words = list(
+            {
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+                for _ in range(60)
+            }
+        )
+        ranks = {p: i for i, p in enumerate(merges)}
+        got = _BatchBpe(merges).apply(words)
+        for w in words:
+            assert got[w] == bpe_apply_word(w, ranks), (trial, w, merges)
+
+
+def test_batch_bpe_overlapping_runs():
+    """Same-symbol runs ('aaaa…') take leftmost-alternating merges,
+    exactly like sequential greedy."""
+    from tl_spark.operators.bpe import _BatchBpe, bpe_apply_word
+
+    merges = [("a", "a"), ("aa", "aa"), ("aa", "a")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = ["a" * n for n in range(1, 14)]
+    got = _BatchBpe(merges).apply(words)
+    for w in words:
+        assert got[w] == bpe_apply_word(w, ranks), w
+
+
+def test_batch_bpe_duplicate_product_falls_back_to_exact_mode():
+    """Pathological table where 'abc' has TWO derivations: applying a
+    later-rank merge can expose a lower-rank pair mid-word, so the
+    batch applier must take the one-per-word path and still equal
+    greedy."""
+    from tl_spark.operators.bpe import _BatchBpe, bpe_apply_word
+
+    # rank0 ('ab','c') requires 'ab' (rank2) — greedy on 'abc…' first
+    # applies rank2, which EXPOSES rank0. Duplicate product: rank1
+    # ('a','bc') also yields 'abc'.
+    merges = [("ab", "c"), ("a", "bc"), ("a", "b"), ("b", "c")]
+    bb = _BatchBpe(merges)
+    assert not bb.multi_ok
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = ["abc", "abcabc", "ababc", "bcbc", "abcbc"]
+    got = bb.apply(words)
+    for w in words:
+        assert got[w] == bpe_apply_word(w, ranks), w
+
+
+def test_batch_bpe_unicode_and_singletons():
+    from tl_spark.operators.bpe import _BatchBpe, bpe_apply_word
+
+    merges = [("t", "ö"), ("tö", "k"), ("e", "n" + "▁")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = ["töken", "x", "ö", "tok", "en"]
+    got = _BatchBpe(merges).apply(words)
+    for w in words:
+        assert got[w] == bpe_apply_word(w, ranks), w
