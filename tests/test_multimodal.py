@@ -325,6 +325,58 @@ def test_gif_animation_composition_semantics():
     assert np.array_equal(_parse_gif(payload), palette[base])
 
 
+def test_gif_disposal_3_restores_previous_screen():
+    """Disposal 3 (restore-to-previous, VERDICT r4 item 5): after a
+    disposal-3 frame is shown, its region reverts to the PRE-frame
+    pixels — so a later transparent frame composes over the restored
+    content, not over the disposal-3 frame. Hand-computed snapshots:
+    frame0 all red (disposal 1); frame1 all green (disposal 3);
+    frame2 transparent except one blue corner -> shows RED (restored)
+    under the transparency, which leave-in-place would render GREEN."""
+    import numpy as np
+
+    from tl_spark.operators.multimodal import (
+        _parse_gif_frames,
+        gif_animation_bytes,
+    )
+
+    palette = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    f0 = np.full((4, 4), 1, dtype=np.uint8)  # red
+    f1 = np.full((4, 4), 2, dtype=np.uint8)  # green, disposal 3
+    f2 = np.zeros((4, 4), dtype=np.uint8)  # transparent where 0
+    f2[0, 0] = 3  # one blue pixel
+    payload = gif_animation_bytes(
+        [f0, f1, f2],
+        palette,
+        gce=[(1, None), (3, None), (1, 0)],
+    )
+    snaps = list(_parse_gif_frames(payload))
+    assert len(snaps) == 3
+    assert np.array_equal(snaps[0], palette[f0])
+    assert np.array_equal(snaps[1], palette[f1])
+    want2 = palette[f0].copy()  # restored to frame-0 screen...
+    want2[0, 0] = palette[3]  # ...plus the blue corner
+    assert np.array_equal(snaps[2], want2)
+
+    # disposal 3 with transparency in the d3 frame itself: the restore
+    # must bring back the pre-frame region exactly, including pixels
+    # the d3 frame never painted
+    g1 = np.zeros((4, 4), dtype=np.uint8)
+    g1[1, :] = 2  # green stripe, rest transparent
+    payload_b = gif_animation_bytes(
+        [f0, g1, f2],
+        palette,
+        gce=[(1, None), (3, 0), (1, 0)],
+    )
+    sb = list(_parse_gif_frames(payload_b))
+    want1 = palette[f0].copy()
+    want1[1, :] = palette[2]
+    assert np.array_equal(sb[1], want1)
+    assert np.array_equal(sb[2], want2)  # full restore, blue corner
+
+
 def test_gif_parser_rejects_malformed():
     import numpy as np
     import pytest as _pytest

@@ -232,7 +232,7 @@ _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 def _parse_gif_frames(payload: bytes, max_frames: int | None = None):
     """REAL decoder for GIF87a/89a ANIMATIONS: logical screen, color
-    tables, graphic-control extensions (transparency + disposal 1/2),
+    tables, graphic-control extensions (transparency + disposal 1/2/3),
     LZW decompression, interlace reordering, and frame composition —
     pure Python/numpy from the public specification. Yields each frame
     as a full-screen (sh, sw, 3) uint8 RGB snapshot. Raises ValueError
@@ -328,6 +328,9 @@ def _parse_gif_frames(payload: bytes, max_frames: int | None = None):
                 src += n_rows
             rows = ordered
         region = screen[top : top + h, left : left + w]
+        # disposal 3 (restore-to-previous): buffer the pre-draw region
+        # so it can be put back after the frame is shown
+        prev_region = region.copy() if disposal == 3 else None
         frame_rgb = ct[rows]
         if transparent_idx >= 0:
             opaque = rows != transparent_idx
@@ -339,11 +342,12 @@ def _parse_gif_frames(payload: bytes, max_frames: int | None = None):
         if max_frames is not None and n_frames >= max_frames:
             return
         # disposal AFTER the frame is shown: 2 = restore the frame's
-        # region to background (zeros); 0/1 = leave in place (3,
-        # restore-to-previous, is treated as leave-in-place — rare and
-        # honest: documented approximation)
+        # region to background (zeros); 3 = restore the region to its
+        # pre-frame pixels; 0/1 = leave in place
         if disposal == 2:
             region[...] = 0
+        elif disposal == 3:
+            region[...] = prev_region
         transparent_idx = -1
         disposal = 0
     raise ValueError("truncated GIF: no trailer")
