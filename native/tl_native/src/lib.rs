@@ -13,6 +13,8 @@
 //! offsets, node counts, version codes) that the Python side wraps as
 //! Arrow buffers zero-copy and releases via `tl_batch_free`.
 
+mod dom;
+
 /// ident charset [0-9A-Za-z\-_:+/] (htmlparse.py `_IDENT_TABLE`)
 const fn make_ident() -> [bool; 256] {
     let mut t = [false; 256];
@@ -31,11 +33,11 @@ const fn make_ident() -> [bool; 256] {
     }
     t
 }
-static IDENT: [bool; 256] = make_ident();
+pub(crate) static IDENT: [bool; 256] = make_ident();
 
 /// parser void list, 15 entries (htmlparse.py `VOID_TAGS`)
 #[inline]
-fn is_void(name: &[u8]) -> bool {
+pub(crate) fn is_void(name: &[u8]) -> bool {
     matches!(
         name,
         b"area" | b"base" | b"br" | b"col" | b"embed" | b"hr" | b"img"
@@ -46,7 +48,7 @@ fn is_void(name: &[u8]) -> bool {
 
 /// SWAR memchr: first `needle` at or after `from`.
 #[inline]
-fn memchr_at(buf: &[u8], from: usize, needle: u8) -> Option<usize> {
+pub(crate) fn memchr_at(buf: &[u8], from: usize, needle: u8) -> Option<usize> {
     let b = &buf[from.min(buf.len())..];
     let n = b.len();
     let splat = (needle as u64).wrapping_mul(0x0101_0101_0101_0101);
@@ -339,7 +341,7 @@ pub struct TlBatchOut {
     version_cap: i64,
 }
 
-fn take_vec<T>(mut v: Vec<T>) -> (*mut T, i64, i64) {
+pub(crate) fn take_vec<T>(mut v: Vec<T>) -> (*mut T, i64, i64) {
     let ptr = v.as_mut_ptr();
     let len = v.len() as i64;
     let cap = v.capacity() as i64;

@@ -331,6 +331,9 @@ def parse_nodes(
     """
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        from tl_spark.kernel import native_dom
         from tl_spark.kernel.htmlparse import KIND_TAG as _TAG
         from tl_spark.kernel.htmlparse import parse as _parse
 
@@ -338,6 +341,59 @@ def parse_nodes(
             pa.struct([pa.field("key", pa.string()), pa.field("value", pa.string())])
         )
         for batch in batches:
+            res = native_dom.parse_nodes_batch(batch.column(text_col))
+            if res is not None:
+                m = res["n_rows"]
+                na = res["n_attrs"]
+                ids_np = batch.column(id_col).to_numpy()
+                is_tag = res["kind"] == 0
+
+                def _with_validity(arr, valid_mask, n_items):
+                    validity = pa.py_buffer(
+                        np.packbits(valid_mask, bitorder="little").tobytes()
+                    )
+                    bufs = arr.buffers()
+                    return pa.Array.from_buffers(
+                        pa.utf8(),
+                        n_items,
+                        [validity, bufs[1], bufs[2]],
+                    )
+
+                name_arr = _with_validity(res["name"], is_tag, m)
+                val_valid = res["val_present"].astype(bool)
+                value_arr = _with_validity(res["value"], val_valid, na)
+                struct_arr = pa.StructArray.from_arrays(
+                    [res["key"], value_arr], names=["key", "value"]
+                )
+                attrs_arr = pa.Array.from_buffers(
+                    attr_type,
+                    m,
+                    [
+                        pa.py_buffer(
+                            np.packbits(is_tag, bitorder="little").tobytes()
+                        ),
+                        pa.py_buffer(res["attr_offs"].tobytes()),
+                    ],
+                    children=[struct_arr],
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids_np[res["doc_idx"]], type=pa.int64()),
+                        pa.array(res["node_idx"], type=pa.int32()),
+                        pa.array(res["kind"], type=pa.int32()),
+                        name_arr,
+                        pa.array(res["start"], type=pa.int32()),
+                        pa.array(res["end"], type=pa.int32()),
+                        pa.array(res["n_children"], type=pa.int32()),
+                        pa.array(res["parent"], type=pa.int32()),
+                        attrs_arr,
+                    ],
+                    names=[
+                        id_col, "node_idx", "kind", "name", "start", "end",
+                        "n_children", "parent", "attrs",
+                    ],
+                )
+                continue
             ids = batch.column(id_col).to_pylist()
             texts = batch.column(text_col).to_pylist()
             o_id, o_idx, o_kind, o_name = [], [], [], []

@@ -43,12 +43,33 @@ def query_selector_extract(
             "grammar (only ' ' is whitespace; attr values use the ident "
             "charset even when quoted)"
         )
+    # params blob for the native DOM kernel, compiled once on the
+    # driver (the AST travels pre-encoded; the Rust side only matches)
+    from tl_spark.kernel import native_dom as _nd
+
+    params = _nd.encode_params(_nd.OP_QS_EXTRACT, mode, b"", ast)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from tl_spark.kernel import native_dom
         from tl_spark.kernel.htmlparse import parse
         from tl_spark.kernel.selector import selector_matches
 
         for batch in batches:
+            res = native_dom.dom_query_batch(batch.column(text_col), params)
+            if res is not None:
+                doc_idx, node_idx, _scope, start, end, text = res
+                ids_np = batch.column(id_col).to_numpy()
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids_np[doc_idx], type=pa.int64()),
+                        pa.array(node_idx, type=pa.int32()),
+                        text,
+                        pa.array(start, type=pa.int32()),
+                        pa.array(end, type=pa.int32()),
+                    ],
+                    names=[id_col, "node_idx", mode, "start", "end"],
+                )
+                continue
             ids = batch.column(id_col).to_pylist()
             texts = batch.column(text_col).to_pylist()
             o_id, o_node, o_val, o_s, o_e = [], [], [], [], []
@@ -103,11 +124,31 @@ def get_elements_by_id(
     observably on unclosed elements (SURVEY.md §1.4) — both ship.
     Output: one row per document WITH a hit (node handle + inner_text).
     """
+    from tl_spark.kernel import native_dom as _nd
+
+    params = _nd.encode_params(
+        _nd.OP_BY_ID_TRACKED if tracked else _nd.OP_BY_ID,
+        key=element_id.encode("utf-8"),
+    )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from tl_spark.kernel import native_dom
         from tl_spark.kernel.htmlparse import parse
 
         for batch in batches:
+            res = native_dom.dom_query_batch(batch.column(text_col), params)
+            if res is not None:
+                doc_idx, node_idx, _scope, _s, _e, text = res
+                ids_np = batch.column(id_col).to_numpy()
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids_np[doc_idx], type=pa.int64()),
+                        pa.array(node_idx, type=pa.int32()),
+                        text,
+                    ],
+                    names=[id_col, "node_idx", "inner_text"],
+                )
+                continue
             ids = batch.column(id_col).to_pylist()
             texts = batch.column(text_col).to_pylist()
             o_id, o_node, o_text = [], [], []
@@ -142,11 +183,31 @@ def get_elements_by_class(
 ):
     """Per-document get_elements_by_class_name (vdom.rs:66-95); one
     output row per matching element."""
+    from tl_spark.kernel import native_dom as _nd
+
+    params = _nd.encode_params(
+        _nd.OP_BY_CLASS_TRACKED if tracked else _nd.OP_BY_CLASS,
+        key=class_name.encode("utf-8"),
+    )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from tl_spark.kernel import native_dom
         from tl_spark.kernel.htmlparse import parse
 
         for batch in batches:
+            res = native_dom.dom_query_batch(batch.column(text_col), params)
+            if res is not None:
+                doc_idx, node_idx, _scope, _s, _e, text = res
+                ids_np = batch.column(id_col).to_numpy()
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids_np[doc_idx], type=pa.int64()),
+                        pa.array(node_idx, type=pa.int32()),
+                        text,
+                    ],
+                    names=[id_col, "node_idx", "inner_text"],
+                )
+                continue
             ids = batch.column(id_col).to_pylist()
             texts = batch.column(text_col).to_pylist()
             o_id, o_node, o_text = [], [], []
@@ -199,12 +260,36 @@ def query_selector_scoped(
     ast = parse_selector(selector)
     if ast is None:
         raise ValueError(f"selector {selector!r} does not parse")
+    from tl_spark.kernel import native_dom as _nd
+
+    params = _nd.encode_params(
+        _nd.OP_QS_SCOPED, mode, b"", ast, scope_ast
+    )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from tl_spark.kernel import native_dom
         from tl_spark.kernel.htmlparse import parse
         from tl_spark.kernel.selector import selector_matches
 
         for batch in batches:
+            res = native_dom.dom_query_batch(batch.column(text_col), params)
+            if res is not None:
+                doc_idx, node_idx, scope_idx, start, end, text = res
+                ids_np = batch.column(id_col).to_numpy()
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids_np[doc_idx], type=pa.int64()),
+                        pa.array(scope_idx, type=pa.int32()),
+                        pa.array(node_idx, type=pa.int32()),
+                        text,
+                        pa.array(start, type=pa.int32()),
+                        pa.array(end, type=pa.int32()),
+                    ],
+                    names=[
+                        id_col, "scope_idx", "node_idx", mode, "start", "end",
+                    ],
+                )
+                continue
             ids = batch.column(id_col).to_pylist()
             texts = batch.column(text_col).to_pylist()
             o_id, o_scope, o_node, o_val, o_s, o_e = [], [], [], [], [], []

@@ -62,13 +62,17 @@ def bm25_scores(
     # is exact, so avgdl is one correctly-rounded division — identical
     # in any engine — where avg() would be an order-dependent float sum.
     lens = toks.select("id", F.size("_t").alias("dl"))
+    # constant-valued but NON-FOLDABLE equi-join key (pmod of a data
+    # column by 1 is always 0, but Catalyst can't fold it) so the
+    # 1-row broadcast plans as BroadcastHashJoin — a literal key would
+    # constant-fold back into a BroadcastNestedLoopJoin
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
             F.sum(F.col("dl").cast("long")).cast("double")
             / F.count(F.lit(1))
         ).alias("avgdl"),
-    )
+    ).withColumn("_one", F.pmod(F.col("n_docs"), F.lit(1)).cast("int"))
     # query-term postings: filter BEFORE the count aggregation
     qlit = F.array(*[F.lit(t) for t in q])
     tf = (
@@ -80,7 +84,8 @@ def bm25_scores(
     )
     dfreq = tf.groupBy("term").agg(F.count_distinct("id").alias("df"))
     idf = (
-        dfreq.crossJoin(F.broadcast(stats))
+        dfreq.withColumn("_one", F.pmod(F.col("df"), F.lit(1)).cast("int"))
+        .join(F.broadcast(stats), "_one")
         .select(
             "term",
             F.log(
@@ -93,7 +98,8 @@ def bm25_scores(
     contrib = (
         tf.join(F.broadcast(idf), "term")
         .join(lens, "id")
-        .crossJoin(F.broadcast(stats))
+        .withColumn("_one", F.pmod(F.col("tf"), F.lit(1)).cast("int"))
+        .join(F.broadcast(stats), "_one")
         .select(
             "id",
             "term",

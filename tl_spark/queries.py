@@ -1537,14 +1537,25 @@ LOOKUP_BY_CLASS_SQL = LOOKUP_BY_ID_SQL
 
 def doc_outer_html_roundtrip(spark, sf_dir):
     """Serialization op: dom_outer_html of a properly-closed wrapper is
-    the identity — DuckDB-checkable as the same concat expression."""
-    from typing import Iterator as _It
+    the identity — DuckDB-checkable as the same concat expression.
+    Native DOM kernel fast path with silent Python fallback."""
+    from tl_spark.kernel import native_dom as _nd
+
+    params = _nd.encode_params(_nd.OP_DOC_OUTER_HTML)
 
     def fn(batches):
+        from tl_spark.kernel import native_dom
         from tl_spark.kernel.htmlparse import parse
 
         for batch in batches:
             ids = batch.column("doc_id")
+            res = native_dom.dom_query_batch(batch.column("text"), params)
+            if res is not None and len(res[5]) == len(ids):
+                # OP_DOC_OUTER_HTML emits exactly one row per doc in order
+                yield pa.RecordBatch.from_arrays(
+                    [ids, res[5]], names=["doc_id", "outer_html"]
+                )
+                continue
             texts = batch.column("text").to_pylist()
             outs = [parse(t or "").dom_outer_html() for t in texts]
             yield pa.RecordBatch.from_arrays(
