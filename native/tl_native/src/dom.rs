@@ -781,7 +781,7 @@ fn parse_params(blob: &[u8]) -> Option<QueryParams> {
     }
     let mut pos = 2usize;
     let key = read_str(blob, &mut pos)?;
-    let mut read_opt_sel = |pos: &mut usize| -> Option<Option<Sel>> {
+    let read_opt_sel = |pos: &mut usize| -> Option<Option<Sel>> {
         if *pos + 4 > blob.len() {
             return None;
         }

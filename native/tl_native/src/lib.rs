@@ -14,6 +14,7 @@
 //! Arrow buffers zero-copy and releases via `tl_batch_free`.
 
 mod dom;
+mod entropy;
 
 /// ident charset [0-9A-Za-z\-_:+/] (htmlparse.py `_IDENT_TABLE`)
 const fn make_ident() -> [bool; 256] {

@@ -536,11 +536,21 @@ def jpeg_decode_coefficients(payload: bytes):
                 scan_comps.append((ci, c, dct, act))
             ss_, se_, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             data_at = pos + 2 + seglen
-            _decode_scan(
+            # native Huffman scan machine (tl_jpeg_scan,
+            # coefficient-exact, snapshot/restore on failure); the
+            # Python _decode_scan stays source of truth + fallback
+            from tl_spark.kernel import native_entropy
+
+            if not native_entropy.jpeg_scan(
                 payload, data_at, scan_comps,
                 (ss_, se_), (ahal >> 4, ahal & 0x0F),
                 restart_interval, grid, coefs, progressive,
-            )
+            ):
+                _decode_scan(
+                    payload, data_at, scan_comps,
+                    (ss_, se_), (ahal >> 4, ahal & 0x0F),
+                    restart_interval, grid, coefs, progressive,
+                )
             saw_scan = True
             pos = _find_scan_end(payload, data_at)
             continue

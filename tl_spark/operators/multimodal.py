@@ -173,7 +173,15 @@ def _parse_bmp(payload: bytes) -> np.ndarray:
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     """GIF-flavor LZW decode (variable-width codes, LSB-first bit
     packing, CLEAR/EOI codes, 12-bit cap) — pure Python/numpy from the
-    public GIF89a specification. Returns uint8 palette indices."""
+    public GIF89a specification. Returns uint8 palette indices.
+    Native kernel fast path (tl_lzw_gif, byte-exact, fuzz-pinned);
+    this Python machine stays the source of truth and the fallback —
+    any native anomaly re-runs here so the exact ValueError surfaces."""
+    from tl_spark.kernel import native_entropy
+
+    native = native_entropy.lzw_gif(data, min_code_size, n_pixels)
+    if native is not None:
+        return native
     clear = 1 << min_code_size
     eoi = clear + 1
     out = np.empty(n_pixels, dtype=np.uint8)
@@ -1446,7 +1454,13 @@ def _tiff_lzw_decode(data: bytes, need: int) -> bytes:
     """TIFF-flavor LZW (compression 5): MSB-first variable-width codes
     starting at 9 bits, clear=256, EOI=257, EARLY code-width change
     (width bumps when the table reaches 2^width - 1, one entry sooner
-    than GIF's LSB-first variant)."""
+    than GIF's LSB-first variant). Native fast path (tl_lzw_tiff) with
+    this Python machine as source of truth and fallback."""
+    from tl_spark.kernel import native_entropy
+
+    native = native_entropy.lzw_tiff(data, need)
+    if native is not None:
+        return native
     out = bytearray()
     pos = buf = nbits = 0
     CLEAR, EOI = 256, 257
