@@ -121,6 +121,13 @@ def main() -> None:
         "doc_pii_redaction",
         "embedding_cosine_topk",
         "extract_documents_text",
+        # round-5 additions (new keys only — earlier keys keep their
+        # protocol/meaning, so cross-round deltas stay comparable):
+        # two native-DOM-path queries and two fresh window operators
+        "selector_extract_p",
+        "parse_nodes_docs",
+        "bm25_corpus_topk",
+        "doc_hashed_embedding",
     ]
     qs = Q.queries()
     for name in battery:
