@@ -870,3 +870,101 @@ pub unsafe extern "C" fn tl_jpeg_scan(
         Err(()) => 2,
     }
 }
+
+// ------------------------------------------------------------------ BPE
+
+/// Greedy BPE apply over a batch of words encoded as symbol ids
+/// (the caller's codepoint/EOW-bit/product-id scheme — see
+/// tl_spark/operators/bpe.py::_BatchBpe). Exact per-word greedy:
+/// repeatedly merge the LEFTMOST occurrence of the lowest-rank
+/// adjacent pair, byte-for-byte the same algorithm as
+/// `bpe_apply_word`.
+///
+/// `keys` are sorted (a_id << 32 | b_id) pair keys with parallel
+/// `ranks` and `prods`; `out_syms` must hold `n_syms` i64 and
+/// `out_offs` `n_words + 1` i64. Returns the total output symbol
+/// count, or -1 on bad args.
+///
+/// # Safety
+/// All pointers valid for their stated lengths; `word_offs` is
+/// nondecreasing with word_offs[0] == 0 and word_offs[n_words] ==
+/// n_syms.
+#[no_mangle]
+pub unsafe extern "C" fn tl_bpe_apply(
+    syms: *const i64,
+    n_syms: i64,
+    word_offs: *const i64,
+    n_words: i64,
+    keys: *const i64,
+    ranks: *const i64,
+    prods: *const i64,
+    n_pairs: i64,
+    out_syms: *mut i64,
+    out_offs: *mut i64,
+) -> i64 {
+    if n_syms < 0
+        || n_words < 0
+        || n_pairs < 0
+        || (syms.is_null() && n_syms > 0)
+        || word_offs.is_null()
+        || (keys.is_null() && n_pairs > 0)
+        || (out_syms.is_null() && n_syms > 0)
+        || out_offs.is_null()
+    {
+        return -1;
+    }
+    let syms = std::slice::from_raw_parts(syms, n_syms as usize);
+    let offs = std::slice::from_raw_parts(word_offs, n_words as usize + 1);
+    let keys = std::slice::from_raw_parts(keys, n_pairs as usize);
+    let ranks = std::slice::from_raw_parts(ranks, n_pairs as usize);
+    let prods = std::slice::from_raw_parts(prods, n_pairs as usize);
+    let out = std::slice::from_raw_parts_mut(out_syms, n_syms as usize);
+    let oo = std::slice::from_raw_parts_mut(out_offs, n_words as usize + 1);
+
+    let lookup = |a: i64, b: i64| -> Option<(i64, i64)> {
+        let k = (a << 32) | b;
+        match keys.binary_search(&k) {
+            Ok(i) => Some((ranks[i], prods[i])),
+            Err(_) => None,
+        }
+    };
+
+    let mut w: Vec<i64> = Vec::new();
+    let mut total = 0usize;
+    oo[0] = 0;
+    for wi in 0..n_words as usize {
+        let (s, e) = (offs[wi] as usize, offs[wi + 1] as usize);
+        if s > e || e > syms.len() {
+            return -1;
+        }
+        w.clear();
+        w.extend_from_slice(&syms[s..e]);
+        // greedy merge loop (bpe_apply_word port)
+        while w.len() > 1 {
+            let mut best_rank = i64::MAX;
+            let mut best_i = usize::MAX;
+            let mut best_prod = 0i64;
+            for i in 0..w.len() - 1 {
+                if let Some((r, p)) = lookup(w[i], w[i + 1]) {
+                    if r < best_rank {
+                        best_rank = r;
+                        best_i = i;
+                        best_prod = p;
+                    }
+                }
+            }
+            if best_i == usize::MAX {
+                break;
+            }
+            w[best_i] = best_prod;
+            w.remove(best_i + 1);
+        }
+        if total + w.len() > out.len() {
+            return -1; // output can never exceed input symbols
+        }
+        out[total..total + w.len()].copy_from_slice(&w);
+        total += w.len();
+        oo[wi + 1] = total as i64;
+    }
+    total as i64
+}

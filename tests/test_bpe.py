@@ -211,3 +211,37 @@ def test_batch_bpe_unicode_and_singletons():
     got = _BatchBpe(merges).apply(words)
     for w in words:
         assert got[w] == bpe_apply_word(w, ranks), w
+
+
+def test_batch_bpe_native_and_numpy_legs_both_equal_scalar(monkeypatch):
+    """_BatchBpe.apply takes the native leg when the cdylib is
+    present; pin BOTH legs against the scalar greedy on the same
+    adversarial inputs (the earlier fuzz covers whichever leg is
+    active; this covers the other explicitly)."""
+    import random
+
+    from tl_spark.kernel import native_entropy
+    from tl_spark.operators.bpe import _BatchBpe, bpe_apply_word
+
+    rng = random.Random(99)
+    symbols = list("abcd")
+    merges = []
+    for _ in range(40):
+        a, b = rng.choice(symbols), rng.choice(symbols)
+        merges.append((a, b))
+        symbols.append(a + b)
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = list(
+        {
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 30)))
+            for _ in range(150)
+        }
+    )
+    expected = {w: bpe_apply_word(w, ranks) for w in words}
+
+    native_res = _BatchBpe(merges).apply(words)
+    assert native_res == expected
+
+    monkeypatch.setattr(native_entropy, "bpe_apply", lambda *a: None)
+    numpy_res = _BatchBpe(merges).apply(words)
+    assert numpy_res == expected

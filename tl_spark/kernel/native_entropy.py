@@ -164,3 +164,62 @@ def jpeg_scan(
             coefs[ci][...] = saved
         return False
     return True
+
+
+def _register_bpe(lib):
+    if getattr(lib, "_tl_bpe_ready", False):
+        return True
+    try:
+        lib.tl_bpe_apply.restype = ctypes.c_int64
+    except AttributeError:
+        return False
+    lib.tl_bpe_apply.argtypes = [
+        ctypes.c_void_p,  # syms
+        ctypes.c_int64,   # n_syms
+        ctypes.c_void_p,  # word_offs
+        ctypes.c_int64,   # n_words
+        ctypes.c_void_p,  # keys
+        ctypes.c_void_p,  # ranks
+        ctypes.c_void_p,  # prods
+        ctypes.c_int64,   # n_pairs
+        ctypes.c_void_p,  # out_syms
+        ctypes.c_void_p,  # out_offs
+    ]
+    lib._tl_bpe_ready = True
+    return True
+
+
+def bpe_apply(syms, word_offs, keys, ranks, prods):
+    """Native exact-greedy BPE apply over the id-encoded word stream
+    (see operators/bpe.py::_BatchBpe for the encoding). Returns
+    (out_syms, out_offs) numpy int64 arrays, or None (fallback)."""
+    import numpy as np
+
+    lib = load_entropy()
+    if lib is None or not _register_bpe(lib):
+        return None
+    syms = np.ascontiguousarray(syms, np.int64)
+    word_offs = np.ascontiguousarray(word_offs, np.int64)
+    n_words = len(word_offs) - 1
+    out_syms = np.empty(max(len(syms), 1), np.int64)
+    out_offs = np.empty(n_words + 1, np.int64)
+    total = lib.tl_bpe_apply(
+        syms.ctypes.data if len(syms) else None,
+        len(syms),
+        word_offs.ctypes.data,
+        n_words,
+        keys.ctypes.data if len(keys) else None,
+        ranks.ctypes.data if len(ranks) else None,
+        prods.ctypes.data if len(prods) else None,
+        len(keys),
+        out_syms.ctypes.data,
+        out_offs.ctypes.data,
+    )
+    if total < 0:
+        return None
+    return out_syms[:total], out_offs
+
+
+def bpe_available() -> bool:
+    lib = load_entropy()
+    return lib is not None and _register_bpe(lib)

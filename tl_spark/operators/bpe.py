@@ -235,6 +235,26 @@ class _BatchBpe:
             "".join(words).encode("utf-32-le"), dtype=np.uint32
         ).astype(np.int64)
         syms[np.cumsum(lens) - 1] |= self._EOW_BIT
+        # native exact-greedy leg (tl_bpe_apply): per-word greedy over
+        # the same id encoding — fastest on every vocabulary shape;
+        # the numpy rounds below are the no-native fallback
+        from tl_spark.kernel import native_entropy
+
+        res = native_entropy.bpe_apply(
+            syms,
+            np.r_[np.int64(0), np.cumsum(lens)],
+            self.keys,
+            self.ranks_v,
+            self.prods,
+        )
+        if res is not None:
+            out_ids, out_offs = res
+            distinct, codes = np.unique(out_ids, return_inverse=True)
+            names = self._names(distinct)[codes]
+            return {
+                w: names[out_offs[i] : out_offs[i + 1]].tolist()
+                for i, w in enumerate(words)
+            }
         wid = np.repeat(np.arange(len(words), dtype=np.int64), lens)
         keys, ranks_v, prods = self.keys, self.ranks_v, self.prods
         done_syms: list[np.ndarray] = []
@@ -305,12 +325,15 @@ def bpe_encode(
     document with the trained merges. Map-only mapInArrow; the merge
     table travels in the closure; distinct words are memoized per
     batch (Zipf makes the memo hit rate very high) and memo MISSES go
-    through the vectorized numpy pass (:class:`_BatchBpe`) when the
-    miss profile favors it: measured 1.5-1.6x over the scalar loop on
-    natural-language vocabularies, but SLOWER on degenerate long-word
-    vocabularies (URLs/identifiers — per-word rank levels drive the
-    round count), so batches whose mean miss length exceeds
-    ``_BATCH_MAX_MEAN_LEN`` take the scalar path."""
+    through :class:`_BatchBpe`. With the native cdylib present that is
+    the exact-greedy Rust leg (tl_bpe_apply — fastest on every
+    vocabulary shape; the raw merge solve is ~20 ms per million
+    symbols, output materialization dominates). Without it, the numpy
+    round machine runs when the miss profile favors it (measured
+    1.5-1.6x over the scalar loop on natural-language vocabularies,
+    slower on degenerate long-word vocabularies), so no-native batches
+    whose mean miss length exceeds ``_BATCH_MAX_MEAN_LEN`` take the
+    scalar path."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         bb = _BatchBpe(merges)
@@ -329,7 +352,12 @@ def bpe_encode(
                         misses.append(w)
             if misses:
                 mean_len = sum(len(w) for w in misses) / len(misses)
-                if mean_len <= _BATCH_MAX_MEAN_LEN:
+                from tl_spark.kernel.native_entropy import bpe_available
+
+                if bpe_available() or mean_len <= _BATCH_MAX_MEAN_LEN:
+                    # native leg wins on every vocabulary shape; the
+                    # mean-length routing only matters for the pure-
+                    # python numpy fallback (see _BatchBpe.apply)
                     memo.update(bb.apply(misses))
                 else:
                     for w in misses:
