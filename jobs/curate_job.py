@@ -38,6 +38,12 @@ def main() -> None:
     )
     ap.add_argument("--benchmark", default=None)
     ap.add_argument("--contamination-n", type=int, default=13)
+    ap.add_argument(
+        "--classifier-model", default=None,
+        help="JSON file with a train_text_classifier model dict "
+        "(enables the low_score gate)",
+    )
+    ap.add_argument("--classifier-min", type=float, default=0.5)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,6 +55,10 @@ def main() -> None:
         benchmark = (
             spark.read.parquet(args.benchmark) if args.benchmark else None
         )
+        classifier_model = None
+        if args.classifier_model:
+            with open(args.classifier_model) as fh:
+                classifier_model = json.load(fh)
         report = run_curation_job(
             spark,
             args.input,
@@ -63,6 +73,8 @@ def main() -> None:
             neardup_mode=args.neardup_mode,
             benchmark=benchmark,
             contamination_n=args.contamination_n,
+            classifier_model=classifier_model,
+            classifier_min=args.classifier_min,
         )
         print(json.dumps(report))
     finally:

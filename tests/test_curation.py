@@ -429,6 +429,18 @@ def test_curation_totality_across_gate_combinations(spark):
             benchmark=bench, max_dup_word_frac=0.5, lm_score_min=-9.9,
             substring_min_shared=2, neardup_mode="clusters",
         ),
+        # classifier gate composed with two neighbours (NOT the full
+        # mega-combo: its plan graph alone OOMs the driver's listener
+        # bookkeeping; pairwise composition + the dedicated gate test
+        # cover the semantics)
+        dict(
+            max_dup_word_frac=0.5,
+            classifier_model={
+                "w": [0.0] * 64, "b": -1.0, "dim": 64,
+                "hash_fn": "xxhash64",
+            },
+            classifier_min=0.3,  # constant 0.269 -> all low_score
+        ),
     ]
     n_in = len(rows)
     for kw in combos:
@@ -445,3 +457,46 @@ def test_curation_totality_across_gate_combinations(spark):
         assert len(kept_ids) + len(drop_ids) == n_in, kw
         assert not (set(kept_ids) & set(drop_ids)), kw
         unpersist_handles(curated)
+
+
+def test_curation_classifier_gate(spark):
+    """classifier_model: a model trained on planted good/bad markers
+    drops the spammy doc as low_score and keeps the clean ones;
+    precedence sits between low_lm and low_quality."""
+    from tl_spark.cache import unpersist_handles
+    from tl_spark.curation import curate
+    from tl_spark.operators.classifier import train_text_classifier
+
+    good = [
+        (i, "thorough research citation insight alpha bravo")
+        for i in range(40)
+    ]
+    bad = [
+        (100 + i, "clickbait prize winner viagra alpha bravo")
+        for i in range(40)
+    ]
+    pos = spark.createDataFrame(good, "doc_id long, text string")
+    neg = spark.createDataFrame(bad, "doc_id long, text string")
+    model = train_text_classifier(pos, neg, dim=256, epochs=60)
+
+    rows = [
+        ("c1", 0, "user", "thorough research citation insight today one",
+         None, None),
+        ("c1", 1, "user", "clickbait prize winner viagra now two",
+         None, None),
+        ("c1", 2, "user", "thorough citation research insight again three",
+         None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    curated, dropped = curate(
+        df, quality_min=0.0, min_tokens=1, classifier_model=model,
+        neardup_jaccard=1.01,
+    )
+    kept = {r["turn_idx"] for r in curated.collect()}
+    drops = {(r["doc_uid"], r["drop_reason"]) for r in dropped.collect()}
+    assert kept == {0, 2}
+    assert [d for _, d in drops] == ["low_score"]
+    unpersist_handles(curated)

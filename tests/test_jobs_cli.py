@@ -121,3 +121,35 @@ def test_crawl_job_main(spark, tmp_path, monkeypatch, capsys):
         .collect()
     )
     assert all(r[0] == "big.example.com" for r in hosts)
+
+
+def test_curate_job_main_with_classifier(spark, tmp_path, monkeypatch, capsys):
+    """--classifier-model wires the low_score gate end to end: a
+    constant-negative model drops every doc as low_score."""
+    import jobs.curate_job as J
+    from tl_spark.sources.transcripts import (
+        synth_transcripts,
+        write_transcripts,
+    )
+
+    inp = str(tmp_path / "in2")
+    outp = str(tmp_path / "out2")
+    write_transcripts(
+        synth_transcripts(spark, n_convs=6, median_turns=3, skew_mult=2),
+        inp,
+    )
+    model = {"w": [0.0] * 32, "b": -2.0, "dim": 32, "hash_fn": "xxhash64"}
+    mpath = tmp_path / "model.json"
+    mpath.write_text(json.dumps(model))
+    report = _run_main(
+        monkeypatch, capsys, J,
+        ["--input", inp, "--output", outp,
+         "--quality-min", "0.0", "--min-tokens", "1",
+         "--neardup-jaccard", "1.01",
+         "--classifier-model", str(mpath), "--classifier-min", "0.5"],
+    )
+    # sigmoid(-2) = 0.119 < 0.5 for every doc -> everything low_score
+    # except exact dups (higher precedence)
+    assert report["rows_curated"] == 0
+    assert report["dropped"].get("low_score", 0) > 0
+    assert report["rows_in"] == sum(report["dropped"].values())

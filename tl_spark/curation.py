@@ -8,8 +8,9 @@ the already-tested operator, composed with the same scale rules
 
 Drop precedence (a row is counted once, in this order):
   exact_dup > near_dup > substring_dup > contaminated > repetitive
-  > low_lm > low_quality > too_short
-(the optional gates — substring_dup/contaminated/repetitive/low_lm —
+  > low_lm > low_score > low_quality > too_short
+(the optional gates — substring_dup/contaminated/repetitive/low_lm/
+low_score —
 require their parameters and default off.)
 """
 
@@ -44,6 +45,8 @@ def curate(
     max_dup_word_frac: float | None = None,
     normalize: bool = False,
     lm_score_min: float | None = None,
+    classifier_model: dict | None = None,
+    classifier_min: float = 0.5,
     substring_min_shared: int | None = None,
     neardup_mode: str = "pairs",
 ) -> tuple[DataFrame, DataFrame]:
@@ -52,9 +55,9 @@ def curate(
     ``curated``: conv_id, turn_idx, role, ts, extracted_text, n_tokens,
     quality, lang_guess, doc_uid.
     ``dropped``: doc_uid + drop_reason (exact_dup | near_dup |
-    substring_dup | contaminated | repetitive | low_lm | low_quality
-    | too_short — drop precedence is total in that order, so every
-    input row lands in exactly one output).
+    substring_dup | contaminated | repetitive | low_lm | low_score
+    | low_quality | too_short — drop precedence is total in that
+    order, so every input row lands in exactly one output).
 
     ``normalize=True`` applies :func:`tl_spark.functions.text.
     normalize_text` (control-char strip + Unicode NFC) to the
@@ -66,6 +69,11 @@ def curate(
     log-probability falls below the threshold drop as ``low_lm``
     (runs on dedup/contamination/repetition survivors; docs too short
     to have bigrams pass through to the later length gate).
+
+    ``classifier_model`` (optional): a trained
+    :func:`tl_spark.operators.classifier.train_text_classifier` model
+    dict — dedup/LM survivors scoring below ``classifier_min`` drop as
+    ``low_score`` (map-only scoring, weights in the task closure).
 
     ``substring_min_shared`` (optional): winnowing substring-reuse
     gate — near-dup survivors sharing at least that many winnowing
@@ -346,6 +354,27 @@ def curate(
             low_lm.select("doc_uid"), "doc_uid", "left_anti"
         )
 
+    # optional trained-classifier gate (after low_lm, before the
+    # heuristic quality/length filters); scoring is map-only with the
+    # weight vector in the closure (operators/classifier.py)
+    low_score = None
+    if classifier_model is not None:
+        from tl_spark.operators.classifier import classifier_scores
+
+        cs = classifier_scores(
+            kept_after_dedup.select(
+                F.col("doc_uid").alias("doc_id"),
+                F.col("extracted_text").alias("text"),
+            ),
+            classifier_model,
+        ).select(F.col("id").alias("doc_uid"), "score")
+        low_score = cs.filter(F.col("score") < classifier_min).select(
+            "doc_uid", F.lit("low_score").alias("drop_reason")
+        )
+        kept_after_dedup = kept_after_dedup.join(
+            low_score.select("doc_uid"), "doc_uid", "left_anti"
+        )
+
     low_q = kept_after_dedup.filter(
         (F.col("quality") < quality_min) & (F.col("n_tokens") >= min_tokens)
     ).select("doc_uid", F.lit("low_quality").alias("drop_reason"))
@@ -365,6 +394,8 @@ def curate(
         dropped = dropped.unionByName(repetitive)
     if low_lm is not None:
         dropped = dropped.unionByName(low_lm)
+    if low_score is not None:
+        dropped = dropped.unionByName(low_score)
     dropped = dropped.unionByName(low_q).unionByName(short)
     # hand every persisted handle (own + child) to the caller
     attach_handles(curated, *handles)

@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("TL_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # the appStatus/SQL listeners retain per-execution plan graphs
+        # even with the UI off; at defaults (1000 executions) a long
+        # session of large-plan queries (curation combos, the driver
+        # battery) can OOM the driver heap on bookkeeping alone
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "400")
+        .config("spark.ui.retainedTasks", "20000")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
