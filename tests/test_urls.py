@@ -85,3 +85,92 @@ def test_cap_per_domain_duckdb_oracle(spark):
         ).fetchall()
     )
     assert got == exp
+
+
+def test_canonicalize_url_matches_python_reference(spark):
+    """Pin against an independent urllib-based canonicalizer on
+    adversarial fixtures: tracking params, fragments, case, default
+    and explicit ports, empty paths, unparseable inputs, userinfo,
+    non-http schemes."""
+    import re
+    from urllib.parse import urlsplit
+
+    from tl_spark.operators.urls import canonicalize_url
+
+    TRACK = re.compile(
+        r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid"
+        r"|ref|ref_src)="
+    )
+
+    def ref(u):
+        t = u.strip()
+        try:
+            p = urlsplit(t)
+        except ValueError:
+            return t
+        if (
+            p.scheme.lower() not in ("http", "https")
+            or not p.hostname
+            or p.username is not None
+        ):
+            return t
+        port = ""
+        if p.port is not None:
+            default = 80 if p.scheme.lower() == "http" else 443
+            if p.port != default:
+                port = f":{p.port}"
+        path = p.path or "/"
+        q = "&".join(
+            x for x in p.query.split("&") if x and not TRACK.match(x)
+        )
+        return (
+            f"{p.scheme.lower()}://{p.hostname.lower()}{port}{path}"
+            + (f"?{q}" if q else "")
+        )
+
+    fixtures = [
+        "https://Example.COM/Page?utm_source=x&id=3&utm_medium=y#frag",
+        "http://example.com:80/a?gclid=abc",
+        "https://example.com:443/",
+        "https://example.com:8443/x?a=1&fbclid=zzz&b=2",
+        "  http://EXAMPLE.com  ",
+        "https://example.com",
+        "http://example.com/path/?ref=tw",
+        "http://example.com/?utm_campaign=1",
+        "ftp://example.com/file",
+        "not a url at all",
+        "http://user:pw@example.com/secret",
+        "https://example.com/a?x=1&x=2&utm_term=k",
+        "http://sub.Example.Org/A/B.html#x?y",
+        "https://example.com/p?ref_src=twsrc",
+        "https://example.com/p?refresh=1",  # NOT a tracking param
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(fixtures)],
+                               "i long, url string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, u in enumerate(fixtures):
+        assert got[i] == ref(u), (u, got[i], ref(u))
+
+
+def test_canonicalize_url_collapses_variants_for_dedup(spark):
+    from tl_spark.operators.urls import canonicalize_url
+
+    variants = [
+        "https://Example.com/article?utm_source=a",
+        "https://example.com:443/article#top",
+        "https://example.com/article?utm_medium=b&utm_term=c",
+        "  https://EXAMPLE.COM/article  ",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    distinct = (
+        df.select(canonicalize_url(F.col("url")).alias("c"))
+        .distinct()
+        .collect()
+    )
+    assert len(distinct) == 1
+    assert distinct[0]["c"] == "https://example.com/article"

@@ -69,3 +69,66 @@ def cap_per_domain(
         .drop("_host", "_rank")
     )
     return capped.unionByName(null_part)
+
+
+_TRACKING_PARAM_RE = (
+    r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid"
+    r"|ref|ref_src)="
+)
+
+
+def canonicalize_url(col) -> "F.Column":
+    """Canonical form of an absolute http(s) URL, all-JVM:
+
+    - scheme and host lowercased; default ports (:80 http, :443
+      https) stripped, other explicit ports kept;
+    - fragment dropped;
+    - tracking query parameters removed (utm_*, gclid, fbclid,
+      msclkid, mc_cid/mc_eid, igshid, ref/ref_src), other params kept
+      in their original order; an emptied query loses its '?';
+    - empty path becomes '/'.
+
+    URLs that don't parse (null host), non-http(s) schemes, or URLs
+    carrying userinfo are returned TRIMMED BUT OTHERWISE UNCHANGED —
+    the op never invents structure for inputs it doesn't understand.
+    The standard pre-dedup step for crawl corpora: variants of one
+    page (tracking params, fragments, case-y hosts) collapse to one
+    key before exact/near dedup or per-domain caps.
+    """
+    u = F.trim(col)
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    userinfo = F.try_parse_url(u, F.lit("USERINFO"))
+    authority = F.try_parse_url(u, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    kept_q = F.array_join(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda x: (x != "") & ~x.rlike(_TRACKING_PARAM_RE),
+        ),
+        "&",
+    )
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(kept_q != "", F.concat(F.lit("?"), kept_q)).otherwise(
+            F.lit("")
+        ),
+    )
+    eligible = (
+        host.isNotNull()
+        & scheme.isin("http", "https")
+        & userinfo.isNull()
+    )
+    return F.when(eligible, rebuilt).otherwise(u)
