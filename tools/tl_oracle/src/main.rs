@@ -260,7 +260,54 @@ fn bench_mode() {
     );
 }
 
+fn bench_selector_mode(selector: &str) {
+    // stdin: base64 docs. Parses the corpus 5x and runs a
+    // document-scope query_selector + inner_text of every match —
+    // the same work as the engine's selector-extraction kernel.
+    let stdin = io::stdin();
+    let mut input = String::new();
+    stdin.lock().read_to_string(&mut input).unwrap();
+    let docs: Vec<String> = input
+        .lines()
+        .filter(|l| !l.is_empty())
+        .map(|l| String::from_utf8_lossy(&b64decode(l)).into_owned())
+        .collect();
+    let total_bytes: usize = docs.iter().map(|d| d.len()).sum();
+    let reps = 5;
+    let start = std::time::Instant::now();
+    let mut sink = 0usize;
+    let mut matches = 0usize;
+    for _ in 0..reps {
+        for d in &docs {
+            let dom = tl::parse(d, tl::ParserOptions::default()).unwrap();
+            let parser = dom.parser();
+            if let Some(it) = dom.query_selector(selector) {
+                for h in it {
+                    let node = h.get(parser).unwrap();
+                    sink += node.inner_text(parser).len();
+                    matches += 1;
+                }
+            }
+        }
+    }
+    let secs = start.elapsed().as_secs_f64();
+    let n = docs.len() * reps;
+    println!(
+        "{{\"docs_per_sec\": {:.1}, \"mb_per_sec\": {:.2}, \"matches\": {}, \"sink\": {}}}",
+        n as f64 / secs,
+        (total_bytes * reps) as f64 / secs / 1e6,
+        matches,
+        sink
+    );
+}
+
 fn main() {
+    let args: Vec<String> = std::env::args().collect();
+    if let Some(i) = args.iter().position(|a| a == "--bench-selector") {
+        let sel = args.get(i + 1).map(|s| s.as_str()).unwrap_or("p");
+        bench_selector_mode(sel);
+        return;
+    }
     if std::env::args().any(|a| a == "--bench") {
         bench_mode();
         return;
