@@ -232,3 +232,98 @@ def test_script_profile_hand_cases_and_duckdb_parity(spark):
         assert sp[doc_id]["latin"] == lat, doc_id
         assert sp[doc_id]["cyrillic"] == cyr, doc_id
         assert sp[doc_id]["han"] == han, doc_id
+
+
+GOPHER_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         list_filter(regexp_split_to_array(text, '\n{2,}'), x -> x <> '')
+           AS paras,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+           AS toks
+  FROM documents
+), seg AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN len(lines) > 0 THEN
+           ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                 / len(lines), 6) ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN list_sum(list_transform(lines, x -> length(x))) > 0 THEN
+           ROUND(1.0 - CAST(list_sum(list_transform(list_distinct(lines),
+                 x -> length(x))) AS DOUBLE)
+                 / list_sum(list_transform(lines, x -> length(x))), 6)
+           ELSE 0.0 END AS dup_line_char_frac,
+         CASE WHEN len(paras) > 0 THEN
+           ROUND(1.0 - CAST(len(list_distinct(paras)) AS DOUBLE)
+                 / len(paras), 6) ELSE 0.0 END AS dup_para_frac,
+         CASE WHEN list_sum(list_transform(paras, x -> length(x))) > 0 THEN
+           ROUND(1.0 - CAST(list_sum(list_transform(list_distinct(paras),
+                 x -> length(x))) AS DOUBLE)
+                 / list_sum(list_transform(paras, x -> length(x))), 6)
+           ELSE 0.0 END AS dup_para_char_frac
+  FROM t
+), bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM t, UNNEST(range(1, len(toks))) AS r(i)
+), topg AS (
+  SELECT doc_id, gram, count(*) AS c,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY count(*) DESC, gram) AS rn
+  FROM bg GROUP BY doc_id, gram
+)
+SELECT s.doc_id,
+       s.dup_line_frac, s.dup_line_char_frac,
+       s.dup_para_frac, s.dup_para_char_frac,
+       COALESCE(
+         CASE WHEN length(s.text) > 0 AND len(s.toks) >= 2 THEN
+           ROUND(CAST(g.c AS DOUBLE) * length(g.gram) / length(s.text), 6)
+         END, 0.0) AS top_bigram_char_frac
+FROM seg s LEFT JOIN topg g ON g.doc_id = s.doc_id AND g.rn = 1
+ORDER BY s.doc_id
+"""
+
+
+def test_gopher_repetition_battery_matches_duckdb(spark):
+    """Suite-oracle for the full Gopher repetition battery: dup line/
+    paragraph fractions (count + char-mass) and top-bigram coverage,
+    exact vs the DuckDB re-expression on the sf0.01 corpus UNION
+    adversarial repetition shapes."""
+    import duckdb
+
+    from tl_spark.functions.text import gopher_repetition
+
+    extra = [
+        (900001, "spam\nspam\nspam\nham"),
+        (900002, "para one\n\npara one\n\n\npara two"),
+        (900003, "a b a b a b a b"),
+        (900004, ""),
+        (900005, "single"),
+        (900006, "x\n\nx\n\nx"),
+        (900007, "one two one two three\none two again"),
+    ]
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    df = base.select("doc_id", "text").unionByName(
+        spark.createDataFrame(extra, "doc_id long, text string")
+    )
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in df.select("doc_id", *gopher_repetition(F.col("text")))
+        .drop("dup_word_frac")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        "SELECT * FROM '/root/testdata/sf0.01/documents.parquet' "
+        "UNION ALL SELECT doc_id, text, NULL lang, NULL source,"
+        " NULL n_chars FROM (VALUES "
+        + ",".join(
+            f"({i}, '{t}')".replace("\n", "' || chr(10) || '")
+            for i, t in extra
+        )
+        + ") v(doc_id, text)"
+    )
+    exp = {r[0]: tuple(r)[1:] for r in con.execute(GOPHER_SQL).fetchall()}
+    assert set(got) == set(exp)
+    mism = [k for k in got if got[k] != exp[k]]
+    assert not mism, (mism[:3], [(got[k], exp[k]) for k in mism[:2]])

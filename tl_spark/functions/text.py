@@ -206,6 +206,114 @@ def dup_word_frac(col) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _seg_fracs(segs):
+    """(dup count fraction, dup char-mass fraction) for a segment
+    array: 1 - distinct/total by count, and 1 - distinct-mass/total-
+    mass by characters (one instance of each distinct segment counts
+    as unique mass; every repeat is duplicate mass)."""
+    n = F.size(segs).cast("double")
+    dn = F.size(F.array_distinct(segs)).cast("double")
+    mass = F.aggregate(
+        segs, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    ).cast("double")
+    dmass = F.aggregate(
+        F.array_distinct(segs),
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.length(x),
+    ).cast("double")
+    cnt_frac = F.when(n > 0, F.round(F.lit(1.0) - dn / n, 6)).otherwise(
+        F.lit(0.0)
+    )
+    char_frac = F.when(
+        mass > 0, F.round(F.lit(1.0) - dmass / mass, 6)
+    ).otherwise(F.lit(0.0))
+    return cnt_frac, char_frac
+
+
+def _lines(col):
+    return F.filter(F.split(col, "\n"), lambda x: x != "")
+
+
+def _paragraphs(col):
+    return F.filter(F.split(col, "\n{2,}"), lambda x: x != "")
+
+
+def dup_line_frac(col) -> Column:
+    """Gopher: fraction of (non-empty) lines that duplicate an earlier
+    line. All-JVM array ops."""
+    return _seg_fracs(_lines(col))[0]
+
+
+def dup_line_char_frac(col) -> Column:
+    """Gopher: fraction of line CHARACTERS belonging to duplicate line
+    instances (repeat occurrences beyond the first)."""
+    return _seg_fracs(_lines(col))[1]
+
+
+def dup_paragraph_frac(col) -> Column:
+    """Duplicate-paragraph fraction (paragraphs = blank-line splits)."""
+    return _seg_fracs(_paragraphs(col))[0]
+
+
+def dup_paragraph_char_frac(col) -> Column:
+    return _seg_fracs(_paragraphs(col))[1]
+
+
+def top_bigram_char_frac(col) -> Column:
+    """Gopher: character coverage of the single most frequent word
+    bigram — occurrences x (len(w1)+len(w2)+1) / len(text); 0 for
+    docs with < 2 tokens or empty text. Ties break to the
+    lexicographically smallest bigram (deterministic; the oracle
+    mirrors with ORDER BY count DESC, gram ASC). Pure JVM: a fold
+    over the SORTED bigram array tracks the longest equal-run."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.sort_array(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                  F.element_at(toks, i + 2)),
+        )
+    )
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("bestg"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    top = F.aggregate(grams, zero, step)
+    cov = top["best"].cast("double") * F.length(top["bestg"]) / F.length(col)
+    return F.when(
+        (n >= 2) & (F.length(col) > 0), F.round(cov, 6)
+    ).otherwise(F.lit(0.0))
+
+
+def gopher_repetition(col):
+    """The full Gopher repetition battery as named columns: duplicate
+    word/line/paragraph fractions (count + char-mass variants) and
+    top-bigram character coverage. Every signal is a map-side JVM
+    expression — no explode, no shuffle, codegen end to end."""
+    return [
+        dup_word_frac(col).alias("dup_word_frac"),
+        dup_line_frac(col).alias("dup_line_frac"),
+        dup_line_char_frac(col).alias("dup_line_char_frac"),
+        dup_paragraph_frac(col).alias("dup_para_frac"),
+        dup_paragraph_char_frac(col).alias("dup_para_char_frac"),
+        top_bigram_char_frac(col).alias("top_bigram_char_frac"),
+    ]
+
+
 def pii_redact(col) -> Column:
     """Redact common PII patterns: emails -> [EMAIL], IPv4 -> [IP],
     long digit-dash-space runs -> [PHONE]. Patterns restricted to the
