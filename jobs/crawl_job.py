@@ -28,6 +28,12 @@ def main() -> None:
     ap.add_argument("--quality-min", type=float, default=0.2)
     ap.add_argument("--min-tokens", type=int, default=20)
     ap.add_argument("--on-error", default="skip", choices=["skip", "raise"])
+    ap.add_argument(
+        "--keep-langs",
+        default=None,
+        help="comma-separated language allow-list (e.g. 'en,de'); "
+        "filters on the n-gram-profile lang_id column",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -63,17 +69,26 @@ def main() -> None:
             .filter(F.col("_r") == 1)
             .drop("_r")
         )
+        from tl_spark.operators.langid import ngram_lang_id_col
+
         c = F.col("extracted_text")
         curated = (
             deduped.withColumn("n_tokens", token_count(c))
             .withColumn("quality", quality_score(c))
             .withColumn("lang_guess", lang_guess(c))
+            # 16-language n-gram-profile classifier (map-only Arrow
+            # kernel leg) — the real language signal; lang_guess stays
+            # as the legacy marker heuristic column
+            .withColumn("lang_id", ngram_lang_id_col(c)["lang_id"])
             .withColumn("dominant_script", dominant_script(c))
             .filter(
                 (F.col("quality") >= args.quality_min)
                 & (F.col("n_tokens") >= args.min_tokens)
             )
         )
+        if args.keep_langs:
+            keep = [s.strip() for s in args.keep_langs.split(",") if s.strip()]
+            curated = curated.filter(F.col("lang_id").isin(keep))
         curated.write.mode("overwrite").parquet(args.output)
         n_out = spark.read.parquet(args.output).count()
         print(

@@ -441,6 +441,17 @@ def test_curation_totality_across_gate_combinations(spark):
             },
             classifier_min=0.3,  # constant 0.269 -> all low_score
         ),
+        # round-6 gates, pairwise-composed for the same OOM reason:
+        # n-gram lang allow-list (everything non-en drops wrong_lang)
+        # and the SemDeDup gate threaded with the repetition gate
+        dict(keep_langs=["en"], langid="ngram"),
+        dict(keep_langs=["en"]),  # marker-signal leg of the gate
+        dict(
+            semantic_dedup_cos=0.99,
+            semantic_dedup_dim=64,
+            semantic_dedup_lists=4,
+            max_dup_word_frac=0.5,
+        ),
     ]
     n_in = len(rows)
     for kw in combos:

@@ -233,6 +233,11 @@ SUITE_GATED_BEYOND_WINDOW = {
     "selector_id_class": "tests/test_driver_contract.py::ROTATED_R5",
     "lookup_by_id": "tests/test_driver_contract.py::ROTATED_R5",
     "lookup_by_class": "tests/test_driver_contract.py::ROTATED_R5",
+    # rotated out in round 6 (slots now carry doc_lang_id,
+    # doc_classifier_scores); exact DuckDB checks continue below in
+    # test_rotated_r6_queries_still_match_oracle
+    "selector_attr_prefix": "tests/test_driver_contract.py::ROTATED_R6",
+    "lookup_by_class_tracked": "tests/test_driver_contract.py::ROTATED_R6",
 }
 
 
@@ -326,6 +331,29 @@ def test_rotated_r5_queries_still_match_oracle(spark, ddb, name):
     qdf = Q.queries()[name](spark, SF_DIR)
     spark_rows = [tuple(r) for r in qdf.collect()]
     res = ddb.execute(getattr(Q, ROTATED_R5[name]))
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(qdf.columns) == sorted(duck_cols)
+    assert normalize(spark_rows, qdf.columns) == normalize(duck_rows, duck_cols)
+
+
+# Round-6 rotation: these two left the driver window (their slots now
+# carry doc_lang_id / doc_classifier_scores) but keep the SAME exact
+# DuckDB oracles as suite gates. selector_attr_prefix is additionally
+# pinned by the golden corpus; lookup_by_class_tracked's oracle is
+# shared with lookup_by_id_tracked's shape (and the class-lookup path
+# stays golden-pinned via lookup_by_class in ROTATED_R5).
+ROTATED_R6 = {
+    "selector_attr_prefix": "SELECTOR_ATTR_SQL",
+    "lookup_by_class_tracked": "LOOKUP_BY_CLASS_SQL",
+}
+
+
+@pytest.mark.parametrize("name", sorted(ROTATED_R6))
+def test_rotated_r6_queries_still_match_oracle(spark, ddb, name):
+    qdf = Q.queries()[name](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in qdf.collect()]
+    res = ddb.execute(getattr(Q, ROTATED_R6[name]))
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
     assert sorted(qdf.columns) == sorted(duck_cols)

@@ -49,15 +49,44 @@ def curate(
     classifier_min: float = 0.5,
     substring_min_shared: int | None = None,
     neardup_mode: str = "pairs",
+    keep_langs: list[str] | None = None,
+    langid: str = "markers",
+    semantic_dedup_cos: float | None = None,
+    semantic_dedup_dim: int = 256,
+    semantic_dedup_lists: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (curated, dropped) DataFrames.
 
     ``curated``: conv_id, turn_idx, role, ts, extracted_text, n_tokens,
-    quality, lang_guess, doc_uid.
+    quality, lang_guess, doc_uid (+ ``lang_id`` when
+    ``langid="ngram"``).
     ``dropped``: doc_uid + drop_reason (exact_dup | near_dup |
-    substring_dup | contaminated | repetitive | low_lm | low_score
-    | low_quality | too_short — drop precedence is total in that
-    order, so every input row lands in exactly one output).
+    substring_dup | semantic_dup | contaminated | repetitive | low_lm
+    | low_score | wrong_lang | low_quality | too_short — drop
+    precedence is total in that order, so every input row lands in
+    exactly one output).
+
+    ``langid``: which language signal to compute — "markers" (default;
+    the 4-language marker-word :func:`lang_guess`, kept as the stable
+    driver-oracle leg) or "ngram" (the 16-language character-n-gram
+    profile classifier :mod:`tl_spark.operators.langid`, computed with
+    the map-only Arrow kernel leg and added as a ``lang_id`` column).
+
+    ``semantic_dedup_cos`` (optional): SemDeDup-shape gate — near-dup
+    survivors whose hashed bag-of-words embedding
+    (:func:`tl_spark.operators.embed.hashed_embedding`,
+    ``semantic_dedup_dim`` slots) has cosine >= the threshold with an
+    EARLIER (conv_id, turn_idx) doc in the same IVF list
+    (:func:`tl_spark.operators.similarity.semantic_dedup`,
+    ``semantic_dedup_lists`` clusters) drop as ``semantic_dup``;
+    precedence sits between substring_dup and contaminated. Catches
+    token-bag-level rewordings that character-shingle Jaccard misses.
+
+    ``keep_langs`` (optional): language allow-list — dedup/classifier
+    survivors whose language signal (``lang_id`` under
+    ``langid="ngram"``, else ``lang_guess``) is not in the list drop
+    as ``wrong_lang``; precedence sits between low_score and
+    low_quality. Note 'und' (no signal) drops unless listed.
 
     ``normalize=True`` applies :func:`tl_spark.functions.text.
     normalize_text` (control-char strip + Unicode NFC) to the
@@ -119,6 +148,8 @@ def curate(
     """
     from tl_spark.functions.extract import DEFAULT_STRIP_TAGS
 
+    if langid not in ("markers", "ngram"):
+        raise ValueError("langid must be markers|ngram")
     ex = extract_main_content(
         df,
         text_col=text_col,
@@ -142,12 +173,18 @@ def curate(
         )
 
     c = F.col("extracted_text")
-    stats = ex.select(
+    stat_cols = [
         "conv_id", "turn_idx", "role", "ts", "extracted_text", "doc_uid",
         token_count(c).alias("n_tokens"),
         quality_score(c).alias("quality"),
         lang_guess(c).alias("lang_guess"),
-    )
+    ]
+    if langid == "ngram":
+        from tl_spark.operators.langid import ngram_lang_id_col
+
+        # map-only Arrow kernel leg; only the predicted code is kept
+        stat_cols.append(ngram_lang_id_col(c)["lang_id"].alias("lang_id"))
+    stats = ex.select(*stat_cols)
     handles: list[DataFrame] = []
     if persist:
         from pyspark import StorageLevel
@@ -296,6 +333,61 @@ def curate(
             substring_dups.select("doc_uid"), "doc_uid", "left_anti"
         )
 
+    # optional SemDeDup-shape semantic gate (after substring_dup,
+    # before decontamination): hashed bag-of-words embeddings, IVF
+    # cluster assignment, within-list cosine pairs; of each pair the
+    # later (conv_id, turn_idx) drops — document order, NOT doc_uid
+    # hash order (see tl_spark.operators.similarity.
+    # semantic_neardup_pairs for the scale shape)
+    semantic_dups = None
+    if semantic_dedup_cos is not None:
+        from tl_spark.operators.embed import hashed_embedding
+        from tl_spark.operators.similarity import semantic_neardup_pairs
+
+        emb = hashed_embedding(
+            kept_after_dedup.select(
+                F.col("doc_uid").alias("doc_id"),
+                F.col("extracted_text").alias("text"),
+            ),
+            dim=semantic_dedup_dim,
+        )
+        sem_pairs = semantic_neardup_pairs(
+            emb,
+            threshold=semantic_dedup_cos,
+            n_lists=semantic_dedup_lists,
+            id_col="id",
+        )
+        sem_att = sem_pairs.join(
+            keys.select(
+                F.col("doc_uid").alias("id_a"),
+                F.col("conv_id").alias("_conv_a"),
+                F.col("turn_idx").alias("_turn_a"),
+            ),
+            "id_a",
+        ).join(
+            keys.select(
+                F.col("doc_uid").alias("id_b"),
+                F.col("conv_id").alias("_conv_b"),
+                F.col("turn_idx").alias("_turn_b"),
+            ),
+            "id_b",
+        )
+        sem_earlier = (F.col("_conv_a") < F.col("_conv_b")) | (
+            (F.col("_conv_a") == F.col("_conv_b"))
+            & (F.col("_turn_a") < F.col("_turn_b"))
+        )
+        sem_later = F.when(sem_earlier, F.col("id_b")).otherwise(
+            F.col("id_a")
+        )
+        semantic_dups = (
+            sem_att.select(sem_later.alias("doc_uid"))
+            .distinct()
+            .select("doc_uid", F.lit("semantic_dup").alias("drop_reason"))
+        )
+        kept_after_dedup = kept_after_dedup.join(
+            semantic_dups.select("doc_uid"), "doc_uid", "left_anti"
+        )
+
     # optional benchmark decontamination (between dedup and the quality
     # filters): exact n-gram overlap against the broadcast benchmark
     # shingle set — corpus side map-only, dedup-after-join shape
@@ -375,6 +467,19 @@ def curate(
             low_score.select("doc_uid"), "doc_uid", "left_anti"
         )
 
+    # optional language allow-list gate (after low_score, before the
+    # quality/length filters); the signal column is already computed
+    # map-side in `stats`, so this is a pure filter — no extra pass
+    wrong_lang = None
+    if keep_langs is not None:
+        sig = F.col("lang_id" if langid == "ngram" else "lang_guess")
+        wrong_lang = kept_after_dedup.filter(
+            ~sig.isin(list(keep_langs))
+        ).select("doc_uid", F.lit("wrong_lang").alias("drop_reason"))
+        kept_after_dedup = kept_after_dedup.filter(
+            sig.isin(list(keep_langs))
+        )
+
     low_q = kept_after_dedup.filter(
         (F.col("quality") < quality_min) & (F.col("n_tokens") >= min_tokens)
     ).select("doc_uid", F.lit("low_quality").alias("drop_reason"))
@@ -388,6 +493,8 @@ def curate(
     dropped = exact_dups.unionByName(near_dups)
     if substring_dups is not None:
         dropped = dropped.unionByName(substring_dups)
+    if semantic_dups is not None:
+        dropped = dropped.unionByName(semantic_dups)
     if contaminated is not None:
         dropped = dropped.unionByName(contaminated)
     if repetitive is not None:
@@ -396,6 +503,8 @@ def curate(
         dropped = dropped.unionByName(low_lm)
     if low_score is not None:
         dropped = dropped.unionByName(low_score)
+    if wrong_lang is not None:
+        dropped = dropped.unionByName(wrong_lang)
     dropped = dropped.unionByName(low_q).unionByName(short)
     # hand every persisted handle (own + child) to the caller
     attach_handles(curated, *handles)

@@ -654,3 +654,129 @@ def pq_topk(
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
+
+# ------------------------------------------------- SemDeDup (round 6)
+
+
+def semantic_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    train_size: int = 4096,
+    train_iters: int = 8,
+    max_list_size: int = 2048,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs — the pair-level core of
+    the SemDeDup shape (Abbas et al. 2023, public knowledge): the IVF
+    coarse quantizer (:func:`build_ivf_index`) assigns every vector to
+    its nearest spherical-k-means centroid; WITHIN each list all pairs
+    with round-6 cosine >= ``threshold`` are emitted as
+    (id_a < id_b, list, cosine). Callers impose their own keep rule
+    (see :func:`semantic_dedup` and curate()'s semantic_dup gate,
+    which uses document order, not id order).
+
+    Scale shape: centroid training is one bounded driver action
+    (content-hash sample); assignment is map-only (centroid matrix in
+    the closure); the all-pairs stage shuffles on ``_list`` ONLY
+    (applyInPandas groups) — the published SemDeDup shape, where the
+    cluster count is chosen so lists fit in memory (list size ~
+    n/n_lists). ``max_list_size`` bounds the O(s^2) stage exactly
+    like the LSH bucket caps: only the first ``max_list_size`` ids
+    (ascending) of an oversized list participate, overflow ids emit
+    no pairs — deterministic, and the escape is raising ``n_lists``.
+
+    Cosine is rounded to 6dp before the threshold compare on every
+    leg (numpy here, DuckDB in the suite oracle), the same
+    boundary-stability contract as :func:`embedding_neardup_pairs`.
+    """
+    index_df, _cent = build_ivf_index(
+        df,
+        n_lists=n_lists,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+        train_size=train_size,
+        train_iters=train_iters,
+    )
+    thr = float(threshold)
+    cap = int(max_list_size)
+
+    def _pairs_in_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        head = pdf.iloc[:cap]
+        n = len(head)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "list": [], "cosine": []}
+            ).astype(
+                {"id_a": "int64", "id_b": "int64", "list": "int32",
+                 "cosine": "float64"}
+            )
+        m = np.vstack(head["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        sims = np.round(mn @ mn.T, 6)
+        ii, jj = np.tril_indices(n, k=-1)  # jj < ii (earlier position)
+        hit = sims[ii, jj] >= thr
+        ids = head["id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": ids[jj[hit]],
+                "id_b": ids[ii[hit]],
+                "list": np.full(hit.sum(), int(head["_list"].iloc[0]),
+                                dtype=np.int32),
+                "cosine": sims[ii[hit], jj[hit]],
+            }
+        )
+
+    return index_df.groupBy("_list").applyInPandas(
+        _pairs_in_list, "id_a long, id_b long, list int, cosine double"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    train_size: int = 4096,
+    train_iters: int = 8,
+    max_list_size: int = 2048,
+):
+    """Semantic deduplication: cluster-then-dedup-within-cluster (the
+    SemDeDup shape). A vector drops iff some EARLIER (smaller id)
+    vector in its IVF list has round-6 cosine >= ``threshold`` — the
+    id-order keep rule (use :func:`semantic_neardup_pairs` directly
+    when another document order governs, as curate() does).
+
+    Returns ``(kept, dropped)``: ``kept`` = surviving input rows;
+    ``dropped`` = (id, list, max_cos) with ``max_cos`` the max cosine
+    against an earlier same-list vector. The drop set is tiny, so the
+    final anti-join broadcasts under AQE; see
+    :func:`semantic_neardup_pairs` for the full scale shape.
+    """
+    pairs = semantic_neardup_pairs(
+        df,
+        threshold=threshold,
+        n_lists=n_lists,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+        train_size=train_size,
+        train_iters=train_iters,
+        max_list_size=max_list_size,
+    )
+    dropped = (
+        pairs.groupBy(F.col("id_b").alias("id"), F.col("list"))
+        .agg(F.max("cosine").alias("max_cos"))
+    )
+    kept = df.join(
+        dropped.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    return kept, dropped

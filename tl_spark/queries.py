@@ -2025,6 +2025,111 @@ ORDER BY doc_id
 """
 
 
+def doc_lang_id(spark, sf_dir):
+    """16-language character-n-gram-profile identification
+    (operators/langid.py, JVM broadcast-join leg — the oracle leg;
+    the map-only Arrow kernel leg is pinned equal by
+    tests/test_langid.py). Integer trigram-weight sums end-to-end,
+    so the DuckDB oracle matches bit-for-bit."""
+    from tl_spark.operators.langid import ngram_lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_lang_id(d).orderBy("doc_id")
+
+
+def _doc_lang_id_sql():
+    from tl_spark.operators.langid import ngram_lang_id_sql
+
+    return ngram_lang_id_sql()
+
+
+# Driver-window classifier model: logistic regression over the md5-leg
+# dim-16 hashed embeddings, trained ONCE on the deterministic synthetic
+# pos/neg corpora in tools/train_window_classifier.py (re-running that
+# script reproduces these constants byte-for-byte). Inlined as literals
+# so the Spark leg and the DuckDB oracle share the exact same doubles.
+_CLS_W = [
+    -2.359261910568872, -1.055694655267476, 0.5943603795515211,
+    -1.0162982524531776, 2.0912542989771885, 0.5767355422110089,
+    -0.8294344904004287, 0.834982925361492, 0.8707359092813449,
+    -4.460899412708516, -0.7637408563794047, -0.862561000098646,
+    0.25092511908146947, 5.514901569595258, -1.5306741127699175,
+    -2.3230498368494854,
+]
+_CLS_B = -1.6613038651196639
+
+
+def doc_classifier_scores(spark, sf_dir):
+    """Quality-classifier scores (operators/classifier.py shape) with
+    the trained weight vector inlined: sigmoid(w . emb + b) over the
+    already-oracle'd md5-leg dim-16 hashed embeddings. This wrapper
+    scores with JVM expressions in a FIXED left-associative slot order
+    (slot rounding mirrored on both sides), so the DuckDB oracle folds
+    the identical IEEE operations; the production numpy scoring path
+    (classifier_scores) is pinned approx-equal by tests/test_langid.py.
+    """
+    from tl_spark.operators.embed import hashed_embedding
+
+    d = _t(spark, sf_dir, "documents")
+    emb = hashed_embedding(d, dim=_HEMB_DIM, hash_fn="md5")
+    z = F.lit(0.0)
+    for i in range(_HEMB_DIM):
+        v = F.round(F.col("embedding")[i].cast("double"), 6)
+        z = z + v * F.lit(_CLS_W[i])
+    z = z + F.lit(_CLS_B)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return emb.select(
+        F.col("id").alias("doc_id"), score.alias("cls_score")
+    ).orderBy("doc_id")
+
+
+def _classifier_scores_sql():
+    """DuckDB oracle: hashed-embedding CTEs (same as HASHED_EMB_SQL),
+    slot pivot, then the identical left-associative dot + sigmoid."""
+    pivots = ",\n         ".join(
+        f"MAX(CASE WHEN slot = {i} THEN val END) AS v{i}"
+        for i in range(_HEMB_DIM)
+    )
+    dot = " + ".join(f"v{i} * {_CLS_W[i]!r}" for i in range(_HEMB_DIM))
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, lower(t.term) AS tok
+  FROM documents, UNNEST({_TOKENS_SQL}) AS t(term)
+), hashed AS (
+  SELECT id,
+         CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) % {_HEMB_DIM}
+              AS INT) AS slot,
+         CASE WHEN CAST('0x' || substr(md5(tok), 9, 8) AS UBIGINT) % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM toks
+), sums AS (
+  SELECT id, slot, SUM(s) AS v FROM hashed GROUP BY id, slot
+), grid AS (
+  SELECT d.doc_id AS id, CAST(r.range AS INT) AS slot
+  FROM documents d CROSS JOIN range({_HEMB_DIM}) r
+), dense AS (
+  SELECT g.id, g.slot, COALESCE(s.v, 0.0) AS v
+  FROM grid g LEFT JOIN sums s ON s.id = g.id AND s.slot = g.slot
+), norms AS (
+  SELECT id, sqrt(SUM(v * v)) AS nrm FROM dense GROUP BY id
+), vals AS (
+  SELECT d.id, d.slot,
+         CASE WHEN n.nrm > 0
+              THEN round(CAST(CAST(d.v / n.nrm AS FLOAT) AS DOUBLE), 6)
+              ELSE 0.0 END AS val
+  FROM dense d JOIN norms n USING (id)
+), piv AS (
+  SELECT id,
+         {pivots}
+  FROM vals GROUP BY id
+)
+SELECT id AS doc_id,
+       round(1.0 / (1.0 + exp(-(0.0 + {dot} + {_CLS_B!r}))), 6)
+         AS cls_score
+FROM piv ORDER BY doc_id
+"""
+
+
 def queries():
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -2061,7 +2166,15 @@ def queries():
         "order_price_percentiles": order_price_percentiles,
         "selector_extract_p": selector_extract_p,
         "selector_attr_eq": selector_attr_eq,
-        "selector_attr_prefix": selector_attr_prefix,
+        # Round-6 rotation (VERDICT r5 items 1+4): doc_lang_id (the
+        # 16-language n-gram-profile classifier) and
+        # doc_classifier_scores (inlined-weight quality classifier)
+        # take the slots of selector_attr_prefix (shared
+        # SELECTOR_ATTR_SQL with selector_attr_eq, which stays) and
+        # lookup_by_class_tracked (shared oracle shape with
+        # lookup_by_id_tracked, which stays). Displaced queries keep
+        # identical suite-oracles (test_driver_contract.py ROTATED_R6).
+        "doc_lang_id": doc_lang_id,
         # attr_suffix / attr_contains were retired from the driver
         # window in round 3 for diversity: they shared one oracle with
         # attr_eq/attr_prefix and the golden corpus pins all 14
@@ -2085,7 +2198,7 @@ def queries():
         "docs_cap_per_domain": docs_cap_per_domain,
         "lookup_by_id_tracked": lookup_by_id_tracked,
         "curate_documents_clusters": curate_documents_clusters,
-        "lookup_by_class_tracked": lookup_by_class_tracked,
+        "doc_classifier_scores": doc_classifier_scores,
         "doc_outer_html_roundtrip": doc_outer_html_roundtrip,
         "doc_html_version": doc_html_version,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
@@ -2102,6 +2215,10 @@ def queries():
         "selector_id_class": selector_id_class,
         "lookup_by_id": lookup_by_id,
         "lookup_by_class": lookup_by_class,
+        # rotated out in round 6 (slots carry doc_lang_id /
+        # doc_classifier_scores); suite-gated via ROTATED_R6
+        "selector_attr_prefix": selector_attr_prefix,
+        "lookup_by_class_tracked": lookup_by_class_tracked,
     }
 
 
@@ -2133,7 +2250,11 @@ def oracle_sql():
         "selector_counts": SELECTOR_COUNTS_SQL,
         "selector_extract_p": SELECTOR_EXTRACT_P_SQL,
         "selector_attr_eq": SELECTOR_ATTR_SQL,
-        "selector_attr_prefix": SELECTOR_ATTR_SQL,
+        # selector_attr_prefix / lookup_by_class_tracked rotated OUT
+        # of the driver window in round 6; their SQL constants stay
+        # and gate them as suite-oracles (ROTATED_R6).
+        "doc_lang_id": _doc_lang_id_sql(),
+        "doc_classifier_scores": _classifier_scores_sql(),
         "doc_repetition": DOC_REPETITION_SQL,
         "doc_pii_redaction": DOC_PII_SQL,
         "bm25_corpus_topk": BM25_TOPK_SQL,
@@ -2147,7 +2268,6 @@ def oracle_sql():
         # lookup_by_class rotated OUT of the driver window in round 5;
         # their SQL constants stay and gate them as suite-oracles
         # (tests/test_driver_contract.py ROTATED_R5).
-        "lookup_by_class_tracked": LOOKUP_BY_CLASS_SQL,
         "parse_nodes_docs": PARSE_NODES_SQL,
         "dedup_minhash": DEDUP_MINHASH_SQL,
         "dedup_simhash": DEDUP_SIMHASH_SQL,
