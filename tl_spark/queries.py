@@ -1205,11 +1205,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # list_intersect all-pairs formulation takes ~40 s on 500 docs; this
 # runs in ~2 s). text[i:i+4] is DuckDB's INCLUSIVE slice = 5 chars.
 NGRAM_JACCARD_SQL = """
-WITH sh AS (
+WITH docs AS (
+  -- hash-materialize (doc_id, text) before the self-join; see
+  -- _curate_sql for the 8x plan note
+  SELECT doc_id, text FROM documents GROUP BY doc_id, text
+), sh AS (
   SELECT doc_id,
          unnest(list_distinct([text[i:i+4] for i in range(1, length(text)-3)]))
            AS s
-  FROM documents WHERE length(text) >= 5
+  FROM docs WHERE length(text) >= 5
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), common AS (
@@ -1694,11 +1698,17 @@ def _curate_sql(neardup_mode: str = "pairs") -> str:
 ),"""
         dropped_cte = "SELECT u AS doc_id FROM reach GROUP BY u HAVING MIN(v) < u"
     return f"""
-WITH RECURSIVE sh AS (
+WITH RECURSIVE docs AS (
+  -- the GROUP BY forces a hash-materialization of (doc_id, text)
+  -- BEFORE the shingle unnest feeds both sides of the self-join;
+  -- without it DuckDB re-evaluates the parquet scan + list
+  -- comprehension per side (~8x slower at sf0.1, same rows)
+  SELECT doc_id, text FROM documents GROUP BY doc_id, text
+), sh AS (
   SELECT doc_id,
          unnest(list_distinct([text[i:i+4] for i in range(1, length(text)-3)]))
            AS s
-  FROM documents WHERE length(text) >= 5
+  FROM docs WHERE length(text) >= 5
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), common AS (
