@@ -431,21 +431,49 @@ impl<'a> Dom<'a> {
         }
     }
 
-    /// concatenated descendant raw text, CPython-lossy-decoded
-    fn inner_text(&self, h: u32, out: &mut Vec<u8>) {
-        let mut raw = Vec::new();
+    /// inner_text with caller-owned scratch buffers (hot query loop:
+    /// no per-match allocation). Fragments MUST be concatenated
+    /// before the lossy decode (invalid UTF-8 runs can span fragment
+    /// boundaries — CPython decodes the concatenation), but the
+    /// overwhelmingly common single-fragment case (<p>text</p>)
+    /// decodes straight from the document buffer with zero copies.
+    fn inner_text_scratch(
+        &self,
+        h: u32,
+        out: &mut Vec<u8>,
+        raw: &mut Vec<u8>,
+        stack: &mut Vec<u32>,
+    ) {
         match &self.nodes[h as usize] {
             Node::Raw((s, e)) => {
-                raw.extend_from_slice(&self.buf[*s as usize..*e as usize])
+                push_lossy(&self.buf[*s as usize..*e as usize], out)
             }
             Node::Comment(_) => {}
             Node::Tag(_) => {
-                let mut stack = vec![h];
+                raw.clear();
+                stack.clear();
+                stack.push(h);
+                // defer the first fragment's copy: if it stays the
+                // only one, decode it in place
+                let mut first: Option<(u32, u32)> = None;
                 while let Some(x) = stack.pop() {
                     match &self.nodes[x as usize] {
-                        Node::Raw((s, e)) => raw.extend_from_slice(
-                            &self.buf[*s as usize..*e as usize],
-                        ),
+                        Node::Raw((s, e)) => match first {
+                            None if raw.is_empty() => {
+                                first = Some((*s, *e));
+                            }
+                            _ => {
+                                if let Some((fs, fe)) = first.take() {
+                                    raw.extend_from_slice(
+                                        &self.buf
+                                            [fs as usize..fe as usize],
+                                    );
+                                }
+                                raw.extend_from_slice(
+                                    &self.buf[*s as usize..*e as usize],
+                                );
+                            }
+                        },
                         Node::Comment(_) => {}
                         Node::Tag(t) => {
                             for c in t.children.iter().rev() {
@@ -454,9 +482,15 @@ impl<'a> Dom<'a> {
                         }
                     }
                 }
+                match first {
+                    Some((fs, fe)) => push_lossy(
+                        &self.buf[fs as usize..fe as usize],
+                        out,
+                    ),
+                    None => push_lossy(raw, out),
+                }
             }
         }
-        push_lossy(&raw, out);
     }
 
     fn open_tag(&self, t: &TagNode, out: &mut Vec<u8>) {
@@ -820,6 +854,10 @@ struct QueryOutBuf {
     end: Vec<i32>,
     text: Vec<u8>,
     offs: Vec<i32>,
+    // reused across matches/docs: no per-match allocation in the
+    // inner_text hot path
+    scratch_raw: Vec<u8>,
+    scratch_stack: Vec<u32>,
 }
 
 impl QueryOutBuf {
@@ -832,6 +870,8 @@ impl QueryOutBuf {
             end: Vec::new(),
             text: Vec::new(),
             offs: vec![0],
+            scratch_raw: Vec::new(),
+            scratch_stack: Vec::new(),
         }
     }
 
@@ -855,12 +895,17 @@ impl QueryOutBuf {
     }
 }
 
-fn emit_value(dom: &Dom, h: u32, mode: u8, out: &mut Vec<u8>) {
+fn emit_value(dom: &Dom, h: u32, mode: u8, o: &mut QueryOutBuf) {
     match mode {
-        MODE_INNER_TEXT => dom.inner_text(h, out),
-        MODE_INNER_HTML => dom.inner_html(h, out),
-        MODE_OUTER_HTML => dom.outer_html(h, out),
-        _ => dom.raw_lossy(h, out),
+        MODE_INNER_TEXT => dom.inner_text_scratch(
+            h,
+            &mut o.text,
+            &mut o.scratch_raw,
+            &mut o.scratch_stack,
+        ),
+        MODE_INNER_HTML => dom.inner_html(h, &mut o.text),
+        MODE_OUTER_HTML => dom.outer_html(h, &mut o.text),
+        _ => dom.raw_lossy(h, &mut o.text),
     }
 }
 
@@ -873,7 +918,7 @@ fn run_query(dom: &Dom, p: &QueryParams, doc: i32, o: &mut QueryOutBuf) -> bool 
             };
             for h in 0..dom.n_nodes() as u32 {
                 if sel_matches(sel, dom, h) {
-                    emit_value(dom, h, p.mode, &mut o.text);
+                    emit_value(dom, h, p.mode, o);
                     if !o.push_row(doc, h as i32, -1, dom.boundaries(h)) {
                         return false;
                     }
@@ -895,7 +940,7 @@ fn run_query(dom: &Dom, p: &QueryParams, doc: i32, o: &mut QueryOutBuf) -> bool 
                 let n = dom.n_nodes() as u32;
                 for h in first..=last.min(n - 1) {
                     if sel_matches(sel, dom, h) {
-                        emit_value(dom, h, p.mode, &mut o.text);
+                        emit_value(dom, h, p.mode, o);
                         if !o.push_row(
                             doc,
                             h as i32,
@@ -937,7 +982,12 @@ fn run_query(dom: &Dom, p: &QueryParams, doc: i32, o: &mut QueryOutBuf) -> bool 
                 })
             };
             if let Some(h) = hit {
-                dom.inner_text(h, &mut o.text);
+                dom.inner_text_scratch(
+                    h,
+                    &mut o.text,
+                    &mut o.scratch_raw,
+                    &mut o.scratch_stack,
+                );
                 if !o.push_row(doc, h as i32, -1, dom.boundaries(h)) {
                     return false;
                 }
@@ -966,7 +1016,12 @@ fn run_query(dom: &Dom, p: &QueryParams, doc: i32, o: &mut QueryOutBuf) -> bool 
                     .collect()
             };
             for h in hits {
-                dom.inner_text(h, &mut o.text);
+                dom.inner_text_scratch(
+                    h,
+                    &mut o.text,
+                    &mut o.scratch_raw,
+                    &mut o.scratch_stack,
+                );
                 if !o.push_row(doc, h as i32, -1, dom.boundaries(h)) {
                     return false;
                 }
