@@ -133,6 +133,44 @@ def main() -> None:
     for name in battery:
         timed(name, lambda n=name: consume(qs[n](spark, sf_dir)))
 
+    # round-6 addition: realistic-HTML selector extraction (VERDICT r5
+    # item 3). The driver-corpus docs are tiny tag-free wrappers, so
+    # the native DOM kernel's gain barely showed end-to-end; this key
+    # runs the selector path over ~4 KB golden-mix-style pages (nav +
+    # 40 class-attributed paragraphs + script boilerplate, content
+    # varied per doc id) so the DOM leg's Spark-level throughput is
+    # tracked round-over-round. Corpus synth+write is untimed.
+    para = (
+        '<p class="body">alpha bravo charlie delta echo foxtrot golf '
+        "hotel india juliett kilo lima doc %d seg {}</p>"
+    )
+    page_tmpl = (
+        "<html><head><title>page %d</title></head><body>"
+        "<nav><ul><li>home<li>about<li>contact</ul></nav><main>"
+        + "".join(para.format(i) for i in range(40))
+        + '</main><script>var x = "<div>hi</div>";</script>'
+        "<footer>copyright</footer></body></html>"
+    )
+    n_pages = max(1000, int(200_000 * sf))
+    hpath = f"/tmp/tl_bench_realhtml_{n_pages}"
+    if not Path(hpath, "_SUCCESS").exists():
+        spark.range(n_pages).select(
+            F.col("id").alias("doc_id"),
+            F.format_string(page_tmpl, *([F.col("id")] * 41)).alias(
+                "text"
+            ),
+        ).repartition(max(8, int(cpus))).write.mode("overwrite").parquet(
+            hpath
+        )
+
+    def run_realhtml():
+        from tl_spark.functions.query import query_selector_extract
+
+        df = spark.read.parquet(hpath)
+        consume(query_selector_extract(df, "p.body", mode="inner_text"))
+
+    timed("selector_extract_realhtml", run_realhtml)
+
     total = round(sum(timings.values()), 3)
     turns_per_sec = round(n_turns / timings["extract_transcripts"], 1)
     print(
