@@ -171,6 +171,30 @@ def main() -> None:
 
     timed("selector_extract_realhtml", run_realhtml)
 
+    # round-6 addition: PDF text/layout extraction (the north rule's
+    # "PDF/layout parse" slot). Real PDFs in four structural variants
+    # are pre-rendered from the documents table (synth+write untimed,
+    # same protocol as the realhtml key); the timed leg is the
+    # from-scratch ISO 32000 kernel — xref chain, filter cascades,
+    # font/CMap decode, text-state machine, layout re-assembly.
+    ppath = f"/tmp/tl_bench_pdf_{sf}"
+    if not Path(ppath, "_SUCCESS").exists():
+        from tl_spark.operators.pdf import synth_pdf_media
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        synth_pdf_media(docs).repartition(max(8, int(cpus))).write.mode(
+            "overwrite"
+        ).parquet(ppath)
+
+    def run_pdf():
+        from tl_spark.operators.pdf import pdf_text_pages
+
+        consume(pdf_text_pages(spark.read.parquet(ppath)))
+
+    timed("pdf_extract", run_pdf)
+
     total = round(sum(timings.values()), 3)
     turns_per_sec = round(n_turns / timings["extract_transcripts"], 1)
     print(

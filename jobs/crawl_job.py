@@ -5,8 +5,10 @@
         [--max-per-host 1000] [--quality-min 0.2] [--min-tokens 20]
 
 Composes the crawl-side operators end to end:
-  WARC records -> 200 text/html -> extraction kernel -> per-domain
-  cap (C4-style diversity) -> exact dedup (first URL per digest) ->
+  WARC records -> 200 text/html -> extraction kernel (and, with
+  --include-pdf, 200 application/pdf -> the ISO 32000 text/layout
+  kernel, unioned at document grain) -> per-domain cap (C4-style
+  diversity) -> exact dedup (first URL per digest) ->
   quality/length/script stats + filters -> parquet + one JSON report.
 
 Every stage is an already-tested operator; the composition is the
@@ -28,6 +30,13 @@ def main() -> None:
     ap.add_argument("--quality-min", type=float, default=0.2)
     ap.add_argument("--min-tokens", type=int, default=20)
     ap.add_argument("--on-error", default="skip", choices=["skip", "raise"])
+    ap.add_argument(
+        "--include-pdf",
+        action="store_true",
+        help="also extract 200-status application/pdf responses through "
+        "the ISO 32000 text/layout kernel and union them into the "
+        "corpus (media_type column distinguishes html/pdf rows)",
+    )
     ap.add_argument(
         "--keep-langs",
         default=None,
@@ -52,6 +61,18 @@ def main() -> None:
     spark = SparkSession.builder.appName("tl-crawl").getOrCreate()
     try:
         ex = extract_warc_html(spark, args.input, on_error=args.on_error)
+        ex = ex.withColumn("media_type", F.lit("html"))
+        if args.include_pdf:
+            from tl_spark.sources.warc import extract_warc_pdf
+
+            pdf = (
+                extract_warc_pdf(spark, args.input, on_error=args.on_error)
+                .withColumnRenamed("text", "extracted_text")
+                .withColumn("media_type", F.lit("pdf"))
+            )
+            # both legs are map-only; the union keeps them so —
+            # missing columns (spans/n_nodes vs n_pages) null-fill
+            ex = ex.unionByName(pdf, allowMissingColumns=True)
         ex = ex.withColumn(
             "doc_id",
             F.xxhash64("warc_file", "record_idx"),
@@ -94,7 +115,7 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "html_extracted": n_extracted,
+                    "records_extracted": n_extracted,
                     "corpus_rows": n_out,
                     "output": args.output,
                 }

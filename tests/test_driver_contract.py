@@ -238,6 +238,10 @@ SUITE_GATED_BEYOND_WINDOW = {
     # test_rotated_r6_queries_still_match_oracle
     "selector_attr_prefix": "tests/test_driver_contract.py::ROTATED_R6",
     "lookup_by_class_tracked": "tests/test_driver_contract.py::ROTATED_R6",
+    # rotated out in round 6 (slot now carries pdf_extract_docs);
+    # exact DuckDB check continues below in
+    # test_rotated_r6_queries_still_match_oracle
+    "selector_extract_p_outer": "tests/test_driver_contract.py::ROTATED_R6",
 }
 
 
@@ -337,15 +341,20 @@ def test_rotated_r5_queries_still_match_oracle(spark, ddb, name):
     assert normalize(spark_rows, qdf.columns) == normalize(duck_rows, duck_cols)
 
 
-# Round-6 rotation: these two left the driver window (their slots now
-# carry doc_lang_id / doc_classifier_scores) but keep the SAME exact
-# DuckDB oracles as suite gates. selector_attr_prefix is additionally
-# pinned by the golden corpus; lookup_by_class_tracked's oracle is
-# shared with lookup_by_id_tracked's shape (and the class-lookup path
-# stays golden-pinned via lookup_by_class in ROTATED_R5).
+# Round-6 rotation: these three left the driver window (their slots
+# now carry doc_lang_id / doc_classifier_scores / pdf_extract_docs)
+# but keep the SAME exact DuckDB oracles as suite gates.
+# selector_attr_prefix is additionally pinned by the golden corpus;
+# lookup_by_class_tracked's oracle is shared with
+# lookup_by_id_tracked's shape (and the class-lookup path stays
+# golden-pinned via lookup_by_class in ROTATED_R5);
+# selector_extract_p_outer shares its closed-form oracle shape with
+# selector_extract_main_inner (still in the window) and outer_html
+# serialization stays golden-pinned on 774 docs.
 ROTATED_R6 = {
     "selector_attr_prefix": "SELECTOR_ATTR_SQL",
     "lookup_by_class_tracked": "LOOKUP_BY_CLASS_SQL",
+    "selector_extract_p_outer": "SELECTOR_P_OUTER_SQL",
 }
 
 

@@ -113,7 +113,7 @@ def test_crawl_job_main(spark, tmp_path, monkeypatch, capsys):
          "--max-per-host", "2", "--quality-min", "0.0",
          "--min-tokens", "10"],
     )
-    assert rep["html_extracted"] == 5
+    assert rep["records_extracted"] == 5
     assert rep["corpus_rows"] == 2  # capped to 2; short page filtered
     hosts = (
         spark.read.parquet(outp)
@@ -153,3 +153,44 @@ def test_curate_job_main_with_classifier(spark, tmp_path, monkeypatch, capsys):
     assert report["rows_curated"] == 0
     assert report["dropped"].get("low_score", 0) > 0
     assert report["rows_in"] == sum(report["dropped"].values())
+
+
+def test_crawl_job_include_pdf(spark, tmp_path, monkeypatch, capsys):
+    import jobs.crawl_job as J
+    from tl_spark.operators.pdf import pdf_bytes
+    from tl_spark.sources.warc import http_response_block, warc_bytes
+
+    long = " ".join(
+        f"token{i:03d} meaningful article content" for i in range(12)
+    )
+    html = http_response_block(
+        ("<html><main><p>" + long + " htmlpage</p></main></html>").encode()
+    )
+    pdf = http_response_block(
+        pdf_bytes(long + " pdfdoc", 0), content_type="application/pdf"
+    )
+    recs = [
+        ("response", "http://site.example.com/page", html),
+        ("response", "http://site.example.com/doc.pdf", pdf),
+    ]
+    d = tmp_path / "crawlpdf"
+    d.mkdir()
+    (d / "c.warc.gz").write_bytes(warc_bytes(recs, gzip_members=True))
+    outp = str(tmp_path / "corpus_pdf_out")
+    rep = _run_main(
+        monkeypatch, capsys, J,
+        ["--input", str(d) + "/*.warc.gz", "--output", outp,
+         "--quality-min", "0.0", "--min-tokens", "10", "--include-pdf"],
+    )
+    assert rep["records_extracted"] == 2
+    assert rep["corpus_rows"] == 2
+    rows = {
+        r.media_type: r for r in spark.read.parquet(outp).collect()
+    }
+    assert set(rows) == {"html", "pdf"}
+    # the PDF leg extracted real text through the ISO 32000 kernel
+    assert "pdfdoc" in rows["pdf"].extracted_text
+    assert rows["pdf"].n_pages >= 1
+    # HTML rows carry spans; PDF rows null-fill them (and vice versa)
+    assert rows["pdf"].spans is None
+    assert rows["html"].n_pages is None

@@ -113,3 +113,93 @@ def test_extract_warc_html_end_to_end(spark, tmp_path):
     assert "site nav" not in row["extracted_text"]
     assert "drop()" not in row["extracted_text"]
     assert "the real article text" in row["extracted_text"]
+
+
+def test_extract_warc_pdf_end_to_end(spark, tmp_path):
+    from tl_spark.operators.pdf import pdf_bytes, wrap_lines, LINES_PER_PAGE
+    from tl_spark.sources.warc import (
+        extract_warc_pdf,
+        http_response_block,
+        warc_bytes,
+    )
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    text_b = "uno dos tres cuatro cinco seis siete ocho nueve diez " * 5
+    recs = [
+        (
+            "response",
+            "http://ex.org/a.pdf",
+            http_response_block(
+                pdf_bytes(text_a, 0), content_type="application/pdf"
+            ),
+        ),
+        (
+            "response",
+            "http://ex.org/page.html",
+            http_response_block(b"<html><p>not a pdf</p></html>"),
+        ),
+        (
+            "response",
+            "http://ex.org/b.pdf",
+            http_response_block(
+                pdf_bytes(text_b, 2), content_type="application/pdf"
+            ),
+        ),
+        (
+            "response",
+            "http://ex.org/gone.pdf",
+            http_response_block(
+                b"broken bytes", status=404, content_type="application/pdf"
+            ),
+        ),
+    ]
+    p = tmp_path / "pdfs.warc"
+    p.write_bytes(warc_bytes(recs))
+    out = extract_warc_pdf(spark, str(p)).orderBy("target_uri").collect()
+
+    def exp(text):
+        lines = wrap_lines(text)
+        return "\n".join(
+            "\n".join(lines[i : i + LINES_PER_PAGE])
+            for i in range(0, len(lines), LINES_PER_PAGE)
+        )
+
+    assert [r.target_uri for r in out] == [
+        "http://ex.org/a.pdf",
+        "http://ex.org/b.pdf",
+    ]
+    assert out[0].text == exp(text_a)
+    assert out[1].text == exp(text_b)
+    n_lines = len(wrap_lines(text_a))
+    assert out[0].n_pages == -(-n_lines // LINES_PER_PAGE)
+    assert out[0].nchars == len(exp(text_a))
+
+
+def test_extract_warc_pdf_skips_malformed_payloads(spark, tmp_path):
+    from tl_spark.operators.pdf import pdf_bytes
+    from tl_spark.sources.warc import (
+        extract_warc_pdf,
+        http_response_block,
+        warc_bytes,
+    )
+
+    recs = [
+        (
+            "response",
+            "http://ex.org/ok.pdf",
+            http_response_block(
+                pdf_bytes("good words survive here", 1),
+                content_type="application/pdf",
+            ),
+        ),
+        (
+            "response",
+            "http://ex.org/bad.pdf",
+            http_response_block(b"%PDF-corrupt", content_type="application/pdf"),
+        ),
+    ]
+    p = tmp_path / "mix.warc"
+    p.write_bytes(warc_bytes(recs))
+    ok = extract_warc_pdf(spark, str(p), on_error="skip").collect()
+    assert [r.target_uri for r in ok] == ["http://ex.org/ok.pdf"]
+    assert ok[0].text == "good words survive here"

@@ -1422,6 +1422,51 @@ SELECTOR_ATTR_WS_SQL = _attr_selector_sql(2, 34, 69)
 SELECTOR_ID_CLASS_SQL = _attr_selector_sql(2, 24, 64)
 
 
+def pdf_extract_docs(spark, sf_dir):
+    """PDF text + layout extraction end-to-end (north rule's
+    "PDF/layout parse" slot; no reference analog — y21/tl is
+    HTML-only). Each document is rendered to a REAL PDF in one of four
+    structural variants by doc_id % 4 (classic xref / Flate content +
+    quote-op lines / xref-stream+ObjStm+predictor+hex strings /
+    incremental update + ASCII85·Flate cascade + TJ kern splits; see
+    operators/pdf.py), then parsed back by the from-scratch ISO 32000
+    kernel: xref chain, filter cascades, font decoding (WinAnsi and
+    Identity-H + ToUnicode CMap), the full text-state machine, and
+    layout re-assembly of deliberately out-of-draw-order content.
+
+    SQL-checkable because generation wraps text by a closed rule
+    (8 words/line, 5 lines/page): the oracle reproduces the exact page
+    text. Plan: one map-only stage (synth + extract co-located), zero
+    Exchange — scales linearly with executors.
+    """
+    from tl_spark.operators.pdf import pdf_text_pages, synth_pdf_media
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pdfs = synth_pdf_media(docs)
+    return pdf_text_pages(pdfs).orderBy("doc_id", "page_no")
+
+
+PDF_EXTRACT_SQL = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), ln AS (
+  SELECT doc_id, ws,
+         CAST(unnest(range(0, CAST(ceil(len(ws)/8.0) AS BIGINT))) AS INT) AS li
+  FROM w WHERE len(ws) > 0
+), lines AS (
+  SELECT doc_id, li,
+         array_to_string(list_slice(ws, li*8+1, li*8+8), ' ') AS line
+  FROM ln
+)
+SELECT doc_id, CAST(floor(li/5) AS INT) AS page_no,
+       string_agg(line, chr(10) ORDER BY li) AS text,
+       CAST(length(string_agg(line, chr(10) ORDER BY li)) AS INT) AS nchars
+FROM lines GROUP BY doc_id, CAST(floor(li/5) AS INT)
+ORDER BY doc_id, page_no
+"""
+
+
 def selector_extract_p_outer(spark, sf_dir):
     """outer_html extraction mode through the selector surface: for
     the fixed wrapper the <p> node's outer_html is exactly
@@ -2202,7 +2247,15 @@ def queries():
         # (tests/test_driver_contract.py ROTATED_R5).
         "bm25_corpus_topk": bm25_corpus_topk,
         "doc_hashed_embedding": doc_hashed_embedding,
-        "selector_extract_p_outer": selector_extract_p_outer,
+        # Round-6 second rotation: pdf_extract_docs (the north rule's
+        # "PDF/layout parse" slot — from-scratch ISO 32000 kernel with
+        # a value-exact oracle) takes the slot of
+        # selector_extract_p_outer, which is redundantly gated (shares
+        # its closed-form oracle shape with selector_extract_main_inner
+        # AND the golden corpus pins outer_html serialization on 774
+        # docs × native/Python legs). It keeps its exact DuckDB check
+        # as a suite-oracle (test_driver_contract.py ROTATED_R6).
+        "pdf_extract_docs": pdf_extract_docs,
         "selector_extract_main_inner": selector_extract_main_inner,
         "events_dedup_latest": events_dedup_latest,
         "docs_cap_per_domain": docs_cap_per_domain,
@@ -2229,6 +2282,9 @@ def queries():
         # doc_classifier_scores); suite-gated via ROTATED_R6
         "selector_attr_prefix": selector_attr_prefix,
         "lookup_by_class_tracked": lookup_by_class_tracked,
+        # rotated out in round 6 (slot carries pdf_extract_docs);
+        # suite-gated via ROTATED_R6
+        "selector_extract_p_outer": selector_extract_p_outer,
     }
 
 
@@ -2271,7 +2327,10 @@ def oracle_sql():
         "doc_hashed_embedding": HASHED_EMB_SQL,
         "docs_cap_per_domain": CAP_DOMAIN_SQL,
         "curate_documents_clusters": _curate_sql("clusters"),
-        "selector_extract_p_outer": SELECTOR_P_OUTER_SQL,
+        # selector_extract_p_outer rotated OUT of the driver window in
+        # round 6; SELECTOR_P_OUTER_SQL stays and gates it as a
+        # suite-oracle (ROTATED_R6).
+        "pdf_extract_docs": PDF_EXTRACT_SQL,
         "selector_extract_main_inner": SELECTOR_MAIN_INNER_SQL,
         "events_dedup_latest": EVENTS_DEDUP_LATEST_SQL,
         # selector_attr_ws / selector_id_class / lookup_by_id /

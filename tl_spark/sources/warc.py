@@ -260,3 +260,33 @@ def extract_warc_html(
         passthrough=["warc_file", "record_idx", "target_uri"],
     )
     return out
+
+
+def extract_warc_pdf(
+    spark: SparkSession,
+    path: str,
+    on_error: str = "skip",
+) -> DataFrame:
+    """Crawl-side PDF extraction: WARC records -> 200-status
+    ``application/pdf`` responses -> the from-scratch ISO 32000
+    text/layout kernel (operators/pdf.py). Returns one row per PDF
+    record: (warc_file, record_idx, target_uri, text, n_pages,
+    nchars) with pages joined by newline — document grain, so
+    :mod:`jobs.crawl_job` can union it with HTML-extracted text and
+    run the shared cap/dedup/quality gates. Map-only, zero shuffle,
+    same scaling shape as the HTML path."""
+    from pyspark.sql import functions as F
+
+    from tl_spark.operators.pdf import pdf_text_concat
+
+    recs = read_warc(spark, path, on_error=on_error)
+    pdfs = recs.filter(
+        (F.col("http_status") == 200)
+        & F.col("content_type").contains("application/pdf")
+    ).select("warc_file", "record_idx", "target_uri", "body")
+    return pdf_text_concat(
+        pdfs,
+        payload_col="body",
+        passthrough=("warc_file", "record_idx", "target_uri"),
+        on_error=on_error,
+    )
