@@ -398,3 +398,69 @@ class TestSparkOps:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+# -- X-Y-cut column segmentation ------------------------------------------
+
+
+def _two_column_ops() -> bytes:
+    """Full-width title band, then a left column (x=72) and a right
+    column (x=320); short lines so a wide gutter exists."""
+    ops = [b"BT /F1 10 Tf"]
+    ops.append(b"1 0 0 1 72 760 Tm (Grand Unified Title Spanning Columns) Tj")
+    for i, t in enumerate([b"(left one)", b"(left two)", b"(left three)"]):
+        ops.append(b"1 0 0 1 72 %d Tm %s Tj" % (720 - 14 * i, t))
+    for i, t in enumerate([b"(right one)", b"(right two)", b"(right three)"]):
+        ops.append(b"1 0 0 1 320 %d Tm %s Tj" % (720 - 14 * i, t))
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def test_xycut_two_columns_with_title_band():
+    from tl_spark.operators.pdf import PdfDocument, _assemble, _Interp
+
+    doc = PdfDocument(_mini_pdf(_two_column_ops()))
+    page = doc.pages()[0]
+    chunks = _Interp(doc, page.get("Resources", {})).run(doc.page_content(page))
+    # default (off): rows merge across the gutter
+    off = _assemble(chunks, "off")
+    assert off.splitlines()[1] == "left one right one"
+    # auto: title band first, then left column fully, then right
+    auto = _assemble(chunks, "auto")
+    assert auto == (
+        "Grand Unified Title Spanning Columns\n"
+        "left one\nleft two\nleft three\n"
+        "right one\nright two\nright three"
+    )
+
+
+def test_xycut_single_column_output_unchanged():
+    """columns='auto' must be a no-op on everything the generator
+    emits (single-column pages) — the driver oracle depends on it."""
+    for variant in range(4):
+        for ti, text in enumerate(TEXTS):
+            b = pdf_bytes(text, variant, rot=ti + 1)
+            assert extract_pdf_pages(b, columns="auto") == extract_pdf_pages(b)
+
+
+def test_xycut_word_gap_is_not_a_gutter():
+    # two chunks on ONE row with a wide gap: only one text row per
+    # side, so no vertical cut fires — stays a word gap
+    ops = (
+        b"BT /F1 10 Tf "
+        b"1 0 0 1 100 700 Tm (AB) Tj "
+        b"1 0 0 1 200 700 Tm (EF) Tj ET"
+    )
+    assert extract_pdf_pages(_mini_pdf(ops), columns="auto") == ["AB EF"]
+
+
+def test_xycut_spark_op_passthrough(spark):
+    from tl_spark.operators.pdf import pdf_text_pages
+
+    pdf = _mini_pdf(_two_column_ops())
+    df = spark.createDataFrame(
+        [(7, bytearray(pdf))], "doc_id long, payload binary"
+    )
+    row = pdf_text_pages(df, columns="auto").collect()[0]
+    assert row.text.startswith("Grand Unified Title")
+    assert "left three\nright one" in row.text

@@ -1286,14 +1286,88 @@ def _fix_surrogates(s: str) -> str:
 # layout constants: fixed so extraction is deterministic
 _ROW_TOL_FRAC = 0.4  # same-row if |Δy| <= max(1, 0.4*size)
 _GAP_FRAC = 0.13  # insert ' ' when gap >= 0.13*size (≈ half a space)
+_COL_GUTTER_FRAC = 1.0  # min vertical gutter width, × median size
+_BAND_GAP_FRAC = 1.8  # min horizontal band gap, × median size
+_XYCUT_MAX_DEPTH = 8
 
 
-def _assemble(chunks: list[_Chunk]) -> str:
-    """Re-order positioned chunks into reading order: rows by
-    descending y (size-relative tolerance), left-to-right inside a
-    row; abutting chunks merge, word gaps become single spaces."""
+def _proj_gaps(intervals: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    """Maximal uncovered gaps strictly inside the union of intervals."""
+    ivs = sorted(intervals)
+    merged: list[list[float]] = []
+    for a, b in ivs:
+        if merged and a <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    return [
+        (m1[1], m2[0]) for m1, m2 in zip(merged, merged[1:]) if m2[0] > m1[1]
+    ]
+
+
+def _n_rows(chunks: list[_Chunk]) -> int:
+    ys = sorted(c.y for c in chunks)
+    n = 1 if ys else 0
+    for a, b in zip(ys, ys[1:]):
+        if b - a > 1.0:
+            n += 1
+    return n
+
+
+def _xycut(chunks: list[_Chunk], depth: int = 0) -> list[list[_Chunk]]:
+    """Recursive X-Y cut (Nagy's classic page-segmentation algorithm,
+    public knowledge): split on the widest whitespace gutter —
+    vertical (columns, needs ≥2 text rows per side) or horizontal
+    (bands) — and recurse. Leaves are returned in reading order:
+    top band before bottom, left column before right."""
+    if len(chunks) <= 1 or depth >= _XYCUT_MAX_DEPTH:
+        return [chunks]
+    sizes = sorted(c.size for c in chunks)
+    med = sizes[len(sizes) // 2] or 1.0
+    best: tuple[float, str, float] | None = None
+    for a, b in _proj_gaps([(c.x0, c.x1) for c in chunks]):
+        w = b - a
+        if w >= _COL_GUTTER_FRAC * med and (best is None or w > best[0]):
+            left = [c for c in chunks if c.x1 <= a + 1e-9]
+            right = [c for c in chunks if c.x0 >= b - 1e-9]
+            if _n_rows(left) >= 2 and _n_rows(right) >= 2:
+                best = (w, "x", (a + b) / 2.0)
+    for a, b in _proj_gaps(
+        [(c.y - 0.25 * c.size, c.y + 0.75 * c.size) for c in chunks]
+    ):
+        w = b - a
+        if w >= _BAND_GAP_FRAC * med and (best is None or w > best[0]):
+            best = (w, "y", (a + b) / 2.0)
+    if best is None:
+        return [chunks]
+    _, axis, cut = best
+    if axis == "x":
+        first = [c for c in chunks if (c.x0 + c.x1) / 2.0 < cut]
+        second = [c for c in chunks if (c.x0 + c.x1) / 2.0 >= cut]
+    else:  # top band first (device y grows upward)
+        first = [c for c in chunks if c.y > cut]
+        second = [c for c in chunks if c.y <= cut]
+    if not first or not second:
+        return [chunks]
+    return _xycut(first, depth + 1) + _xycut(second, depth + 1)
+
+
+def _assemble(chunks: list[_Chunk], columns: str = "off") -> str:
+    """Re-order positioned chunks into reading order. ``columns="off"``
+    (default): single-block row assembly — rows by descending y with a
+    size-relative tolerance, left-to-right inside a row; abutting
+    chunks merge, word gaps become single spaces. ``columns="auto"``:
+    recursive X-Y cut first, so multi-column pages read each column
+    fully before the next; single-column pages produce identical
+    output either way (the cut finds no qualifying gutter)."""
     if not chunks:
         return ""
+    if columns == "auto":
+        blocks = _xycut(chunks)
+        if len(blocks) > 1:
+            return "\n".join(
+                t for t in (_assemble(b, "off") for b in blocks) if t
+            )
     chunks = sorted(chunks, key=lambda c: (-c.y, c.x0))
     rows: list[list[_Chunk]] = []
     cur: list[_Chunk] = [chunks[0]]
@@ -1322,14 +1396,15 @@ def _assemble(chunks: list[_Chunk]) -> str:
     return "\n".join(lines)
 
 
-def extract_pdf_pages(data: bytes) -> list[str]:
-    """Kernel entry: PDF bytes → list of per-page extracted text."""
+def extract_pdf_pages(data: bytes, columns: str = "off") -> list[str]:
+    """Kernel entry: PDF bytes → list of per-page extracted text.
+    ``columns="auto"`` enables X-Y-cut column segmentation."""
     doc = PdfDocument(data)
     out = []
     for page in doc.pages():
         content = doc.page_content(page)
         interp = _Interp(doc, page.get("Resources", {}))
-        out.append(_assemble(interp.run(content)))
+        out.append(_assemble(interp.run(content), columns))
     return out
 
 
@@ -1750,10 +1825,12 @@ def pdf_text_pages(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     on_error: str = "raise",
+    columns: str = "off",
 ) -> DataFrame:
     """(doc_id, payload) → (doc_id, page_no, text, nchars): one row per
     non-empty page, layout-ordered text. ``on_error``: "raise" fails
-    the task on a malformed PDF, "skip" drops that document."""
+    the task on a malformed PDF, "skip" drops that document.
+    ``columns="auto"`` enables X-Y-cut column segmentation."""
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
@@ -1764,7 +1841,9 @@ def pdf_text_pages(
             o_id, o_pg, o_tx, o_n = [], [], [], []
             for i, p in zip(ids, payloads):
                 try:
-                    pages = extract_pdf_pages(bytes(p) if p is not None else b"")
+                    pages = extract_pdf_pages(
+                        bytes(p) if p is not None else b"", columns
+                    )
                 except Exception:
                     if on_error == "raise":
                         raise
@@ -1795,6 +1874,7 @@ def pdf_text_concat(
     passthrough: tuple[str, ...] = ("doc_id",),
     on_error: str = "raise",
     page_sep: str = "\n",
+    columns: str = "off",
 ) -> DataFrame:
     """(passthrough..., payload) → one row per document: all non-empty
     pages layout-extracted and joined by ``page_sep``. Same map-only
@@ -1827,7 +1907,7 @@ def pdf_text_concat(
                     pages = [
                         t
                         for t in extract_pdf_pages(
-                            bytes(p) if p is not None else b""
+                            bytes(p) if p is not None else b"", columns
                         )
                         if t
                     ]
