@@ -464,3 +464,16 @@ def test_xycut_spark_op_passthrough(spark):
     row = pdf_text_pages(df, columns="auto").collect()[0]
     assert row.text.startswith("Grand Unified Title")
     assert "left three\nright one" in row.text
+
+
+def test_scan_fallback_recovers_objstm_members():
+    """Damaged startxref on a file whose catalog lives inside an
+    /ObjStm: the scan indexes object-stream members too."""
+    for variant in (2, 3):
+        b = bytearray(pdf_bytes("recover objstm case words now ok", variant))
+        idx = b.rfind(b"startxref")
+        end = b.find(b"\n", idx + 10)
+        b[idx + 10 : end] = b"9" * len(b[idx + 10 : end].strip())
+        assert extract_pdf_pages(bytes(b)) == expected_pages(
+            "recover objstm case words now ok"
+        )

@@ -700,9 +700,27 @@ class PdfDocument:
 
     def _scan_fallback(self) -> None:
         """Rebuild the xref by scanning for ``N G obj`` (last wins —
-        incremental updates append the newest generation last)."""
+        incremental updates append the newest generation last), then
+        index any /ObjStm streams found so compressed objects are
+        recoverable too."""
         for m in _OBJ_SCAN_RE.finditer(self.buf):
             self._xref[int(m.group(1))] = ("o", m.start())
+        for num in sorted(self._xref):
+            try:
+                obj = self.get(num)
+            except Exception:
+                continue
+            if (
+                isinstance(obj, _Stream)
+                and str(obj.dict.get("Type", "")) == "ObjStm"
+            ):
+                try:
+                    members = self._load_objstm(num)
+                except Exception:
+                    continue
+                for idx, (onum, _) in enumerate(members):
+                    if onum not in self._xref:
+                        self._xref[onum] = ("c", num, idx)
         if "Root" not in self.trailer:
             # newest trailer dict with /Root, else any /Type /Catalog
             for m in re.finditer(rb"trailer", self.buf):
@@ -719,8 +737,15 @@ class PdfDocument:
                 except Exception:
                     continue
                 d = obj.dict if isinstance(obj, _Stream) else obj
-                if isinstance(d, dict) and str(d.get("Type", "")) == "Catalog":
+                if not isinstance(d, dict):
+                    continue
+                ty = str(d.get("Type", ""))
+                if ty == "Catalog":
                     self.trailer["Root"] = _Ref(num, 0)
+                    break
+                # an orphaned xref stream still names the catalog
+                if ty == "XRef" and isinstance(d.get("Root"), _Ref):
+                    self.trailer["Root"] = d["Root"]
                     break
 
     # -- object access ----------------------------------------------------
