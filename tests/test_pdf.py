@@ -477,3 +477,57 @@ def test_scan_fallback_recovers_objstm_members():
         assert extract_pdf_pages(bytes(b)) == expected_pages(
             "recover objstm case words now ok"
         )
+
+
+# -- document metadata -----------------------------------------------------
+
+
+def test_pdf_doc_info_fields():
+    from tl_spark.operators.pdf import pdf_doc_info
+
+    meta = pdf_doc_info(pdf_bytes("word " * 60, 3))
+    assert meta["version"] == "1.7"
+    assert meta["n_pages"] == 2  # 60 words -> 8 lines -> 2 pages
+    assert meta["producer"] == "tl_spark synth v2"  # incremental update wins
+    assert meta["has_objstm"] is False
+
+    meta2 = pdf_doc_info(pdf_bytes("word " * 60, 2))
+    assert meta2["has_objstm"] is True
+    assert meta2["n_pages"] == 2
+
+    meta0 = pdf_doc_info(pdf_bytes("word " * 60, 0))
+    assert meta0["producer"] == "tl_spark synth v1"  # classic /Info
+
+
+def test_pdf_doc_info_utf16_title():
+    from tl_spark.operators.pdf import pdf_doc_info
+
+    b = pdf_bytes("short text", 0)
+    # splice a UTF-16BE /Title into the Info dict
+    title = "été 🙂".encode("utf-16-be")
+    b = b.replace(
+        b"<< /Producer (tl_spark synth v1) >>",
+        b"<< /Producer (tl_spark synth v1) /Title <FEFF"
+        + title.hex().encode()
+        + b"> >>",
+    )
+    meta = pdf_doc_info(b)
+    assert meta["title"] == "été 🙂"
+
+
+def test_pdf_info_spark_op(spark):
+    from tl_spark.operators.pdf import pdf_info
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(pdf_bytes("some words here now", 2))),
+            (2, bytearray(b"junk not a pdf")),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in pdf_info(df, on_error="skip").collect()}
+    assert rows[1].version == "1.7" and rows[1].error is None
+    assert rows[1].has_objstm and rows[1].n_pages == 1
+    assert rows[2].error is not None and rows[2].n_pages is None
+    with pytest.raises(Exception):
+        pdf_info(df, on_error="raise").collect()

@@ -65,6 +65,8 @@ __all__ = [
     "PdfDocument",
     "extract_pdf_pages",
     "pdf_bytes",
+    "pdf_doc_info",
+    "pdf_info",
     "pdf_text_concat",
     "pdf_text_pages",
     "synth_pdf_media",
@@ -722,12 +724,15 @@ class PdfDocument:
                     if onum not in self._xref:
                         self._xref[onum] = ("c", num, idx)
         if "Root" not in self.trailer:
-            # newest trailer dict with /Root, else any /Type /Catalog
+            # newest trailer dict with /Root (keep /Info etc. as
+            # well), else any /Type /Catalog
             for m in re.finditer(rb"trailer", self.buf):
                 try:
                     t = _parse_value(_Lexer(self.buf, m.end()))
                     if isinstance(t, dict) and "Root" in t:
-                        self.trailer["Root"] = t["Root"]
+                        for k, v in t.items():
+                            if k != "Prev":
+                                self.trailer[k] = v
                 except Exception:
                     continue
         if "Root" not in self.trailer:
@@ -1576,7 +1581,9 @@ def _plain_body(num: int, src: bytes) -> bytes:
     return b"%d 0 obj\n%s\nendobj\n" % (num, src)
 
 
-def _emit_classic(bodies: dict[int, bytes], root: int) -> tuple[bytes, int]:
+def _emit_classic(
+    bodies: dict[int, bytes], root: int, info: int | None = None
+) -> tuple[bytes, int]:
     buf = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
     for num in sorted(bodies):
@@ -1587,10 +1594,10 @@ def _emit_classic(bodies: dict[int, bytes], root: int) -> tuple[bytes, int]:
     buf += b"xref\n0 %d\n0000000000 65535 f \n" % size
     for num in range(1, size):
         buf += b"%010d 00000 n \n" % offsets.get(num, 0)
-    buf += b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
-        size,
-        root,
-        xref_off,
+    info_part = b" /Info %d 0 R" % info if info else b""
+    buf += (
+        b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (size, root, info_part, xref_off)
     )
     return bytes(buf), xref_off
 
@@ -1788,7 +1795,7 @@ def pdf_bytes(
     bodies.update(content_streams)
     info_num = next_num
     bodies[info_num] = _plain_body(info_num, b"<< /Producer (tl_spark synth v1) >>")
-    out, xref_off = _emit_classic(bodies, root=1)
+    out, xref_off = _emit_classic(bodies, root=1, info=info_num)
     if variant == 3:
         # incremental update: replace Info, chain via /Prev
         upd = bytearray(out)
@@ -1961,3 +1968,100 @@ def pdf_text_concat(
             )
 
     return df.mapInArrow(fn, out_schema)
+
+
+PDF_INFO_SCHEMA = (
+    "doc_id long, version string, n_pages int, producer string, "
+    "title string, author string, n_objects int, has_objstm boolean, "
+    "error string"
+)
+
+
+def _info_str(doc: "PdfDocument", d: dict | None, key: str) -> str | None:
+    if not isinstance(d, dict):
+        return None
+    v = doc.resolve(d.get(key))
+    if isinstance(v, bytes):
+        # PDF text strings: UTF-16BE with BOM, else PDFDocEncoding
+        # (Latin-1-compatible for the printable range)
+        if v[:2] in (b"\xfe\xff",):
+            try:
+                return v[2:].decode("utf-16-be", "replace")
+            except Exception:
+                return None
+        return v.decode("latin-1")
+    return None
+
+
+def pdf_doc_info(data: bytes) -> dict:
+    """Document-level PDF metadata: header version, page count, Info
+    dictionary strings, object-store shape. Raises on non-PDF input
+    (wrap with on_error at the Spark layer)."""
+    doc = PdfDocument(data)
+    m = re.match(rb"%PDF-(\d+\.\d+)", doc.buf)
+    info = doc.resolve(doc.trailer.get("Info"))
+    return {
+        "version": m.group(1).decode() if m else None,
+        "n_pages": len(doc.pages()),
+        "producer": _info_str(doc, info, "Producer"),
+        "title": _info_str(doc, info, "Title"),
+        "author": _info_str(doc, info, "Author"),
+        "n_objects": len(doc._xref),
+        "has_objstm": any(e[0] == "c" for e in doc._xref.values()),
+    }
+
+
+def pdf_info(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    on_error: str = "raise",
+) -> DataFrame:
+    """(doc_id, payload) → per-document PDF metadata. Map-only;
+    malformed payloads yield an ``error`` row under
+    ``on_error="skip"`` (kept, with nulls) or fail under "raise"."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(b.schema.get_field_index(id_col)).to_pylist()
+            payloads = b.column(b.schema.get_field_index(payload_col)).to_pylist()
+            rows = {k: [] for k in (
+                "doc_id", "version", "n_pages", "producer", "title",
+                "author", "n_objects", "has_objstm", "error",
+            )}
+            for i, p in zip(ids, payloads):
+                try:
+                    meta = pdf_doc_info(bytes(p) if p is not None else b"")
+                    err = None
+                except Exception as e:
+                    if on_error == "raise":
+                        raise
+                    meta = {}
+                    err = str(e)[:200]
+                rows["doc_id"].append(i)
+                rows["version"].append(meta.get("version"))
+                rows["n_pages"].append(meta.get("n_pages"))
+                rows["producer"].append(meta.get("producer"))
+                rows["title"].append(meta.get("title"))
+                rows["author"].append(meta.get("author"))
+                rows["n_objects"].append(meta.get("n_objects"))
+                rows["has_objstm"].append(meta.get("has_objstm"))
+                rows["error"].append(err)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rows["doc_id"], type=pa.int64()),
+                    pa.array(rows["version"], type=pa.string()),
+                    pa.array(rows["n_pages"], type=pa.int32()),
+                    pa.array(rows["producer"], type=pa.string()),
+                    pa.array(rows["title"], type=pa.string()),
+                    pa.array(rows["author"], type=pa.string()),
+                    pa.array(rows["n_objects"], type=pa.int32()),
+                    pa.array(rows["has_objstm"], type=pa.bool_()),
+                    pa.array(rows["error"], type=pa.string()),
+                ],
+                names=list(rows),
+            )
+
+    return df.mapInArrow(fn, PDF_INFO_SCHEMA)
