@@ -531,3 +531,31 @@ def test_pdf_info_spark_op(spark):
     assert rows[2].error is not None and rows[2].n_pages is None
     with pytest.raises(Exception):
         pdf_info(df, on_error="raise").collect()
+
+
+def test_streaming_pdf_extraction_batch_parity(spark, tmp_path):
+    from tl_spark.operators.pdf import pdf_text_pages, synth_pdf_media
+    from tl_spark.streaming.extract_stream import run_streaming_pdf_extraction
+
+    inp = str(tmp_path / "pdf_in")
+    outp = str(tmp_path / "pdf_out")
+    ckpt = str(tmp_path / "pdf_ckpt")
+    docs = spark.createDataFrame(
+        [(i, TEXTS[i % len(TEXTS)]) for i in range(10)],
+        "doc_id long, text string",
+    )
+    synth_pdf_media(docs).write.parquet(inp)
+    run_streaming_pdf_extraction(spark, inp, outp, ckpt)
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(outp).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in pdf_text_pages(spark.read.parquet(inp)).collect()
+    )
+    assert got == batch and len(got) > 0
+    # idempotent replay: a second availableNow drain adds nothing
+    run_streaming_pdf_extraction(spark, inp, outp, ckpt)
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(outp).collect()
+    ) == batch

@@ -194,3 +194,40 @@ def run_streaming_incremental_neardup(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_pdf_extraction(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    columns: str = "off",
+) -> None:
+    """Streaming variant of the PDF text/layout kernel: drain a
+    parquet dir of (doc_id, payload) PDF rows through
+    :func:`tl_spark.operators.pdf.pdf_text_pages` into a parquet sink
+    with exactly-once checkpoint semantics. The kernel is stateless
+    (map-only mapInArrow), so the batch plan drops into the streaming
+    plan unchanged — identical outputs to the batch op on the same
+    input (batch-parity test)."""
+    from tl_spark.operators.pdf import pdf_text_pages
+
+    schema = spark.read.parquet(input_path).schema
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    out = pdf_text_pages(
+        stream,
+        id_col=id_col,
+        payload_col=payload_col,
+        on_error="skip",
+        columns=columns,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
