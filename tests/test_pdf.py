@@ -559,3 +559,112 @@ def test_streaming_pdf_extraction_batch_parity(spark, tmp_path):
     assert sorted(
         tuple(r) for r in spark.read.parquet(outp).collect()
     ) == batch
+
+
+# -- adversarial parser paths ----------------------------------------------
+
+
+def test_indirect_length_and_contents_array():
+    """/Length via indirect ref; /Contents as an array of streams."""
+    from tl_spark.operators.pdf import _emit_classic, _plain_body
+
+    ops1 = b"BT /F1 11 Tf 1 0 0 1 72 760 Tm (part one) Tj ET"
+    ops2 = b"BT /F1 11 Tf 1 0 0 1 72 746 Tm (part two) Tj ET"
+    bodies = {
+        1: _plain_body(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _plain_body(
+            2,
+            b"<< /Type /Pages /Kids [4 0 R] /Count 1 /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> >>",
+        ),
+        3: _plain_body(
+            3,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>",
+        ),
+        4: _plain_body(
+            4, b"<< /Type /Page /Parent 2 0 R /Contents [5 0 R 7 0 R] >>"
+        ),
+        5: (
+            b"5 0 obj\n<< /Length 6 0 R >>\nstream\n" + ops1
+            + b"\nendstream\nendobj\n"
+        ),
+        6: _plain_body(6, b"%d" % len(ops1)),
+        7: (
+            b"7 0 obj\n<< /Length %d >>\nstream\n" % len(ops2) + ops2
+            + b"\nendstream\nendobj\n"
+        ),
+    }
+    pdf = _emit_classic(bodies, root=1)[0]
+    assert extract_pdf_pages(pdf) == ["part one\npart two"]
+
+
+def test_filter_abbreviations():
+    data = b"abbreviated filter names" * 5
+    assert _apply_filters(zlib.compress(data), ["Fl"], None) == data
+    assert _apply_filters(data.hex().encode() + b">", ["AHx"], None) == data
+    from tl_spark.operators.pdf import _a85_encode
+
+    assert _apply_filters(_a85_encode(data), ["A85"], None) == data
+
+
+def test_real_number_forms():
+    from tl_spark.operators.pdf import _Lexer
+
+    lx = _Lexer(b"4. -.5 +3 0.25 -2")
+    got = [lx.next() for _ in range(5)]
+    assert got == [4.0, -0.5, 3, 0.25, -2]
+
+
+def test_name_hash_escapes():
+    from tl_spark.operators.pdf import _Lexer, _Name
+
+    lx = _Lexer(b"/A#42C /Lime#20Green")
+    assert lx.next() == _Name("ABC")
+    assert lx.next() == _Name("Lime Green")
+
+
+def test_cid_w_widths_both_forms():
+    from tl_spark.operators.pdf import PdfDocument, _Font
+
+    doc = PdfDocument(pdf_bytes("seed", 0))  # any doc, just for resolve()
+    font = _Font.__new__(_Font)
+    font.widths = {}
+    font._parse_cid_widths(doc, [65, [100, 200, 300], 70, 75, 500])
+    assert font.widths[65] == 100 and font.widths[67] == 300
+    assert all(font.widths[c] == 500 for c in range(70, 76))
+
+
+def test_nested_page_tree_inheritance():
+    """Intermediate Pages node: Resources inherited two levels down,
+    Kids order defines page order."""
+    from tl_spark.operators.pdf import _emit_classic, _plain_body, _stream_body
+
+    def page(n, ct, text, y=760):
+        return (
+            _plain_body(n, b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>" % ct),
+            _stream_body(
+                ct, {}, b"BT /F1 11 Tf 1 0 0 1 72 %d Tm (%s) Tj ET" % (y, text)
+            ),
+        )
+
+    p1, c1 = page(6, 7, b"first")
+    p2, c2 = page(8, 9, b"second")
+    bodies = {
+        1: _plain_body(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _plain_body(
+            2,
+            b"<< /Type /Pages /Kids [5 0 R 8 0 R] /Count 2 "
+            b"/MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> >>",
+        ),
+        3: _plain_body(
+            3,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>",
+        ),
+        5: _plain_body(5, b"<< /Type /Pages /Parent 2 0 R /Kids [6 0 R] /Count 1 >>"),
+        6: p1, 7: c1, 8: p2, 9: c2,
+    }
+    pdf = _emit_classic(bodies, root=1)[0]
+    assert extract_pdf_pages(pdf) == ["first", "second"]
