@@ -668,3 +668,125 @@ def test_nested_page_tree_inheritance():
     }
     pdf = _emit_classic(bodies, root=1)[0]
     assert extract_pdf_pages(pdf) == ["first", "second"]
+
+
+# -- property tests --------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),  # no lone surrogates in input
+        blacklist_characters=" \n\r",
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(_word, min_size=0, max_size=60), st.integers(0, 3))
+def test_fuzz_roundtrip_any_unicode(words, variant):
+    text = " ".join(words)
+    got = [p for p in extract_pdf_pages(pdf_bytes(text, variant)) if p]
+    assert got == [p for p in expected_pages(text) if p]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_fuzz_garbage_never_hangs(data):
+    """Arbitrary bytes: clean ValueError (or empty result), never a
+    hang or a non-ValueError crash."""
+    try:
+        pages = extract_pdf_pages(b"%PDF-1.7\n" + data)
+    except ValueError:
+        return
+    assert isinstance(pages, list)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_fuzz_mutated_real_pdf(data):
+    """Splice random bytes into a real PDF body: same contract."""
+    base = bytearray(pdf_bytes("mutate me gently now", 2))
+    pos = (len(data) * 7919) % max(1, len(base) - len(data) - 1)
+    base[pos : pos + len(data)] = data
+    try:
+        pages = extract_pdf_pages(bytes(base))
+    except ValueError:
+        return
+    assert isinstance(pages, list)
+
+
+# -- composition: archives of PDFs ----------------------------------------
+
+
+def test_archive_of_pdfs_composes(spark, tmp_path):
+    """zip-of-PDFs → expand_archives → pdf_text_concat: the crawl
+    shape for bulk document dumps."""
+    import io
+    import zipfile
+
+    from tl_spark.operators.archives import expand_archives
+    from tl_spark.operators.pdf import pdf_text_concat
+
+    buf = io.BytesIO()
+    texts = {f"doc{i}.pdf": f"zip member number {i} words here" for i in range(3)}
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, t in texts.items():
+            zf.writestr(name, pdf_bytes(t, i := int(name[3]) % 4))
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "archive_id long, payload binary"
+    )
+    members = expand_archives(df)
+    out = pdf_text_concat(
+        members,
+        payload_col="member_bytes",
+        passthrough=("archive_id", "member_name"),
+    ).collect()
+    got = {r.member_name: r.text for r in out}
+    assert got == texts
+
+
+def test_stray_close_paren_never_loops():
+    """A lone ')' outside any string hit no lexer branch and looped
+    forever (found by the mutation fuzzer). The lexer must always
+    advance."""
+    from tl_spark.operators.pdf import _Lexer
+
+    lx = _Lexer(b")) << /A )5) >> ]")
+    toks = []
+    while True:
+        t = lx.next()
+        if t is None:
+            break
+        toks.append(t)
+    assert len(toks) < 20  # terminates
+
+    base = bytearray(pdf_bytes("mutate me gently now", 1))
+    # inject stray close-parens into the trailer region
+    idx = base.rfind(b"trailer")
+    base[idx + 8 : idx + 8] = b"))) "
+    try:
+        pages = extract_pdf_pages(bytes(base))
+        assert isinstance(pages, list)
+    except ValueError:
+        pass
+
+
+def test_type_confused_objects_raise_or_skip():
+    """Kids/Resources/Font resolving to non-dict objects must not
+    escape as AttributeError/TypeError (mutation-fuzzer findings)."""
+    b = pdf_bytes("confuse the types here", 0)
+    for bad in (
+        (b"/Kids [4 0 R]", b"/Kids 4"),
+        (b"/Resources << /Font << /F1 3 0 R >> >>", b"/Resources /Nope"),
+        (b"/Font << /F1 3 0 R >>", b"/Font 9"),
+    ):
+        m = b.replace(*bad)
+        try:
+            pages = extract_pdf_pages(m)
+            assert isinstance(pages, list)
+        except ValueError:
+            pass

@@ -176,6 +176,12 @@ class _Lexer:
         q = p
         while q < n and buf[q] in _REGULAR:
             q += 1
+        if q == p:
+            # stray delimiter with no opening partner (e.g. a lone
+            # ')'): skip it — the lexer must ALWAYS advance, or every
+            # junk-skipping caller loops forever
+            self.pos = p + 1
+            return self.next()
         word = buf[p:q]
         self.pos = q
         if _NUM_RE.match(word):
@@ -338,6 +344,9 @@ def _png_predict(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
     """Undo PNG row predictors (filter byte per row, filters 0-4)."""
     bpp = max(1, (colors * bpc + 7) // 8)
     rowlen = (columns * colors * bpc + 7) // 8
+    # adversarial /Columns: a row can never exceed the data itself
+    if rowlen > max(0, len(data) - 1):
+        rowlen = max(0, len(data) - 1)
     out = bytearray()
     prev = bytearray(rowlen)
     pos = 0
@@ -387,7 +396,7 @@ def _apply_predictor(data: bytes, parms: dict) -> bytes:
     if pred == 2:  # TIFF horizontal differencing (8-bit only here)
         if bpc != 8:
             raise ValueError("TIFF predictor with bpc != 8 unsupported")
-        rowlen = columns * colors
+        rowlen = min(columns * colors, max(1, len(data)))
         out = bytearray(data)
         for r in range(0, len(out) - rowlen + 1, rowlen):
             for i in range(colors, rowlen):
@@ -435,6 +444,8 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
                 raise ValueError("LZW code out of range")
             out += entry
             prev = entry
+            if len(out) > 1_000_000_000:
+                raise ValueError("LZW output exceeds 1 GB cap")
             if len(table) >= (1 << width) - early and width < 12:
                 width += 1
     return bytes(out)
@@ -521,7 +532,10 @@ def _apply_filters(raw: bytes, filters, parms) -> bytes:
         p = p if isinstance(p, dict) else {}
         name = str(f)
         if name in ("FlateDecode", "Fl"):
-            data = zlib.decompress(data)
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(f"bad flate stream: {exc}") from exc
             data = _apply_predictor(data, p)
         elif name in ("LZWDecode", "LZW"):
             data = _lzw_decode(data, p.get("EarlyChange", 1))
@@ -892,8 +906,10 @@ class PdfDocument:
             page.update(node)
             out.append(page)
             return
-        for kid in self.resolve(node.get("Kids", [])) or []:
-            self._walk_pages(kid, inh, out, seen)
+        kids = self.resolve(node.get("Kids", []))
+        if isinstance(kids, list):
+            for kid in kids:
+                self._walk_pages(kid, inh, out, seen)
 
     def page_content(self, page: dict) -> bytes:
         c = self.resolve(page.get("Contents"))
@@ -901,6 +917,8 @@ class PdfDocument:
             return b""
         if isinstance(c, _Stream):
             return c.data
+        if not isinstance(c, list):
+            return b""
         parts = []
         for part in c:
             part = self.resolve(part)
@@ -1027,7 +1045,8 @@ class _Font:
     """code→(unicode, width/1000) decoder for one /Font resource."""
 
     def __init__(self, doc: PdfDocument, d: dict):
-        d = doc.resolve(d) or {}
+        d = doc.resolve(d)
+        d = d if isinstance(d, dict) else {}
         self.code_bytes = 1
         self.tounicode: dict[int, str] = {}
         self.widths: dict[int, float] = {}
@@ -1101,8 +1120,10 @@ class _Font:
                 c2 = doc.resolve(w[i + 1])
                 wv = doc.resolve(w[i + 2])
                 if isinstance(c2, (int, float)) and isinstance(wv, (int, float)):
-                    for code in range(int(c), int(c2) + 1):
-                        self.widths[code] = float(wv)
+                    lo, hi = int(c), int(c2)
+                    if 0 <= hi - lo <= 0xFFFF:  # CIDs are 16-bit
+                        for code in range(lo, hi + 1):
+                            self.widths[code] = float(wv)
                 i += 3
             else:
                 break
@@ -1161,8 +1182,10 @@ class _Interp:
 
     def __init__(self, doc: PdfDocument, resources: dict):
         self.doc = doc
-        res = doc.resolve(resources) or {}
-        self.font_res = doc.resolve(res.get("Font")) or {}
+        res = doc.resolve(resources)
+        res = res if isinstance(res, dict) else {}
+        fr = doc.resolve(res.get("Font"))
+        self.font_res = fr if isinstance(fr, dict) else {}
         self._font_cache: dict[str, _Font] = {}
         self.chunks: list[_Chunk] = []
 
