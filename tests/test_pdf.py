@@ -790,3 +790,26 @@ def test_type_confused_objects_raise_or_skip():
             assert isinstance(pages, list)
         except ValueError:
             pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_fast_lexer_token_differential(data):
+    """_FastLexer (regex content tokenizer) must be token-for-token
+    identical to _Lexer on arbitrary bytes."""
+    from tl_spark.operators.pdf import _FastLexer, _Lexer
+
+    content = b"BT /F1 11 Tf (s) Tj [ <48> -2 ] TJ " + data
+    a, f = _Lexer(content), _FastLexer(content)
+    for _ in range(300):
+        try:
+            ta = a.next()
+        except ValueError:
+            ta = "VE"
+        try:
+            tf_ = f.next()
+        except ValueError:
+            tf_ = "VE"
+        assert ta == tf_ or (ta is tf_)
+        if ta is None or ta == "VE":
+            break

@@ -600,6 +600,7 @@ class PdfDocument:
         self._xref: dict[int, tuple] = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
+        self._font_cache: dict[int, "_Font"] = {}
         try:
             self._load_xref_chain()
         except Exception:
@@ -1102,6 +1103,33 @@ class _Font:
                 if isinstance(mw, (int, float)):
                     self.default_width = float(mw)
 
+        self._finalize_tables()
+
+    def _finalize_tables(self) -> None:
+        """Precompute whole-string decode tables (exact, just faster):
+        a 256-entry unicode+width table for 1-byte fonts, and an
+        identity flag for Type0 fonts whose ToUnicode maps every code
+        to its own UTF-16 unit (the Identity-H + identity-CMap case)."""
+        if self.code_bytes == 1:
+            enc = self.encoding or [chr(i) for i in range(256)]
+            tu = self.tounicode
+            self._uni256 = [
+                (tu.get(c) if tu.get(c) is not None else enc[c])
+                for c in range(256)
+            ]
+            w = self.widths
+            dw = self.default_width
+            self._w256 = [w.get(c, dw) for c in range(256)]
+            self._identity2 = False
+        else:
+            self._uni256 = None
+            self._w256 = None
+            self._identity2 = bool(self.tounicode) and all(
+                len(v) == 1 and ord(v) == k or
+                (len(v) == 1 and 0xD800 <= ord(v) <= 0xDFFF and ord(v) == k)
+                for k, v in self.tounicode.items()
+            )
+
     def _parse_cid_widths(self, doc: PdfDocument, w: list) -> None:
         i = 0
         n = len(w)
@@ -1154,6 +1182,80 @@ class _Font:
 # Content interpreter + layout assembly
 # ---------------------------------------------------------------------------
 
+_RUN_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]+"  # whitespace
+    rb"|%[^\r\n]*"  # comment
+    rb"|<<|>>|[\[\]{}]"  # dict/array/proc brackets
+    rb"|<[^>]*>?"  # hex string (no '>' inside by construction)
+    rb"|[()]"  # string delims (literal handled by scanner)
+    rb"|/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*"  # name
+    rb"|[^\x00\t\n\x0c\r ()<>\[\]{}/%]+"  # number-or-keyword run
+    rb"|.",  # anything else: skip
+    re.S,
+)
+
+
+class _FastLexer(_Lexer):
+    """Drop-in lexer for CONTENT streams: one compiled-regex match per
+    token instead of byte-at-a-time scanning. Token-for-token
+    identical to :class:`_Lexer` (the classifier mirrors its branch
+    order); literal strings and names with ``#`` escapes delegate to
+    the byte-exact scanners."""
+
+    def next(self):
+        if self._push:
+            return self._push.pop()
+        buf = self.buf
+        n = len(buf)
+        match = _RUN_RE.match
+        pos = self.pos
+        while pos < n:
+            m = match(buf, pos)
+            tok = m.group()
+            pos = m.end()
+            c = tok[0]
+            if c in _WS or c == 0x25:  # ws / comment
+                continue
+            self.pos = pos
+            if c == 0x3C:  # '<'
+                if tok == b"<<":
+                    return _DICT_OPEN
+                digits = bytes(
+                    d for d in tok[1:] if d not in _WS and d != 0x3E
+                )
+                if len(digits) % 2:
+                    digits += b"0"
+                try:
+                    return bytes.fromhex(digits.decode("ascii"))
+                except (ValueError, UnicodeDecodeError):
+                    raise ValueError("bad hex string")
+            if c == 0x28:  # '(' literal string via the exact scanner
+                return self._literal_string(pos)
+            if c == 0x2F:  # name
+                if b"#" in tok:
+                    return self._name(self.pos - len(tok) + 1)
+                return _Name(tok[1:].decode("latin-1"))
+            if c == 0x3E:  # '>>' closes a dict; a stray '>' is skipped
+                if tok == b">>":
+                    return _DICT_CLOSE
+                continue
+            if c == 0x5B:
+                return _ARR_OPEN
+            if c == 0x5D:
+                return _ARR_CLOSE
+            if c == 0x7B or c == 0x7D:
+                return _Kw(chr(c))
+            if c == 0x29:  # stray ')' — always advance
+                continue
+            if _NUM_RE.match(tok):
+                if b"." in tok:
+                    return float(tok)
+                return int(tok)
+            return _Kw(tok.decode("latin-1"))
+        self.pos = pos
+        return None
+
+
 _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
@@ -1193,12 +1295,19 @@ class _Interp:
         f = self._font_cache.get(name)
         if f is None:
             fd = self.font_res.get(name)
-            f = _Font(self.doc, self.doc.resolve(fd) if fd is not None else {})
+            rd = self.doc.resolve(fd) if fd is not None else {}
+            # decoders are doc-scoped: ToUnicode/Widths parse once per
+            # document, not once per page
+            key = id(rd)
+            f = self.doc._font_cache.get(key)
+            if f is None:
+                f = _Font(self.doc, rd)
+                self.doc._font_cache[key] = f
             self._font_cache[name] = f
         return f
 
     def run(self, content: bytes) -> list[_Chunk]:
-        lx = _Lexer(content)
+        lx = _FastLexer(content)
         stack: list = []
         ctm = _ID
         gs_stack: list = []
@@ -1221,17 +1330,36 @@ class _Interp:
             trm = _mat_mul(_mat_mul((tfs * th, 0.0, 0.0, tfs, 0.0, ts), tm), ctm)
             x0, y0 = trm[4], trm[5]
             size_dev = abs(trm[3]) or abs(trm[1]) or tfs or 1.0
-            parts: list[str] = []
-            disp = 0.0
-            for code in tf.iter_codes(s):
-                parts.append(tf.to_unicode(code))
-                adv = tf.width(code) / 1000.0 * tfs + tc
-                if code == 32 and tf.code_bytes == 1:
-                    adv += tw
-                disp += adv * th
+            if tf.code_bytes == 1:
+                # table-driven whole-string decode (exact semantics)
+                text = "".join(map(tf._uni256.__getitem__, s))
+                disp = (
+                    sum(map(tf._w256.__getitem__, s)) / 1000.0 * tfs
+                    + len(s) * tc
+                    + (s.count(32) * tw if tw else 0.0)
+                ) * th
+            else:
+                if len(s) % 2:
+                    s = s[:-1]  # dangling byte in a 2-byte code string
+                n2 = len(s) // 2
+                if tf._identity2:
+                    text = s.decode("utf-16-be", "surrogatepass")
+                else:
+                    text = "".join(
+                        tf.to_unicode((s[i] << 8) | s[i + 1])
+                        for i in range(0, len(s), 2)
+                    )
+                if tf.widths:
+                    wsum = sum(
+                        tf.width((s[i] << 8) | s[i + 1])
+                        for i in range(0, len(s), 2)
+                    )
+                else:
+                    wsum = n2 * tf.default_width
+                disp = (wsum / 1000.0 * tfs + n2 * tc) * th
             tm = _mat_mul((1.0, 0.0, 0.0, 1.0, disp, 0.0), tm)
             trm2 = _mat_mul(_mat_mul((tfs * th, 0.0, 0.0, tfs, 0.0, ts), tm), ctm)
-            text = _fix_surrogates("".join(parts))
+            text = _fix_surrogates(text)
             if text:
                 self.chunks.append(_Chunk(x0, y0, trm2[4], size_dev, text))
 
