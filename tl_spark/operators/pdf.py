@@ -452,6 +452,19 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
 
 
 def _a85_decode(data: bytes) -> bytes:
+    # fast path: stdlib a85decode (C); our scanner remains the
+    # reference for inputs it rejects (odd whitespace, partial tails)
+    try:
+        end = data.index(b"~>")
+        import base64
+
+        return base64.a85decode(data[:end].translate(None, delete=_WS))
+    except Exception:
+        pass
+    return _a85_decode_slow(data)
+
+
+def _a85_decode_slow(data: bytes) -> bytes:
     out = bytearray()
     group: list[int] = []
     i = 0
@@ -620,7 +633,7 @@ class PdfDocument:
         idx = tail.rfind(b"startxref")
         if idx < 0:
             raise ValueError("no startxref")
-        lx = _Lexer(tail, idx + len(b"startxref"))
+        lx = _FastLexer(tail, idx + len(b"startxref"))
         off = lx.next()
         if not isinstance(off, int):
             raise ValueError("bad startxref")
@@ -630,7 +643,7 @@ class PdfDocument:
             off = self._load_xref_section(off)
 
     def _load_xref_section(self, off: int):
-        lx = _Lexer(self.buf, off)
+        lx = _FastLexer(self.buf, off)
         tok = lx.next()
         if isinstance(tok, _Kw) and tok == "xref":
             return self._load_classic_xref(lx)
@@ -743,7 +756,7 @@ class PdfDocument:
             # well), else any /Type /Catalog
             for m in re.finditer(rb"trailer", self.buf):
                 try:
-                    t = _parse_value(_Lexer(self.buf, m.end()))
+                    t = _parse_value(_FastLexer(self.buf, m.end()))
                     if isinstance(t, dict) and "Root" in t:
                         for k, v in t.items():
                             if k != "Prev":
@@ -771,7 +784,7 @@ class PdfDocument:
     # -- object access ----------------------------------------------------
 
     def _parse_indirect_at(self, off: int) -> tuple[int, object]:
-        lx = _Lexer(self.buf, off)
+        lx = _FastLexer(self.buf, off)
         num = lx.next()
         gen = lx.next()
         kw = lx.next()
@@ -818,7 +831,7 @@ class PdfDocument:
         data = stream.data
         n = int(self.resolve(stream.dict.get("N", 0)))
         first = int(self.resolve(stream.dict.get("First", 0)))
-        hdr = _Lexer(data, 0)
+        hdr = _FastLexer(data, 0)
         pairs = []
         for _ in range(n):
             onum = hdr.next()
@@ -828,7 +841,7 @@ class PdfDocument:
             pairs.append((onum, ooff))
         objs = []
         for onum, ooff in pairs:
-            objs.append((onum, _parse_value(_Lexer(data, first + ooff))))
+            objs.append((onum, _parse_value(_FastLexer(data, first + ooff))))
         self._objstm_cache[stm_num] = objs
         return objs
 
@@ -990,7 +1003,7 @@ def _glyph_to_unicode(name: str) -> str:
 
 def _parse_tounicode(data: bytes) -> dict[int, str]:
     """Parse a ToUnicode CMap: bfchar + bfrange (both dst forms)."""
-    lx = _Lexer(data)
+    lx = _FastLexer(data)
     out: dict[int, str] = {}
 
     def code_of(b: bytes) -> int:
@@ -1183,14 +1196,13 @@ class _Font:
 # ---------------------------------------------------------------------------
 
 _RUN_RE = re.compile(
-    rb"[\x00\t\n\x0c\r ]+"  # whitespace
-    rb"|%[^\r\n]*"  # comment
-    rb"|<<|>>|[\[\]{}]"  # dict/array/proc brackets
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"  # fold ws+comment skip in
+    rb"(<<|>>|[\[\]{}]"  # dict/array/proc brackets
     rb"|<[^>]*>?"  # hex string (no '>' inside by construction)
     rb"|[()]"  # string delims (literal handled by scanner)
     rb"|/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*"  # name
     rb"|[^\x00\t\n\x0c\r ()<>\[\]{}/%]+"  # number-or-keyword run
-    rb"|.",  # anything else: skip
+    rb"|.|$)",  # stray byte: skip; $: EOF
     re.S,
 )
 
@@ -1206,16 +1218,16 @@ class _FastLexer(_Lexer):
         if self._push:
             return self._push.pop()
         buf = self.buf
-        n = len(buf)
         match = _RUN_RE.match
         pos = self.pos
-        while pos < n:
+        while True:
             m = match(buf, pos)
-            tok = m.group()
+            tok = m.group(1)
             pos = m.end()
+            if not tok:
+                self.pos = pos
+                return None
             c = tok[0]
-            if c in _WS or c == 0x25:  # ws / comment
-                continue
             self.pos = pos
             if c == 0x3C:  # '<'
                 if tok == b"<<":
@@ -1252,8 +1264,6 @@ class _FastLexer(_Lexer):
                     return float(tok)
                 return int(tok)
             return _Kw(tok.decode("latin-1"))
-        self.pos = pos
-        return None
 
 
 _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
