@@ -6,7 +6,10 @@ container, so this is a from-scratch implementation of the public
 ISO 32000-1 spec (the PDF 1.7 standard), in the same spirit as the
 repo's from-scratch media codecs (multimodal.py, jpeg.py):
 
-- ``_Lexer``: byte-level tokenizer for the PDF object syntax (numbers,
+- ``_Lexer`` / ``_FastLexer``: tokenizers for the PDF object syntax —
+  the byte-level reference scanner and a token-identical compiled-regex
+  fast path (hypothesis-differential-pinned) used for both content and
+  object parsing (numbers,
   names with ``#xx`` escapes, literal strings with the full escape
   table + balanced parens, hex strings, arrays, dicts, comments,
   keywords).
@@ -33,7 +36,12 @@ repo's from-scratch media codecs (multimodal.py, jpeg.py):
   ascending x), merged without a separator when they abut (TJ kern
   splits), and separated by a space when a genuine word gap appears;
   rows join with newlines. Out-of-draw-order content streams therefore
-  reconstruct reading order.
+  reconstruct reading order. ``columns="auto"`` adds recursive X-Y-cut
+  whitespace-gutter segmentation (multi-column pages read each column
+  fully before the next); ``pdf_doc_info``/``pdf_info`` expose
+  document metadata. Adversarial input is bounded everywhere
+  (mutation-fuzzed: predictor/CID/LZW bombs clamped, every failure a
+  ValueError, the lexer always advances).
 
 Spark side: map-only ``mapInArrow`` batch ops mirroring
 multimodal.py's plumbing — payload bytes cross the Arrow boundary
