@@ -94,3 +94,33 @@ def test_expand_archives_feeds_extraction(spark):
     assert len(out) == 1
     assert "payload text" in out[0]["extracted_text"]
     assert "chrome" not in out[0]["extracted_text"]
+
+
+def test_mutated_zip_raises_valueerror_only():
+    """Stdlib zipfile raises NotImplementedError/RuntimeError/EOFError
+    on mutated members (found by fuzzing); iter_archive_members must
+    normalize every failure to its documented ValueError."""
+    import io
+    import random
+    import zipfile
+
+    from tl_spark.operators.archives import iter_archive_members
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("a.txt", b"member data here")
+    zips = zbuf.getvalue()
+    rng = random.Random(20)
+    escapes = []
+    for _ in range(800):
+        b = bytearray(zips)
+        n = rng.randrange(1, 60)
+        pos = rng.randrange(0, len(b) - n)
+        b[pos : pos + n] = bytes(rng.randrange(256) for _ in range(n))
+        try:
+            list(iter_archive_members(bytes(b), 1 << 20))
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001 — the point of the test
+            escapes.append(type(e).__name__)
+    assert not escapes, escapes[:5]

@@ -44,7 +44,13 @@ def iter_archive_members(payload: bytes, max_member_bytes: int):
                             f"{max_member_bytes} bytes"
                         )
                     yield info.filename, zf.read(info)
-        except zipfile.BadZipFile as exc:
+        except ValueError:
+            raise
+        except Exception as exc:
+            # zipfile raises BadZipFile but also NotImplementedError /
+            # RuntimeError / EOFError / zlib.error on mutated members
+            # (found by fuzzing) — normalize to the documented
+            # ValueError contract
             raise ValueError(f"malformed zip: {exc}") from exc
         return
     buf.seek(0)
@@ -61,7 +67,9 @@ def iter_archive_members(payload: bytes, max_member_bytes: int):
                 f = tf.extractfile(member)
                 if f is not None:
                     yield member.name, f.read()
-    except tarfile.TarError as exc:
+    except ValueError:
+        raise
+    except Exception as exc:
         raise ValueError(f"not a zip or tar archive: {exc}") from exc
 
 
