@@ -813,3 +813,60 @@ def test_fast_lexer_token_differential(data):
         assert ta == tf_ or (ta is tf_)
         if ta is None or ta == "VE":
             break
+
+
+# -- spans (text + layout-span contract, HTML-kernel analog) ---------------
+
+
+def test_spans_slice_text_exactly():
+    from tl_spark.operators.pdf import extract_pdf_pages_with_spans
+
+    for variant in range(4):
+        text = "alpha beta gamma delta epsilon zeta eta theta " * 9
+        for page_text, spans in extract_pdf_pages_with_spans(
+            pdf_bytes(text, variant, rot=2)
+        ):
+            lines = page_text.split("\n")
+            assert len(spans) == len(lines)
+            for (st, en, x, y), line in zip(spans, lines):
+                assert page_text[st:en] == line
+                assert x == 72.0  # generator draws at x=72
+            ys = [sp[3] for sp in spans]
+            assert ys == sorted(ys, reverse=True)  # reading order
+
+
+def test_spans_with_columns_auto():
+    from tl_spark.operators.pdf import (
+        PdfDocument,
+        _assemble,
+        _assemble_spans,
+        _Interp,
+    )
+
+    doc = PdfDocument(_mini_pdf(_two_column_ops()))
+    page = doc.pages()[0]
+    chunks = _Interp(doc, page.get("Resources", {})).run(doc.page_content(page))
+    text = _assemble(chunks, "auto")
+    spans = _assemble_spans(chunks, "auto")
+    lines = text.split("\n")
+    assert len(spans) == len(lines)
+    for (st, en, x, y), line in zip(spans, lines):
+        assert text[st:en] == line
+    # right-column lines carry the right-column x
+    assert [round(sp[2]) for sp in spans] == [72, 72, 72, 72, 320, 320, 320]
+
+
+def test_pdf_text_pages_emit_spans(spark):
+    from tl_spark.operators.pdf import pdf_text_pages, synth_pdf_media
+
+    docs = spark.createDataFrame(
+        [(3, "words " * 30)], "doc_id long, text string"
+    )
+    rows = pdf_text_pages(synth_pdf_media(docs), emit_spans=True).collect()
+    assert rows and "spans" in rows[0].asDict()
+    for r in rows:
+        for sp in r.spans:
+            assert r.text[sp.start : sp.end] == r.text.split("\n")[
+                [s.start for s in r.spans].index(sp.start)
+            ]
+        assert len(r.spans) == len(r.text.split("\n"))

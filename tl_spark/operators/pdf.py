@@ -72,6 +72,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "PdfDocument",
     "extract_pdf_pages",
+    "extract_pdf_pages_with_spans",
     "pdf_bytes",
     "pdf_doc_info",
     "pdf_info",
@@ -1595,6 +1596,58 @@ def _assemble(chunks: list[_Chunk], columns: str = "off") -> str:
     return "\n".join(lines)
 
 
+def _assemble_spans(
+    chunks: list[_Chunk], columns: str = "off"
+) -> list[tuple[int, int, float, float]]:
+    """Line spans for :func:`_assemble`'s output: one
+    ``(start, end, x, y)`` per emitted line, where ``[start, end)``
+    are char offsets into the page text (so
+    ``text[start:end]`` == the line) and ``(x, y)`` is the line's
+    device position. Derived from the same assembly, so the offsets
+    are exact by construction."""
+    if not chunks:
+        return []
+    if columns == "auto":
+        blocks = _xycut(chunks)
+        if len(blocks) > 1:
+            spans: list[tuple[int, int, float, float]] = []
+            off = 0
+            for b in blocks:
+                text = _assemble(b, "off")
+                if not text:
+                    continue
+                for st, en, x, y in _assemble_spans(b, "off"):
+                    spans.append((st + off, en + off, x, y))
+                off += len(text) + 1  # the joining newline
+            return spans
+    text = _assemble(chunks, "off")
+    if not text:
+        return []
+    # re-derive rows exactly as _assemble does
+    cs = sorted(chunks, key=lambda c: (-c.y, c.x0))
+    rows: list[list[_Chunk]] = []
+    cur = [cs[0]]
+    cur_y = cs[0].y
+    for c in cs[1:]:
+        tol = max(1.0, _ROW_TOL_FRAC * max(c.size, cur[-1].size))
+        if abs(c.y - cur_y) <= tol:
+            cur.append(c)
+        else:
+            rows.append(cur)
+            cur = [c]
+            cur_y = c.y
+    rows.append(cur)
+    spans = []
+    off = 0
+    lines = text.split("\n")
+    for i, row in enumerate(rows):
+        line = lines[i]
+        row.sort(key=lambda c: c.x0)
+        spans.append((off, off + len(line), row[0].x0, row[0].y))
+        off += len(line) + 1
+    return spans
+
+
 def extract_pdf_pages(data: bytes, columns: str = "off") -> list[str]:
     """Kernel entry: PDF bytes → list of per-page extracted text.
     ``columns="auto"`` enables X-Y-cut column segmentation."""
@@ -1604,6 +1657,22 @@ def extract_pdf_pages(data: bytes, columns: str = "off") -> list[str]:
         content = doc.page_content(page)
         interp = _Interp(doc, page.get("Resources", {}))
         out.append(_assemble(interp.run(content), columns))
+    return out
+
+
+def extract_pdf_pages_with_spans(
+    data: bytes, columns: str = "off"
+) -> list[tuple[str, list[tuple[int, int, float, float]]]]:
+    """Like :func:`extract_pdf_pages` but each page also carries its
+    per-line ``(start, end, x, y)`` spans — char offsets into the page
+    text plus device position, the PDF analog of the HTML kernel's
+    text + byte-span contract."""
+    doc = PdfDocument(data)
+    out = []
+    for page in doc.pages():
+        content = doc.page_content(page)
+        chunks = _Interp(doc, page.get("Resources", {})).run(content)
+        out.append((_assemble(chunks, columns), _assemble_spans(chunks, columns)))
     return out
 
 
@@ -2021,17 +2090,38 @@ def synth_pdf_media(
     return df.mapInArrow(fn, PDF_MEDIA_SCHEMA)
 
 
+_SPAN_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("start", pa.int32()),
+            ("end", pa.int32()),
+            ("x", pa.float64()),
+            ("y", pa.float64()),
+        ]
+    )
+)
+
+PDF_PAGES_SPANS_SCHEMA = (
+    "doc_id long, page_no int, text string, nchars int, "
+    "spans array<struct<start:int,end:int,x:double,y:double>>"
+)
+
+
 def pdf_text_pages(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
     on_error: str = "raise",
     columns: str = "off",
+    emit_spans: bool = False,
 ) -> DataFrame:
-    """(doc_id, payload) → (doc_id, page_no, text, nchars): one row per
-    non-empty page, layout-ordered text. ``on_error``: "raise" fails
-    the task on a malformed PDF, "skip" drops that document.
-    ``columns="auto"`` enables X-Y-cut column segmentation."""
+    """(doc_id, payload) → (doc_id, page_no, text, nchars[, spans]):
+    one row per non-empty page, layout-ordered text. ``on_error``:
+    "raise" fails the task on a malformed PDF, "skip" drops that
+    document. ``columns="auto"`` enables X-Y-cut column segmentation.
+    ``emit_spans=True`` adds per-line (start, end, x, y) spans — char
+    offsets into the page text plus device position, the PDF analog
+    of the HTML kernel's text + byte-span contract."""
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
@@ -2039,34 +2129,48 @@ def pdf_text_pages(
         for b in batches:
             ids = b.column(b.schema.get_field_index(id_col)).to_pylist()
             payloads = b.column(b.schema.get_field_index(payload_col)).to_pylist()
-            o_id, o_pg, o_tx, o_n = [], [], [], []
+            o_id, o_pg, o_tx, o_n, o_sp = [], [], [], [], []
             for i, p in zip(ids, payloads):
                 try:
-                    pages = extract_pdf_pages(
-                        bytes(p) if p is not None else b"", columns
-                    )
+                    raw = bytes(p) if p is not None else b""
+                    if emit_spans:
+                        pages = extract_pdf_pages_with_spans(raw, columns)
+                    else:
+                        pages = [
+                            (t, None) for t in extract_pdf_pages(raw, columns)
+                        ]
                 except Exception:
                     if on_error == "raise":
                         raise
                     continue
-                for pg, text in enumerate(pages):
+                for pg, (text, spans) in enumerate(pages):
                     if not text:
                         continue
                     o_id.append(i)
                     o_pg.append(pg)
                     o_tx.append(text)
                     o_n.append(len(text))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(o_id, type=pa.int64()),
-                    pa.array(o_pg, type=pa.int32()),
-                    pa.array(o_tx, type=pa.string()),
-                    pa.array(o_n, type=pa.int32()),
-                ],
-                names=["doc_id", "page_no", "text", "nchars"],
-            )
+                    if emit_spans:
+                        o_sp.append(
+                            [
+                                {"start": st, "end": en, "x": x, "y": y}
+                                for st, en, x, y in spans
+                            ]
+                        )
+            arrays = [
+                pa.array(o_id, type=pa.int64()),
+                pa.array(o_pg, type=pa.int32()),
+                pa.array(o_tx, type=pa.string()),
+                pa.array(o_n, type=pa.int32()),
+            ]
+            names = ["doc_id", "page_no", "text", "nchars"]
+            if emit_spans:
+                arrays.append(pa.array(o_sp, type=_SPAN_TYPE))
+                names.append("spans")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return df.mapInArrow(fn, PDF_PAGES_SCHEMA)
+    schema = PDF_PAGES_SPANS_SCHEMA if emit_spans else PDF_PAGES_SCHEMA
+    return df.mapInArrow(fn, schema)
 
 
 def pdf_text_concat(
