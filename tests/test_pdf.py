@@ -870,3 +870,96 @@ def test_pdf_text_pages_emit_spans(spark):
                 [s.start for s in r.spans].index(sp.start)
             ]
         assert len(r.spans) == len(r.text.split("\n"))
+
+
+# -- links + XMP -----------------------------------------------------------
+
+
+def _linked_pdf() -> bytes:
+    from tl_spark.operators.pdf import _emit_classic, _plain_body, _stream_body
+
+    ops = b"BT /F1 11 Tf 1 0 0 1 72 760 Tm (see links) Tj ET"
+    xmp = (
+        b'<x:xmpmeta xmlns:x="adobe:ns:meta/"><rdf:RDF>'
+        b"<dc:title><rdf:Alt><rdf:li xml:lang=\"x-default\">An XMP "
+        b"Title &amp; More</rdf:li></rdf:Alt></dc:title>"
+        b"<dc:creator><rdf:Seq><rdf:li>Jan Writer</rdf:li></rdf:Seq>"
+        b"</dc:creator></rdf:RDF></x:xmpmeta>"
+    )
+    bodies = {
+        1: _plain_body(
+            1, b"<< /Type /Catalog /Pages 2 0 R /Metadata 8 0 R >>"
+        ),
+        2: _plain_body(
+            2,
+            b"<< /Type /Pages /Kids [4 0 R] /Count 1 /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> >>",
+        ),
+        3: _plain_body(
+            3,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>",
+        ),
+        4: _plain_body(
+            4,
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R "
+            b"/Annots [6 0 R 7 0 R 9 0 R] >>",
+        ),
+        5: _stream_body(5, {}, ops),
+        6: _plain_body(
+            6,
+            b"<< /Type /Annot /Subtype /Link /Rect [72 750 200 770] "
+            b"/A << /S /URI /URI (http://ex.org/first) >> >>",
+        ),
+        7: _plain_body(
+            7,
+            b"<< /Type /Annot /Subtype /Link /Rect [0 0 10 10] "
+            b"/A << /S /GoTo /D (x) /Next << /S /URI "
+            b"/URI (https://ex.org/chained?a=1&b=2) >> >> >>",
+        ),
+        8: _stream_body(8, {"Type": b"/Metadata", "Subtype": b"/XML"}, xmp),
+        9: _plain_body(  # non-link annot: ignored
+            9, b"<< /Type /Annot /Subtype /Text /Contents (note) >>"
+        ),
+    }
+    return _emit_classic(bodies, root=1)[0]
+
+
+def test_pdf_links_extraction():
+    from tl_spark.operators.pdf import pdf_links
+
+    assert pdf_links(_linked_pdf()) == [
+        (0, "http://ex.org/first"),
+        (0, "https://ex.org/chained?a=1&b=2"),
+    ]
+
+
+def test_pdf_links_absent_is_empty():
+    from tl_spark.operators.pdf import pdf_links
+
+    assert pdf_links(pdf_bytes("no links here at all", 0)) == []
+
+
+def test_xmp_metadata_fallback():
+    from tl_spark.operators.pdf import pdf_doc_info
+
+    meta = pdf_doc_info(_linked_pdf())
+    assert meta["title"] == "An XMP Title & More"
+    assert meta["author"] == "Jan Writer"
+    # Info-dict strings still win when present
+    meta2 = pdf_doc_info(pdf_bytes("plain doc", 0))
+    assert meta2["producer"] == "tl_spark synth v1"
+
+
+def test_pdf_outlinks_spark_op(spark):
+    from tl_spark.operators.pdf import pdf_outlinks
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_linked_pdf())), (2, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    rows = pdf_outlinks(df, on_error="skip").collect()
+    assert [(r.doc_id, r.page_no, r.uri) for r in rows] == [
+        (1, 0, "http://ex.org/first"),
+        (1, 0, "https://ex.org/chained?a=1&b=2"),
+    ]

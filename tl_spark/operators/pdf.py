@@ -76,6 +76,8 @@ __all__ = [
     "pdf_bytes",
     "pdf_doc_info",
     "pdf_info",
+    "pdf_links",
+    "pdf_outlinks",
     "pdf_text_concat",
     "pdf_text_pages",
     "synth_pdf_media",
@@ -2266,19 +2268,48 @@ def _info_str(doc: "PdfDocument", d: dict | None, key: str) -> str | None:
     return None
 
 
+def _xmp_meta(doc: "PdfDocument") -> dict:
+    """dc:title / dc:creator from the catalog's XMP /Metadata stream
+    (the XML packet many producers write instead of — or alongside —
+    the Info dict). Regex-scoped to the two Dublin Core fields the
+    pipeline uses; entity-unescaped."""
+    try:
+        root = doc.resolve(doc.trailer.get("Root"))
+        md = doc.resolve(root.get("Metadata")) if isinstance(root, dict) else None
+        if not isinstance(md, _Stream):
+            return {}
+        xml = md.data.decode("utf-8", "replace")
+    except Exception:
+        return {}
+    import html
+
+    out = {}
+    for field, key in (("title", "title"), ("creator", "author")):
+        m = re.search(
+            rf"<dc:{field}>.*?<rdf:li[^>]*>(.*?)</rdf:li>", xml, re.S
+        )
+        if m:
+            out[key] = html.unescape(m.group(1).strip())
+    return out
+
+
 def pdf_doc_info(data: bytes) -> dict:
     """Document-level PDF metadata: header version, page count, Info
-    dictionary strings, object-store shape. Raises on non-PDF input
-    (wrap with on_error at the Spark layer)."""
+    dictionary strings (XMP dc:title/dc:creator as fallback),
+    object-store shape. Raises on non-PDF input (wrap with on_error
+    at the Spark layer)."""
     doc = PdfDocument(data)
     m = re.match(rb"%PDF-(\d+\.\d+)", doc.buf)
     info = doc.resolve(doc.trailer.get("Info"))
+    xmp = _xmp_meta(doc)
+    title = _info_str(doc, info, "Title")
+    author = _info_str(doc, info, "Author")
     return {
         "version": m.group(1).decode() if m else None,
         "n_pages": len(doc.pages()),
         "producer": _info_str(doc, info, "Producer"),
-        "title": _info_str(doc, info, "Title"),
-        "author": _info_str(doc, info, "Author"),
+        "title": title if title is not None else xmp.get("title"),
+        "author": author if author is not None else xmp.get("author"),
         "n_objects": len(doc._xref),
         "has_objstm": any(e[0] == "c" for e in doc._xref.values()),
     }
@@ -2338,3 +2369,72 @@ def pdf_info(
             )
 
     return df.mapInArrow(fn, PDF_INFO_SCHEMA)
+
+
+def pdf_links(data: bytes) -> list[tuple[int, str]]:
+    """Outlinks: (page_no, uri) for every link annotation (/Annots →
+    /Subtype /Link → /A /S /URI). The crawl-frontier complement of
+    text extraction — real crawlers expand PDF outlinks exactly like
+    HTML hrefs. Nested /Next action chains are followed; non-URI
+    actions (GoTo etc.) are ignored."""
+    doc = PdfDocument(data)
+    out: list[tuple[int, str]] = []
+    for pg, page in enumerate(doc.pages()):
+        annots = doc.resolve(page.get("Annots"))
+        if not isinstance(annots, list):
+            continue
+        for a in annots:
+            a = doc.resolve(a)
+            if not isinstance(a, dict) or str(a.get("Subtype", "")) != "Link":
+                continue
+            action = doc.resolve(a.get("A"))
+            hops = 0
+            while isinstance(action, dict) and hops < 8:
+                if str(action.get("S", "")) == "URI":
+                    uri = doc.resolve(action.get("URI"))
+                    if isinstance(uri, bytes):
+                        out.append((pg, uri.decode("latin-1")))
+                action = doc.resolve(action.get("Next"))
+                hops += 1
+    return out
+
+
+PDF_LINKS_SCHEMA = "doc_id long, page_no int, uri string"
+
+
+def pdf_outlinks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    on_error: str = "raise",
+) -> DataFrame:
+    """(doc_id, payload) → one row per link annotation. Map-only."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(b.schema.get_field_index(id_col)).to_pylist()
+            payloads = b.column(b.schema.get_field_index(payload_col)).to_pylist()
+            o_id, o_pg, o_uri = [], [], []
+            for i, p in zip(ids, payloads):
+                try:
+                    links = pdf_links(bytes(p) if p is not None else b"")
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                for pg, uri in links:
+                    o_id.append(i)
+                    o_pg.append(pg)
+                    o_uri.append(uri)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, type=pa.int64()),
+                    pa.array(o_pg, type=pa.int32()),
+                    pa.array(o_uri, type=pa.string()),
+                ],
+                names=["doc_id", "page_no", "uri"],
+            )
+
+    return df.mapInArrow(fn, PDF_LINKS_SCHEMA)
