@@ -38,6 +38,13 @@ def main() -> None:
         "corpus (media_type column distinguishes html/pdf rows)",
     )
     ap.add_argument(
+        "--pdf-outlinks-output",
+        default=None,
+        help="with --include-pdf: also write (warc_file, record_idx, "
+        "target_uri, page_no, uri) PDF link annotations to this "
+        "parquet path — the crawl-frontier sidecar",
+    )
+    ap.add_argument(
         "--keep-langs",
         default=None,
         help="comma-separated language allow-list (e.g. 'en,de'); "
@@ -73,6 +80,34 @@ def main() -> None:
             # both legs are map-only; the union keeps them so —
             # missing columns (spans/n_nodes vs n_pages) null-fill
             ex = ex.unionByName(pdf, allowMissingColumns=True)
+            if args.pdf_outlinks_output:
+                from tl_spark.operators.pdf import pdf_outlinks
+                from tl_spark.sources.warc import read_warc
+
+                recs = read_warc(spark, args.input, on_error=args.on_error)
+                pdf_payloads = recs.filter(
+                    (F.col("http_status") == 200)
+                    & F.col("content_type").contains("application/pdf")
+                ).select(
+                    F.xxhash64("warc_file", "record_idx").alias("doc_id"),
+                    "warc_file", "record_idx", "target_uri", "body",
+                )
+                links = pdf_outlinks(
+                    pdf_payloads.select(
+                        "doc_id", F.col("body").alias("payload")
+                    ),
+                    on_error=args.on_error,
+                ).join(
+                    pdf_payloads.select(
+                        "doc_id", "warc_file", "record_idx", "target_uri"
+                    ),
+                    "doc_id",
+                ).select(
+                    "warc_file", "record_idx", "target_uri", "page_no", "uri"
+                )
+                links.write.mode("overwrite").parquet(
+                    args.pdf_outlinks_output
+                )
         ex = ex.withColumn(
             "doc_id",
             F.xxhash64("warc_file", "record_idx"),

@@ -169,21 +169,38 @@ def test_crawl_job_include_pdf(spark, tmp_path, monkeypatch, capsys):
     pdf = http_response_block(
         pdf_bytes(long + " pdfdoc", 0), content_type="application/pdf"
     )
+    from tests.test_pdf import _linked_pdf
+
+    linked = http_response_block(
+        _linked_pdf(), content_type="application/pdf"
+    )
     recs = [
         ("response", "http://site.example.com/page", html),
         ("response", "http://site.example.com/doc.pdf", pdf),
+        ("response", "http://site.example.com/linked.pdf", linked),
     ]
     d = tmp_path / "crawlpdf"
     d.mkdir()
     (d / "c.warc.gz").write_bytes(warc_bytes(recs, gzip_members=True))
     outp = str(tmp_path / "corpus_pdf_out")
+    frontier = str(tmp_path / "pdf_frontier")
     rep = _run_main(
         monkeypatch, capsys, J,
         ["--input", str(d) + "/*.warc.gz", "--output", outp,
-         "--quality-min", "0.0", "--min-tokens", "10", "--include-pdf"],
+         "--quality-min", "0.0", "--min-tokens", "10", "--include-pdf",
+         "--pdf-outlinks-output", frontier],
     )
-    assert rep["records_extracted"] == 2
-    assert rep["corpus_rows"] == 2
+    assert rep["records_extracted"] == 3
+    assert rep["corpus_rows"] == 2  # linked.pdf is too short -> filtered
+    links = sorted(
+        (r.target_uri, r.page_no, r.uri)
+        for r in spark.read.parquet(frontier).collect()
+    )
+    assert links == [
+        ("http://site.example.com/linked.pdf", 0, "http://ex.org/first"),
+        ("http://site.example.com/linked.pdf", 0,
+         "https://ex.org/chained?a=1&b=2"),
+    ]
     rows = {
         r.media_type: r for r in spark.read.parquet(outp).collect()
     }
