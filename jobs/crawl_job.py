@@ -51,6 +51,8 @@ def main() -> None:
         "filters on the n-gram-profile lang_id column",
     )
     args = ap.parse_args()
+    if args.pdf_outlinks_output and not args.include_pdf:
+        ap.error("--pdf-outlinks-output requires --include-pdf")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -151,6 +153,9 @@ def main() -> None:
             json.dumps(
                 {
                     "records_extracted": n_extracted,
+                    # legacy alias (pre-PDF name) — kept one release for
+                    # existing report consumers
+                    "html_extracted": n_extracted,
                     "corpus_rows": n_out,
                     "output": args.output,
                 }

@@ -7,6 +7,8 @@ test session) pins the argument wiring and report contracts in CI.
 
 import json
 
+import pytest
+
 import numpy as np
 import pyspark.sql.functions as F
 
@@ -211,3 +213,19 @@ def test_crawl_job_include_pdf(spark, tmp_path, monkeypatch, capsys):
     # HTML rows carry spans; PDF rows null-fill them (and vice versa)
     assert rows["pdf"].spans is None
     assert rows["html"].n_pages is None
+
+
+def test_crawl_job_outlinks_requires_include_pdf(monkeypatch, capsys):
+    """--pdf-outlinks-output without --include-pdf is a usage error
+    (the sidecar write lives under the PDF branch), not a silent no-op."""
+    import jobs.crawl_job as J
+
+    monkeypatch.setattr(
+        "sys.argv",
+        ["job", "--input", "x", "--output", "y",
+         "--pdf-outlinks-output", "z"],
+    )
+    with pytest.raises(SystemExit) as ei:
+        J.main()
+    assert ei.value.code == 2
+    assert "--include-pdf" in capsys.readouterr().err

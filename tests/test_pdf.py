@@ -963,3 +963,108 @@ def test_pdf_outlinks_spark_op(spark):
         (1, 0, "http://ex.org/first"),
         (1, 0, "https://ex.org/chained?a=1&b=2"),
     ]
+
+
+# -- round-7 hardening (ADVICE + VERDICT items) ----------------------------
+
+
+def test_flate_bomb_is_capped(monkeypatch):
+    """A small crafted zlib bomb must ValueError at the decode cap,
+    not expand to multi-GB in executor memory."""
+    import tl_spark.operators.pdf as pdfmod
+
+    monkeypatch.setattr(pdfmod, "_MAX_DECODE_BYTES", 1_000_000)
+    bomb = zlib.compress(b"\x00" * 4_000_000)
+    with pytest.raises(ValueError, match="decode cap"):
+        pdfmod._apply_filters(bomb, "FlateDecode", None)
+    # legitimate streams under the cap still round-trip
+    ok = zlib.compress(b"fine" * 100)
+    assert pdfmod._apply_filters(ok, "FlateDecode", None) == b"fine" * 100
+
+
+def test_circular_objstm_reference_is_valueerror():
+    """get() -> _load_objstm() -> get() on a crafted circular ObjStm
+    reference must raise the contract ValueError, not RecursionError."""
+    doc = PdfDocument(pdf_bytes("circular guard", 0))
+    doc._xref[9991] = ("c", 9992, 0)
+    doc._xref[9992] = ("c", 9991, 0)
+    with pytest.raises(ValueError, match="circular"):
+        doc.get(9991)
+
+
+def test_parse_value_depth_cap():
+    from tl_spark.operators.pdf import _FastLexer, _parse_value
+
+    with pytest.raises(ValueError, match="nesting"):
+        _parse_value(_FastLexer(b"[" * 5000 + b"]" * 5000, 0))
+
+
+def test_deep_page_tree_is_valueerror():
+    from tl_spark.operators.pdf import _emit_classic, _plain_body
+
+    # a 400-deep linear Kids chain: Pages node i points at i+1
+    n_chain = 400
+    bodies = {1: _plain_body(1, b"<< /Type /Catalog /Pages 2 0 R >>")}
+    for i in range(2, 2 + n_chain):
+        bodies[i] = _plain_body(
+            i,
+            b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % (i + 1),
+        )
+    last = 2 + n_chain
+    bodies[last] = _plain_body(
+        last, b"<< /Type /Page /MediaBox [0 0 612 792] >>"
+    )
+    doc = PdfDocument(_emit_classic(bodies, root=1)[0])
+    with pytest.raises(ValueError, match="page tree too deep"):
+        doc.pages()
+
+
+def test_xmp_empty_title_does_not_steal_creator():
+    """dc:title with no rdf:li (empty Alt) must NOT lazily capture the
+    first rdf:li of dc:creator (ADVICE r6)."""
+    from tl_spark.operators.pdf import _emit_classic, _plain_body, _stream_body
+    from tl_spark.operators.pdf import PdfDocument, _xmp_meta
+
+    xmp = (
+        b'<x:xmpmeta><rdf:RDF>'
+        b"<dc:title><rdf:Alt></rdf:Alt></dc:title>"
+        b"<dc:creator><rdf:Seq><rdf:li>Real Author</rdf:li></rdf:Seq>"
+        b"</dc:creator></rdf:RDF></x:xmpmeta>"
+    )
+    bodies = {
+        1: _plain_body(1, b"<< /Type /Catalog /Pages 2 0 R /Metadata 3 0 R >>"),
+        2: _plain_body(2, b"<< /Type /Pages /Kids [] /Count 0 >>"),
+        3: _stream_body(3, {"Type": b"/Metadata"}, xmp),
+    }
+    doc = PdfDocument(_emit_classic(bodies, root=1)[0])
+    meta = _xmp_meta(doc)
+    assert "title" not in meta
+    assert meta["author"] == "Real Author"
+
+
+def test_poisoned_kernel_propagates_under_skip(monkeypatch):
+    """on_error='skip' swallows ONLY the audited ValueError surface; a
+    kernel bug (non-ValueError) must fail the task (VERDICT r6)."""
+    import pyarrow as pa
+
+    import tl_spark.operators.pdf as pdfmod
+
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([1], type=pa.int64()), pa.array([b"%PDF-junk"])],
+        names=["doc_id", "payload"],
+    )
+    fn = pdfmod._text_pages_fn("doc_id", "payload", "skip", "off", False)
+
+    def boom(raw, columns="off"):
+        raise RuntimeError("kernel bug, not malformed input")
+
+    monkeypatch.setattr(pdfmod, "extract_pdf_pages", boom)
+    with pytest.raises(RuntimeError):
+        list(fn(iter([batch])))
+
+    def malformed(raw, columns="off"):
+        raise ValueError("malformed input")
+
+    monkeypatch.setattr(pdfmod, "extract_pdf_pages", malformed)
+    out = list(fn(iter([batch])))
+    assert sum(b.num_rows for b in out) == 0

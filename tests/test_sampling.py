@@ -120,3 +120,24 @@ def test_plan_broadcasts_stats(spark, docs):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_null_source_is_its_own_group(spark):
+    """NULL sources form their own group via the null-safe join: rows
+    survive resampling instead of being dropped by a null-rejecting
+    inner join while still setting n_min (ADVICE r6)."""
+    df = spark.createDataFrame(
+        [(i, "web" if i % 4 else None) for i in range(400)],
+        "doc_id long, source string",
+    )
+    out = temperature_resample(df, temperature=2.0)
+    by_src = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # NULL group (100 rows, the n_min source) keeps ~all of its rows
+    assert None in by_src and by_src[None] >= 80
+    # skewed group is down-sampled toward sqrt(nmin/n) * n
+    assert 0 < by_src["web"] < 300
+    # every output row still carries a well-defined keep_prob
+    assert out.filter(F.col("keep_prob").isNull()).count() == 0

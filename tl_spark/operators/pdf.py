@@ -294,9 +294,14 @@ class _Lexer:
         return _Name(out.decode("latin-1"))
 
 
-def _parse_value(lx: _Lexer, tok=None):
+_PARSE_MAX_DEPTH = 200  # crafted [[[[… must ValueError, not RecursionError
+
+
+def _parse_value(lx: _Lexer, tok=None, _depth: int = 0):
     """Parse one PDF object starting at ``tok`` (or the next token).
     ``int int R`` sequences become :class:`_Ref` via lookahead."""
+    if _depth > _PARSE_MAX_DEPTH:
+        raise ValueError("object nesting too deep")
     if tok is None:
         tok = lx.next()
     if tok is None:
@@ -309,7 +314,7 @@ def _parse_value(lx: _Lexer, tok=None):
                 return arr
             if t is None:
                 raise ValueError("unterminated array")
-            arr.append(_parse_value(lx, t))
+            arr.append(_parse_value(lx, t, _depth + 1))
     if tok is _DICT_OPEN:
         d = {}
         while True:
@@ -321,7 +326,7 @@ def _parse_value(lx: _Lexer, tok=None):
             if not isinstance(t, _Name):
                 # lenient: skip junk key
                 continue
-            d[str(t)] = _parse_value(lx)
+            d[str(t)] = _parse_value(lx, None, _depth + 1)
         return d
     if isinstance(tok, _Kw):
         if tok == "true":
@@ -455,8 +460,8 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
                 raise ValueError("LZW code out of range")
             out += entry
             prev = entry
-            if len(out) > 1_000_000_000:
-                raise ValueError("LZW output exceeds 1 GB cap")
+            if len(out) > 256 * 1024 * 1024:
+                raise ValueError("LZW output exceeds decode cap")
             if len(table) >= (1 << width) - early and width < 12:
                 width += 1
     return bytes(out)
@@ -544,6 +549,35 @@ def _rl_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+# Hard output cap for every decompressing filter: a small crafted
+# stream (zlib bomb / LZW bomb) from an untrusted crawl must not be
+# able to expand to multi-GB and OOM an executor before on_error can
+# catch it. 256 MB is far above any legitimate PDF content stream.
+_MAX_DECODE_BYTES = 256 * 1024 * 1024
+
+
+def _flate_decode(data: bytes) -> bytes:
+    """Incremental zlib inflate with a hard output cap (decompression
+    bombs raise ValueError instead of exhausting executor memory)."""
+    d = zlib.decompressobj()
+    out = []
+    total = 0
+    chunk = data
+    try:
+        while True:
+            piece = d.decompress(chunk, 8 * 1024 * 1024)
+            total += len(piece)
+            if total > _MAX_DECODE_BYTES:
+                raise ValueError("flate output exceeds decode cap")
+            out.append(piece)
+            chunk = d.unconsumed_tail
+            if not chunk:
+                break
+    except zlib.error as exc:
+        raise ValueError(f"bad flate stream: {exc}") from exc
+    return b"".join(out)
+
+
 def _apply_filters(raw: bytes, filters, parms) -> bytes:
     if filters is None:
         return raw
@@ -556,10 +590,7 @@ def _apply_filters(raw: bytes, filters, parms) -> bytes:
         p = p if isinstance(p, dict) else {}
         name = str(f)
         if name in ("FlateDecode", "Fl"):
-            try:
-                data = zlib.decompress(data)
-            except zlib.error as exc:
-                raise ValueError(f"bad flate stream: {exc}") from exc
+            data = _flate_decode(data)
             data = _apply_predictor(data, p)
         elif name in ("LZWDecode", "LZW"):
             data = _lzw_decode(data, p.get("EarlyChange", 1))
@@ -625,6 +656,10 @@ class PdfDocument:
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
         self._font_cache: dict[int, "_Font"] = {}
+        # object numbers currently being resolved — breaks the mutual
+        # recursion get() -> _load_objstm() -> get() on crafted circular
+        # ObjStm references (ValueError, not RecursionError)
+        self._inflight: set[int] = set()
         try:
             self._load_xref_chain()
         except Exception:
@@ -863,6 +898,15 @@ class PdfDocument:
         if ent is None:
             self._cache[num] = None
             return None
+        if num in self._inflight:
+            raise ValueError("circular object reference")
+        self._inflight.add(num)
+        try:
+            return self._get_uncached(num, ent)
+        finally:
+            self._inflight.discard(num)
+
+    def _get_uncached(self, num: int, ent: tuple):
         if ent[0] == "o":
             got_num, val = self._parse_indirect_at(ent[1])
             if got_num != num:
@@ -912,7 +956,11 @@ class PdfDocument:
         self._walk_pages(node, {}, out, set())
         return out
 
-    def _walk_pages(self, node, inherited: dict, out: list, seen: set) -> None:
+    def _walk_pages(
+        self, node, inherited: dict, out: list, seen: set, depth: int = 0
+    ) -> None:
+        if depth > 256:  # crafted deep Kids chain: ValueError, not RecursionError
+            raise ValueError("page tree too deep")
         node = self.resolve(node)
         if not isinstance(node, dict):
             return
@@ -934,7 +982,7 @@ class PdfDocument:
         kids = self.resolve(node.get("Kids", []))
         if isinstance(kids, list):
             for kid in kids:
-                self._walk_pages(kid, inh, out, seen)
+                self._walk_pages(kid, inh, out, seen, depth + 1)
 
     def page_content(self, page: dict) -> bytes:
         c = self.resolve(page.get("Contents"))
@@ -2126,6 +2174,14 @@ def pdf_text_pages(
     of the HTML kernel's text + byte-span contract."""
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    fn = _text_pages_fn(id_col, payload_col, on_error, columns, emit_spans)
+    schema = PDF_PAGES_SPANS_SCHEMA if emit_spans else PDF_PAGES_SCHEMA
+    return df.mapInArrow(fn, schema)
+
+
+def _text_pages_fn(id_col, payload_col, on_error, columns, emit_spans):
+    """Arrow-iterator body of :func:`pdf_text_pages` (module-level so
+    tests can drive the skip/raise contract in-process)."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -2141,7 +2197,11 @@ def pdf_text_pages(
                         pages = [
                             (t, None) for t in extract_pdf_pages(raw, columns)
                         ]
-                except Exception:
+                except ValueError:
+                    # the audited malformed-input surface is ValueError
+                    # (16k-trial fuzz); anything else is a kernel bug or
+                    # resource failure and must fail the task, not be
+                    # silently skipped as "malformed input"
                     if on_error == "raise":
                         raise
                     continue
@@ -2171,8 +2231,7 @@ def pdf_text_pages(
                 names.append("spans")
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    schema = PDF_PAGES_SPANS_SCHEMA if emit_spans else PDF_PAGES_SCHEMA
-    return df.mapInArrow(fn, schema)
+    return fn
 
 
 def pdf_text_concat(
@@ -2218,7 +2277,11 @@ def pdf_text_concat(
                         )
                         if t
                     ]
-                except Exception:
+                except ValueError:
+                    # the audited malformed-input surface is ValueError
+                    # (16k-trial fuzz); anything else is a kernel bug or
+                    # resource failure and must fail the task, not be
+                    # silently skipped as "malformed input"
                     if on_error == "raise":
                         raise
                     continue
@@ -2279,15 +2342,19 @@ def _xmp_meta(doc: "PdfDocument") -> dict:
         if not isinstance(md, _Stream):
             return {}
         xml = md.data.decode("utf-8", "replace")
-    except Exception:
+    except ValueError:
         return {}
     import html
 
     out = {}
     for field, key in (("title", "title"), ("creator", "author")):
-        m = re.search(
-            rf"<dc:{field}>.*?<rdf:li[^>]*>(.*?)</rdf:li>", xml, re.S
-        )
+        # bound the rdf:li search to the dc element's own content, so a
+        # dc:title with no rdf:li (e.g. an empty Alt) can't lazily match
+        # a later element's rdf:li (creator text mis-assigned as title)
+        el = re.search(rf"<dc:{field}>(.*?)</dc:{field}>", xml, re.S)
+        if not el:
+            continue
+        m = re.search(r"<rdf:li[^>]*>(.*?)</rdf:li>", el.group(1), re.S)
         if m:
             out[key] = html.unescape(m.group(1).strip())
     return out
@@ -2339,7 +2406,7 @@ def pdf_info(
                 try:
                     meta = pdf_doc_info(bytes(p) if p is not None else b"")
                     err = None
-                except Exception as e:
+                except ValueError as e:
                     if on_error == "raise":
                         raise
                     meta = {}
@@ -2420,7 +2487,11 @@ def pdf_outlinks(
             for i, p in zip(ids, payloads):
                 try:
                     links = pdf_links(bytes(p) if p is not None else b"")
-                except Exception:
+                except ValueError:
+                    # the audited malformed-input surface is ValueError
+                    # (16k-trial fuzz); anything else is a kernel bug or
+                    # resource failure and must fail the task, not be
+                    # silently skipped as "malformed input"
                     if on_error == "raise":
                         raise
                     continue

@@ -51,6 +51,11 @@ def temperature_resample(
     """Deterministically down-sample ``df`` so source sizes follow the
     temperature-``T`` mix. Returns the kept rows with an added
     ``keep_prob`` column. ``temperature >= 1`` (T=1 keeps everything).
+
+    NULL-source policy: a NULL ``source_col`` is treated as its own
+    group (null-safe join), so NULL-source rows are resampled like any
+    other source rather than being silently dropped by a null-rejecting
+    inner join while still influencing ``n_min``.
     """
     if temperature < 1.0:
         raise ValueError("temperature must be >= 1.0 (T=1 keeps all)")
@@ -58,8 +63,15 @@ def temperature_resample(
         return df.withColumn("keep_prob", F.lit(1.0))
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
     nmin = counts.agg(F.min("_n").alias("_nmin"))
-    stats = F.broadcast(counts.crossJoin(F.broadcast(nmin)))
-    joined = df.join(stats, on=source_col, how="inner")
+    stats = F.broadcast(
+        counts.withColumnRenamed(source_col, "_src").crossJoin(
+            F.broadcast(nmin)
+        )
+    )
+    # null-safe equality: the NULL-source group joins to its own count
+    joined = df.join(
+        stats, F.col(source_col).eqNullSafe(F.col("_src")), how="inner"
+    ).drop("_src")
 
     h = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10

@@ -181,7 +181,9 @@ def q5_nation_revenue(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     out = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        # customer is NOT a bounded dimension (it grows with SF) — no
+        # broadcast hint; AQE picks broadcast when it actually fits
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -1436,8 +1438,10 @@ def pdf_extract_docs(spark, sf_dir):
 
     SQL-checkable because generation wraps text by a closed rule
     (8 words/line, 5 lines/page): the oracle reproduces the exact page
-    text. Plan: one map-only stage (synth + extract co-located), zero
-    Exchange — scales linearly with executors.
+    text. Plan: the kernel stage (synth + extract co-located) is
+    map-only; the trailing orderBy exists only for the driver's
+    deterministic hash check and adds one range-partition Exchange —
+    drop it in production and the job is zero-Exchange.
     """
     from tl_spark.operators.pdf import pdf_text_pages, synth_pdf_media
 
