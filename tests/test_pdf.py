@@ -94,10 +94,13 @@ def test_junk_before_header_is_tolerated():
     assert extract_pdf_pages(b) == expected_pages("leading junk case")
 
 
-def test_encrypted_pdf_rejected():
+def test_bogus_encrypt_dict_rejected():
+    """/Encrypt pointing at a non-handler dict (here: the font object)
+    is a clean ValueError, not a crash. Genuinely encrypted files now
+    OPEN via the standard security handler — see test_pdf_crypt.py."""
     b = pdf_bytes("secret", 0)
     b = b.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 3 0 R")
-    with pytest.raises(ValueError, match="encrypted"):
+    with pytest.raises(ValueError, match="encryption filter"):
         PdfDocument(b)
 
 

@@ -612,20 +612,28 @@ def _apply_filters(raw: bytes, filters, parms) -> bytes:
 
 
 class _Stream:
-    __slots__ = ("dict", "raw", "_doc", "_data")
+    __slots__ = ("dict", "raw", "_doc", "_data", "_cryptinfo")
 
-    def __init__(self, d: dict, raw: bytes, doc: "PdfDocument"):
+    def __init__(
+        self, d: dict, raw: bytes, doc: "PdfDocument", cryptinfo=None
+    ):
         self.dict = d
         self.raw = raw
         self._doc = doc
         self._data: bytes | None = None
+        # (handler, objnum, gen) when this stream's bytes are encrypted
+        self._cryptinfo = cryptinfo
 
     @property
     def data(self) -> bytes:
         if self._data is None:
             doc = self._doc
+            raw = self.raw
+            if self._cryptinfo is not None:
+                h, num, gen = self._cryptinfo
+                raw = h.decrypt_stream(raw, num, gen)
             self._data = _apply_filters(
-                self.raw,
+                raw,
                 doc.resolve(self.dict.get("Filter")),
                 doc.resolve(self.dict.get("DecodeParms")),
             )
@@ -660,6 +668,8 @@ class PdfDocument:
         # recursion get() -> _load_objstm() -> get() on crafted circular
         # ObjStm references (ValueError, not RecursionError)
         self._inflight: set[int] = set()
+        self._crypt = None  # set by _setup_encryption after xref load
+        self._crypt_skip: set[int] = set()
         try:
             self._load_xref_chain()
         except Exception:
@@ -667,10 +677,36 @@ class PdfDocument:
             self.trailer = {}
         if not self._xref or "Root" not in self.trailer:
             self._scan_fallback()
-        if "Encrypt" in self.trailer:
-            raise ValueError("encrypted PDFs not supported")
+        enc = self.trailer.get("Encrypt")
+        if enc is not None:
+            self._setup_encryption(enc)
         if "Root" not in self.trailer:
             raise ValueError("no /Root catalog found")
+
+    def _setup_encryption(self, enc) -> None:
+        """ISO 32000 §7.6 standard security handler (pdf_crypt): the
+        empty user/owner password opens most 'protected' crawl PDFs;
+        a genuinely locked or unsupported scheme stays a ValueError."""
+        from tl_spark.operators.pdf_crypt import StandardSecurityHandler
+
+        if isinstance(enc, _Ref):
+            # never decrypt the /Encrypt dictionary's own strings
+            self._crypt_skip.add(enc.num)
+        enc_d = self.resolve(enc)
+        if not isinstance(enc_d, dict):
+            raise ValueError("bad /Encrypt dictionary")
+        id0 = b""
+        ids = self.resolve(self.trailer.get("ID"))
+        if isinstance(ids, list) and ids:
+            i0 = self.resolve(ids[0])
+            if isinstance(i0, bytes):
+                id0 = i0
+        self._crypt = StandardSecurityHandler(enc_d, id0, self.resolve)
+        # objects parsed before the handler existed still hold
+        # ciphertext strings/streams — re-parse on demand
+        self._cache.clear()
+        self._objstm_cache.clear()
+        self._font_cache.clear()
 
     # -- xref parsing -----------------------------------------------------
 
@@ -864,7 +900,19 @@ class PdfDocument:
                     raw = raw[:-2]
                 elif raw.endswith(b"\n") or raw.endswith(b"\r"):
                     raw = raw[:-1]
-            return num, _Stream(val, raw, self)
+            crypt = None
+            if self._crypt is not None and num not in self._crypt_skip:
+                val = self._crypt.decrypt_object(val, num, gen)
+                t = str(val.get("Type", ""))
+                # xref streams are never encrypted; /Metadata follows
+                # the EncryptMetadata flag
+                if t != "XRef" and (
+                    t != "Metadata" or self._crypt.encrypt_metadata
+                ):
+                    crypt = (self._crypt, num, gen)
+            return num, _Stream(val, raw, self, crypt)
+        if self._crypt is not None and num not in self._crypt_skip:
+            val = self._crypt.decrypt_object(val, num, gen)
         return num, val
 
     def _load_objstm(self, stm_num: int) -> list:
@@ -1741,6 +1789,10 @@ def extract_pdf_pages_with_spans(
 #      content wrapped in q/cm/Q (CTM exercised), hex strings
 #   3: incremental update (newest Info shadows via /Prev chain),
 #      [ASCII85 + Flate] cascade content, AHx ToUnicode, TJ kern splits
+#   4: variant 1 ENCRYPTED with the standard security handler, RC4
+#      V2/R3, empty user password (pdf_crypt.encrypt_pdf)
+#   5: variant 3 ENCRYPTED with AES-128-CBC crypt filters (V4/R4
+#      AESV2), empty user password — decryption + filter cascade
 # Pure-ASCII text uses a simple /WinAnsiEncoding Type1 font; anything
 # else uses Type0 / Identity-H with a block-compacted identity
 # ToUnicode CMap (UTF-16 code units as 2-byte CIDs, surrogates pair up
@@ -2108,25 +2160,45 @@ PDF_MEDIA_SCHEMA = "doc_id long, payload binary"
 PDF_PAGES_SCHEMA = "doc_id long, page_no int, text string, nchars int"
 
 
+N_PDF_VARIANTS = 6
+# variant -> (encryption method, structural base variant)
+_ENCRYPTED_VARIANTS = {4: ("rc4", 1), 5: ("aes128", 3)}
+
+
 def _variant_of(doc_id) -> int:
     if isinstance(doc_id, int):
-        return doc_id % 4
+        return doc_id % N_PDF_VARIANTS
     h = hashlib.md5(str(doc_id).encode()).digest()
-    return h[0] % 4
+    return h[0] % N_PDF_VARIANTS
+
+
+def pdf_bytes_variant(text: str, variant: int, rot: int = 1) -> bytes:
+    """The full 6-variant generator: 0-3 structural (:func:`pdf_bytes`),
+    4/5 re-encrypted through the standard security handler with the
+    empty user password (pdf_crypt.encrypt_pdf), so the driver oracle
+    also exercises RC4 and AES-128 decryption end-to-end."""
+    variant %= N_PDF_VARIANTS
+    if variant < 4:
+        return pdf_bytes(text, variant, rot=rot)
+    from tl_spark.operators.pdf_crypt import encrypt_pdf
+
+    method, base = _ENCRYPTED_VARIANTS[variant]
+    return encrypt_pdf(pdf_bytes(text, base, rot=rot), method)
 
 
 def synth_pdf_media(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, text) → (doc_id, payload): real PDFs, variant by
-    doc_id % 4. Map-only; payloads never leave the partition."""
+    doc_id % 6 (4 structural + RC4/AES-128 encrypted re-emissions).
+    Map-only; payloads never leave the partition."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             ids = b.column(b.schema.get_field_index(id_col)).to_pylist()
             texts = b.column(b.schema.get_field_index(text_col)).to_pylist()
             payloads = [
-                pdf_bytes(t or "", _variant_of(i), rot=(i if isinstance(i, int) else 1) % 7 + 1)
+                pdf_bytes_variant(t or "", _variant_of(i), rot=(i if isinstance(i, int) else 1) % 7 + 1)
                 for i, t in zip(ids, texts)
             ]
             yield pa.RecordBatch.from_arrays(
@@ -2311,7 +2383,7 @@ def pdf_text_concat(
 PDF_INFO_SCHEMA = (
     "doc_id long, version string, n_pages int, producer string, "
     "title string, author string, n_objects int, has_objstm boolean, "
-    "error string"
+    "encrypted boolean, error string"
 )
 
 
@@ -2379,6 +2451,7 @@ def pdf_doc_info(data: bytes) -> dict:
         "author": author if author is not None else xmp.get("author"),
         "n_objects": len(doc._xref),
         "has_objstm": any(e[0] == "c" for e in doc._xref.values()),
+        "encrypted": doc._crypt is not None,
     }
 
 
@@ -2400,7 +2473,7 @@ def pdf_info(
             payloads = b.column(b.schema.get_field_index(payload_col)).to_pylist()
             rows = {k: [] for k in (
                 "doc_id", "version", "n_pages", "producer", "title",
-                "author", "n_objects", "has_objstm", "error",
+                "author", "n_objects", "has_objstm", "encrypted", "error",
             )}
             for i, p in zip(ids, payloads):
                 try:
@@ -2419,6 +2492,7 @@ def pdf_info(
                 rows["author"].append(meta.get("author"))
                 rows["n_objects"].append(meta.get("n_objects"))
                 rows["has_objstm"].append(meta.get("has_objstm"))
+                rows["encrypted"].append(meta.get("encrypted"))
                 rows["error"].append(err)
             yield pa.RecordBatch.from_arrays(
                 [
@@ -2430,6 +2504,7 @@ def pdf_info(
                     pa.array(rows["author"], type=pa.string()),
                     pa.array(rows["n_objects"], type=pa.int32()),
                     pa.array(rows["has_objstm"], type=pa.bool_()),
+                    pa.array(rows["encrypted"], type=pa.bool_()),
                     pa.array(rows["error"], type=pa.string()),
                 ],
                 names=list(rows),
