@@ -242,6 +242,10 @@ SUITE_GATED_BEYOND_WINDOW = {
     # exact DuckDB check continues below in
     # test_rotated_r6_queries_still_match_oracle
     "selector_extract_p_outer": "tests/test_driver_contract.py::ROTATED_R6",
+    # rotated out in round 7 (slot now carries semantic_dedup_docs);
+    # exact DuckDB check continues below in
+    # test_rotated_r7_queries_still_match_oracle
+    "lookup_by_id_tracked": "tests/test_driver_contract.py::ROTATED_R7",
 }
 
 
@@ -363,6 +367,29 @@ def test_rotated_r6_queries_still_match_oracle(spark, ddb, name):
     qdf = Q.queries()[name](spark, SF_DIR)
     spark_rows = [tuple(r) for r in qdf.collect()]
     res = ddb.execute(getattr(Q, ROTATED_R6[name]))
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(qdf.columns) == sorted(duck_cols)
+    assert normalize(spark_rows, qdf.columns) == normalize(duck_rows, duck_cols)
+
+
+# Round-7 rotation: lookup_by_id_tracked left the driver window (its
+# slot now carries semantic_dedup_docs — round 6's SemDeDup curation
+# gate, previously suite-only) but keeps the SAME exact DuckDB oracle
+# as a suite gate. The tracked-id lookup path stays driver-checked
+# structurally via the golden corpus (tracked maps are pinned per node
+# on 774 docs) and its oracle shape is shared with lookup_by_id in
+# ROTATED_R5.
+ROTATED_R7 = {
+    "lookup_by_id_tracked": "LOOKUP_BY_ID_SQL",
+}
+
+
+@pytest.mark.parametrize("name", sorted(ROTATED_R7))
+def test_rotated_r7_queries_still_match_oracle(spark, ddb, name):
+    qdf = Q.queries()[name](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in qdf.collect()]
+    res = ddb.execute(getattr(Q, ROTATED_R7[name]))
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
     assert sorted(qdf.columns) == sorted(duck_cols)

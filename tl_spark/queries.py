@@ -1051,6 +1051,34 @@ FROM embeddings ORDER BY id_a
 """
 
 
+def semantic_dedup_docs(spark, sf_dir):
+    """SemDeDup-shape semantic dedup (operators/similarity.py:741,
+    Abbas et al. 2023 — public knowledge) over the corpus UNION
+    planted exact twins (vec_id + 1_000_000): assign every vector to
+    its nearest IVF centroid, then within each list drop any vector
+    whose list holds an EARLIER (smaller id) vector with round-6
+    cosine >= 0.95. A twin is assigned to its original's list by
+    construction (identical vector -> identical nearest centroid)
+    with cosine exactly 1.0, and the max natural pair cosine is
+    ~0.51 << 0.95 — so the drop set is exactly the 500 twins,
+    closed-form in SQL. The IVF list id itself is k-means-dependent,
+    so the checked projection carries (id, max_cos) only."""
+    from tl_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    _kept, dropped = semantic_dedup(e.unionByName(twins), threshold=0.95)
+    return dropped.select("id", "max_cos").orderBy("id")
+
+
+SEMANTIC_DEDUP_SQL = """
+SELECT vec_id + 1000000 AS id, CAST(1.0 AS DOUBLE) AS max_cos
+FROM embeddings ORDER BY id
+"""
+
+
 def dedup_minhash(spark, sf_dir):
     """MinHash+LSH over the corpus UNION planted exact twins
     (doc_id + 1_000_000). A twin pair has identical signatures, so it
@@ -2265,7 +2293,13 @@ def queries():
         "selector_extract_main_inner": selector_extract_main_inner,
         "events_dedup_latest": events_dedup_latest,
         "docs_cap_per_domain": docs_cap_per_domain,
-        "lookup_by_id_tracked": lookup_by_id_tracked,
+        # Round-7 rotation (VERDICT r6 item 5): semantic_dedup_docs
+        # (the SemDeDup curation gate — round 6's flagship addition,
+        # previously suite-only) takes the slot of
+        # lookup_by_id_tracked, whose twin check (same LOOKUP_BY_ID_SQL
+        # oracle shape) already lives suite-side; it keeps its exact
+        # DuckDB check as a suite-oracle (ROTATED_R7).
+        "semantic_dedup_docs": semantic_dedup_docs,
         "curate_documents_clusters": curate_documents_clusters,
         "doc_classifier_scores": doc_classifier_scores,
         "doc_outer_html_roundtrip": doc_outer_html_roundtrip,
@@ -2291,6 +2325,9 @@ def queries():
         # rotated out in round 6 (slot carries pdf_extract_docs);
         # suite-gated via ROTATED_R6
         "selector_extract_p_outer": selector_extract_p_outer,
+        # rotated out in round 7 (slot carries semantic_dedup_docs);
+        # suite-gated via ROTATED_R7
+        "lookup_by_id_tracked": lookup_by_id_tracked,
     }
 
 
@@ -2353,10 +2390,10 @@ def oracle_sql():
         "embedding_neardup": NEARDUP_SQL,
         "doc_rolling_fingerprint": _rolling_fp_sql(),
         "curate_documents": _curate_sql(),
-        # lookup_by_id(_tracked) is also SQL-expressible for THIS
-        # wrapper: every doc yields exactly one hit with node_idx 0
-        # and the doc text
-        "lookup_by_id_tracked": LOOKUP_BY_ID_SQL,
+        # lookup_by_id_tracked rotated OUT of the driver window in
+        # round 7 (slot carries semantic_dedup_docs); LOOKUP_BY_ID_SQL
+        # stays and gates it as a suite-oracle (ROTATED_R7).
+        "semantic_dedup_docs": SEMANTIC_DEDUP_SQL,
         "doc_outer_html_roundtrip": DOC_OUTER_HTML_SQL,
         "doc_html_version": DOC_HTML_VERSION_SQL,
         # media_image_features: the deterministic fake decoder is a
