@@ -246,6 +246,11 @@ SUITE_GATED_BEYOND_WINDOW = {
     # exact DuckDB check continues below in
     # test_rotated_r7_queries_still_match_oracle
     "lookup_by_id_tracked": "tests/test_driver_contract.py::ROTATED_R7",
+    # born beyond the window in round 7: the columns="auto" X-Y-cut
+    # path under the same closed-form oracle as pdf_extract_docs,
+    # plus a pinned negative (columns="off" must NOT match on the
+    # two-column input)
+    "pdf_extract_twocol_docs": "tests/test_pdf.py::test_twocol_query_matches_oracle",
 }
 
 

@@ -24,6 +24,7 @@ from tl_spark.operators.pdf import (
     _rl_decode,
     extract_pdf_pages,
     pdf_bytes,
+    pdf_bytes_variant,
     wrap_lines,
 )
 
@@ -467,6 +468,65 @@ def test_xycut_spark_op_passthrough(spark):
     row = pdf_text_pages(df, columns="auto").collect()[0]
     assert row.text.startswith("Grand Unified Title")
     assert "left three\nright one" in row.text
+
+
+@pytest.mark.parametrize("variant", range(6))
+def test_twocol_generator_roundtrip(variant):
+    """layout='twocol' scrambles draw order (right column first,
+    rotated) so plain row assembly interleaves the columns; X-Y-cut
+    segmentation recovers exactly the sequential wrap order — byte
+    equal to the single-column expected pages."""
+    text = " ".join(f"w{i:03d}" for i in range(100))
+    b = pdf_bytes_variant(text, variant, layout="twocol")
+    assert extract_pdf_pages(b, columns="auto") == expected_pages(text)
+    assert extract_pdf_pages(b, columns="off") != expected_pages(text)
+
+
+def test_twocol_generator_edge_cases():
+    """Short pages (<4 lines) stay single-column; empty text yields
+    one empty page; both match the closed oracle rule under auto."""
+    for text in ("one two three", "", " ".join(f"x{i}" for i in range(8 * 13))):
+        for variant in range(6):
+            b = pdf_bytes_variant(text, variant, layout="twocol")
+            exp = expected_pages(text) or [""]
+            assert extract_pdf_pages(b, columns="auto") == exp
+
+
+def test_twocol_query_matches_oracle(spark):
+    """Suite gate for pdf_extract_twocol_docs (VERDICT r6 item 6):
+    the columns='auto' X-Y-cut path against the SAME closed-form
+    DuckDB oracle as the driver's pdf_extract_docs row — plus the
+    pinned negative that columns='off' does NOT reproduce the oracle
+    on the two-column input, so the check certifies the recursive cut
+    rather than a vacuous pass-through."""
+    import duckdb
+
+    from tl_spark import queries as Q
+    from tl_spark.operators.pdf import pdf_text_pages, synth_pdf_media
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    res = con.execute(Q.PDF_EXTRACT_SQL)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = sorted(tuple(r) for r in res.fetchall())
+
+    qdf = Q.queries()["pdf_extract_twocol_docs"](spark, sf)
+    assert sorted(qdf.columns) == sorted(duck_cols)
+    assert sorted(tuple(r) for r in qdf.collect()) == duck_rows
+
+    off = pdf_text_pages(
+        synth_pdf_media(
+            spark.read.parquet(f"{sf}/documents.parquet").select(
+                "doc_id", "text"
+            ),
+            layout="twocol",
+        ),
+        columns="off",
+    )
+    assert sorted(tuple(r) for r in off.collect()) != duck_rows
 
 
 def test_scan_fallback_recovers_objstm_members():

@@ -1908,6 +1908,51 @@ def _content_ops(page_lines: list[str], variant: int, t0: bool, rot: int) -> byt
     return b"\n".join(ops)
 
 
+def _enc_units(line: str, t0: bool) -> int:
+    """Number of font code units the interpreter will advance over:
+    bytes for the simple latin-1 font, UTF-16 code units for Type0
+    Identity-H. Every synth font resolves to the 500/1000 default
+    width, so drawn line width is exactly 0.5 * size * units."""
+    if t0:
+        return len(line.encode("utf-16-be", "surrogatepass")) // 2
+    return len(line)
+
+
+def _content_ops_twocol(page_lines: list[str], t0: bool, rot: int) -> bytes:
+    """Two-column page layout with a CLOSED reading-order rule: lines
+    are assigned sequentially — first ceil(n/2) down the left column,
+    the rest down the right (pages under 4 lines stay single-column so
+    both sides of a cut always have >= 2 text rows). The right column
+    starts one guaranteed gutter (2 * font size >= _COL_GUTTER_FRAC *
+    median size) past the widest left line, computable exactly because
+    the synth fonts carry only the 500/1000 default width. Draw order
+    is deliberately scrambled (right column first, then left, both
+    rotated by ``rot``), so only X-Y-cut segmentation — not content
+    order, not plain row assembly — recovers the sequential text."""
+    n = len(page_lines)
+    n_left = n if n < 4 else (n + 1) // 2
+    left = page_lines[:n_left]
+    right = page_lines[n_left:]
+    max_left_w = max((0.5 * _FONT_SIZE * _enc_units(l, t0) for l in left),
+                     default=0.0)
+    xr = int(_X0 + max_left_w + 2 * _FONT_SIZE) + 1
+    placed: list[tuple[int, int, str]] = []
+    for i, line in enumerate(right):
+        placed.append((xr, _Y0 - _LEADING * i, line))
+    for i, line in enumerate(left):
+        placed.append((_X0, _Y0 - _LEADING * i, line))
+    if placed:
+        r = rot % len(placed)
+        placed = placed[r:] + placed[:r]
+    ops = [b"BT /F1 %d Tf" % _FONT_SIZE]
+    for x, y, line in placed:
+        ops.append(
+            b"1 0 0 1 %d %d Tm " % (x, y) + _lit(_enc_line(line, t0)) + b" Tj"
+        )
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
 def _stream_body(num: int, extra: dict[str, bytes], data: bytes) -> bytes:
     items = b"".join(b"/%s %s " % (k.encode(), v) for k, v in extra.items())
     return (
@@ -2024,9 +2069,13 @@ def pdf_bytes(
     lines_per_page: int = LINES_PER_PAGE,
     words_per_line: int = WORDS_PER_LINE,
     rot: int = 1,
+    layout: str = "single",
 ) -> bytes:
     """Render ``text`` to a real PDF (see the variant table above).
-    Returns a single-empty-page PDF when the text has no words."""
+    Returns a single-empty-page PDF when the text has no words.
+    ``layout="twocol"`` swaps the page content for the two-column
+    builder (:func:`_content_ops_twocol`) — file structure, filters
+    and fonts still follow ``variant``."""
     variant %= 4
     lines = wrap_lines(text, words_per_line)
     pages = [
@@ -2085,7 +2134,10 @@ def pdf_bytes(
             pg_num,
             b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>" % ct_num,
         )
-        ops = _content_ops(page_lines, variant, t0, rot + p)
+        if layout == "twocol":
+            ops = _content_ops_twocol(page_lines, t0, rot + p)
+        else:
+            ops = _content_ops(page_lines, variant, t0, rot + p)
         if variant == 0:
             content_streams[ct_num] = _stream_body(ct_num, {}, ops)
         elif variant == 3:
@@ -2172,22 +2224,41 @@ def _variant_of(doc_id) -> int:
     return h[0] % N_PDF_VARIANTS
 
 
-def pdf_bytes_variant(text: str, variant: int, rot: int = 1) -> bytes:
+def pdf_bytes_variant(
+    text: str,
+    variant: int,
+    rot: int = 1,
+    layout: str = "single",
+    lines_per_page: int = LINES_PER_PAGE,
+) -> bytes:
     """The full 6-variant generator: 0-3 structural (:func:`pdf_bytes`),
     4/5 re-encrypted through the standard security handler with the
     empty user password (pdf_crypt.encrypt_pdf), so the driver oracle
     also exercises RC4 and AES-128 decryption end-to-end."""
     variant %= N_PDF_VARIANTS
     if variant < 4:
-        return pdf_bytes(text, variant, rot=rot)
+        return pdf_bytes(
+            text, variant, rot=rot, layout=layout,
+            lines_per_page=lines_per_page,
+        )
     from tl_spark.operators.pdf_crypt import encrypt_pdf
 
     method, base = _ENCRYPTED_VARIANTS[variant]
-    return encrypt_pdf(pdf_bytes(text, base, rot=rot), method)
+    return encrypt_pdf(
+        pdf_bytes(
+            text, base, rot=rot, layout=layout,
+            lines_per_page=lines_per_page,
+        ),
+        method,
+    )
 
 
 def synth_pdf_media(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    layout: str = "single",
+    lines_per_page: int = LINES_PER_PAGE,
 ) -> DataFrame:
     """(doc_id, text) → (doc_id, payload): real PDFs, variant by
     doc_id % 6 (4 structural + RC4/AES-128 encrypted re-emissions).
@@ -2198,7 +2269,13 @@ def synth_pdf_media(
             ids = b.column(b.schema.get_field_index(id_col)).to_pylist()
             texts = b.column(b.schema.get_field_index(text_col)).to_pylist()
             payloads = [
-                pdf_bytes_variant(t or "", _variant_of(i), rot=(i if isinstance(i, int) else 1) % 7 + 1)
+                pdf_bytes_variant(
+                    t or "",
+                    _variant_of(i),
+                    rot=(i if isinstance(i, int) else 1) % 7 + 1,
+                    layout=layout,
+                    lines_per_page=lines_per_page,
+                )
                 for i, t in zip(ids, texts)
             ]
             yield pa.RecordBatch.from_arrays(

@@ -1501,6 +1501,27 @@ ORDER BY doc_id, page_no
 """
 
 
+def pdf_extract_twocol_docs(spark, sf_dir):
+    """The X-Y-cut column path under a driver-strength oracle (VERDICT
+    r6 item 6): every document is rendered as a TWO-COLUMN PDF whose
+    draw order is deliberately scrambled (right column first, rotated
+    — see operators/pdf._content_ops_twocol), then extracted with
+    ``columns="auto"``. The generator's closed reading-order rule
+    (first ceil(n/2) lines down the left column, rest down the right,
+    guaranteed gutter) means X-Y-cut segmentation recovers exactly the
+    sequential wrap order — so the oracle is the SAME closed-form SQL
+    as the single-column query (PDF_EXTRACT_SQL). Plain row assembly
+    (columns="off") provably does NOT match on this input
+    (tests/test_pdf.py pins the negative), so a green check certifies
+    the recursive cut, not a vacuous pass-through. Suite-gated beyond
+    the 50-query driver window (tests/test_pdf.py)."""
+    from tl_spark.operators.pdf import pdf_text_pages, synth_pdf_media
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pdfs = synth_pdf_media(docs, layout="twocol")
+    return pdf_text_pages(pdfs, columns="auto").orderBy("doc_id", "page_no")
+
+
 def selector_extract_p_outer(spark, sf_dir):
     """outer_html extraction mode through the selector surface: for
     the fixed wrapper the <p> node's outer_html is exactly
@@ -2328,6 +2349,9 @@ def queries():
         # rotated out in round 7 (slot carries semantic_dedup_docs);
         # suite-gated via ROTATED_R7
         "lookup_by_id_tracked": lookup_by_id_tracked,
+        # columns="auto" X-Y-cut path under the same closed-form
+        # oracle as pdf_extract_docs; suite-gated (tests/test_pdf.py)
+        "pdf_extract_twocol_docs": pdf_extract_twocol_docs,
     }
 
 
