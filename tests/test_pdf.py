@@ -470,7 +470,7 @@ def test_xycut_spark_op_passthrough(spark):
     assert "left three\nright one" in row.text
 
 
-@pytest.mark.parametrize("variant", range(6))
+@pytest.mark.parametrize("variant", range(8))
 def test_twocol_generator_roundtrip(variant):
     """layout='twocol' scrambles draw order (right column first,
     rotated) so plain row assembly interleaves the columns; X-Y-cut
@@ -486,7 +486,7 @@ def test_twocol_generator_edge_cases():
     """Short pages (<4 lines) stay single-column; empty text yields
     one empty page; both match the closed oracle rule under auto."""
     for text in ("one two three", "", " ".join(f"x{i}" for i in range(8 * 13))):
-        for variant in range(6):
+        for variant in range(8):
             b = pdf_bytes_variant(text, variant, layout="twocol")
             exp = expected_pages(text) or [""]
             assert extract_pdf_pages(b, columns="auto") == exp

@@ -1222,6 +1222,34 @@ class _Font:
                 mw = doc.resolve(fdesc.get("MissingWidth"))
                 if isinstance(mw, (int, float)):
                     self.default_width = float(mw)
+                # Symbolic subset fonts with no /Encoding and no
+                # /ToUnicode: the embedded font program is the ONLY
+                # code→unicode source (PDF 32000-1 §9.6.6.4). Decode
+                # through its cmap+post (TrueType) or
+                # charset+Encoding+strings (CFF) tables — the
+                # dominant real-world-crawl case the kernel used to
+                # mis-decode as WinAnsi. A malformed program raises
+                # ValueError (kernel contract): the font is this
+                # text's only decode source, so failing fast beats
+                # emitting garbage.
+                flags = doc.resolve(fdesc.get("Flags"))
+                if (
+                    d.get("Encoding") is None
+                    and not self.tounicode
+                    and isinstance(flags, int)
+                    and flags & 4
+                ):
+                    ff = doc.resolve(fdesc.get("FontFile2"))
+                    if not isinstance(ff, _Stream):
+                        ff = doc.resolve(fdesc.get("FontFile3"))
+                    if isinstance(ff, _Stream):
+                        from tl_spark.operators.fontprog import (
+                            fontfile_code_map,
+                        )
+
+                        for c, u in fontfile_code_map(ff.data).items():
+                            if 0 <= c < 256:
+                                base[c] = u
 
         self._finalize_tables()
 
@@ -1848,8 +1876,12 @@ def _a85_encode(b: bytes) -> bytes:
     return b"".join(out) + b"~>"
 
 
-def _enc_line(line: str, t0: bool) -> bytes:
-    if t0:
+def _enc_line(line: str, codec) -> bytes:
+    """``codec``: True = Type0 UTF-16BE, False = latin-1 simple font,
+    dict = subset-font char→byte-code map."""
+    if isinstance(codec, dict):
+        return bytes(codec[ch] for ch in line)
+    if codec:
         return line.encode("utf-16-be", "surrogatepass")
     return line.encode("latin-1")
 
@@ -1878,7 +1910,7 @@ def _u16_units(ch: str) -> list[int]:
     return [(enc[i] << 8) | enc[i + 1] for i in range(0, len(enc), 2)]
 
 
-def _content_ops(page_lines: list[str], variant: int, t0: bool, rot: int) -> bytes:
+def _content_ops(page_lines: list[str], variant: int, codec, rot: int) -> bytes:
     n = len(page_lines)
     S = _hexs if variant == 2 else _lit
     ops = [b"q 1 0 0 1 20 -10 cm"] if variant == 2 else []
@@ -1886,7 +1918,7 @@ def _content_ops(page_lines: list[str], variant: int, t0: bool, rot: int) -> byt
     if variant == 1:
         ops.append(b"%d TL 1 0 0 1 %d %d Tm" % (_LEADING, _X0, _Y0 + _LEADING))
         for line in page_lines:
-            ops.append(S(_enc_line(line, t0)) + b" '")
+            ops.append(S(_enc_line(line, codec)) + b" '")
     else:
         xoff, yoff = (20, -10) if variant == 2 else (0, 0)
         start = rot % n if n else 0
@@ -1894,11 +1926,11 @@ def _content_ops(page_lines: list[str], variant: int, t0: bool, rot: int) -> byt
             i = (k + start) % n
             y = _Y0 - _LEADING * i
             pos = b"1 0 0 1 %d %d Tm " % (_X0 - xoff, y - yoff)
-            enc = _enc_line(page_lines[i], t0)
+            enc = _enc_line(page_lines[i], codec)
             if variant == 3 and len(page_lines[i]) > 1:
                 mid = len(page_lines[i]) // 2
-                a = _enc_line(page_lines[i][:mid], t0)
-                b = _enc_line(page_lines[i][mid:], t0)
+                a = _enc_line(page_lines[i][:mid], codec)
+                b = _enc_line(page_lines[i][mid:], codec)
                 ops.append(pos + b"[ " + S(a) + b" -15 " + S(b) + b" ] TJ")
             else:
                 ops.append(pos + S(enc) + b" Tj")
@@ -1908,17 +1940,17 @@ def _content_ops(page_lines: list[str], variant: int, t0: bool, rot: int) -> byt
     return b"\n".join(ops)
 
 
-def _enc_units(line: str, t0: bool) -> int:
+def _enc_units(line: str, codec) -> int:
     """Number of font code units the interpreter will advance over:
-    bytes for the simple latin-1 font, UTF-16 code units for Type0
-    Identity-H. Every synth font resolves to the 500/1000 default
-    width, so drawn line width is exactly 0.5 * size * units."""
-    if t0:
+    bytes for the simple latin-1 and subset fonts, UTF-16 code units
+    for Type0 Identity-H. Every synth font resolves to the 500/1000
+    default width, so drawn line width is exactly 0.5 * size * units."""
+    if codec is True:
         return len(line.encode("utf-16-be", "surrogatepass")) // 2
     return len(line)
 
 
-def _content_ops_twocol(page_lines: list[str], t0: bool, rot: int) -> bytes:
+def _content_ops_twocol(page_lines: list[str], codec, rot: int) -> bytes:
     """Two-column page layout with a CLOSED reading-order rule: lines
     are assigned sequentially — first ceil(n/2) down the left column,
     the rest down the right (pages under 4 lines stay single-column so
@@ -1933,7 +1965,7 @@ def _content_ops_twocol(page_lines: list[str], t0: bool, rot: int) -> bytes:
     n_left = n if n < 4 else (n + 1) // 2
     left = page_lines[:n_left]
     right = page_lines[n_left:]
-    max_left_w = max((0.5 * _FONT_SIZE * _enc_units(l, t0) for l in left),
+    max_left_w = max((0.5 * _FONT_SIZE * _enc_units(l, codec) for l in left),
                      default=0.0)
     xr = int(_X0 + max_left_w + 2 * _FONT_SIZE) + 1
     placed: list[tuple[int, int, str]] = []
@@ -1947,7 +1979,7 @@ def _content_ops_twocol(page_lines: list[str], t0: bool, rot: int) -> bytes:
     ops = [b"BT /F1 %d Tf" % _FONT_SIZE]
     for x, y, line in placed:
         ops.append(
-            b"1 0 0 1 %d %d Tm " % (x, y) + _lit(_enc_line(line, t0)) + b" Tj"
+            b"1 0 0 1 %d %d Tm " % (x, y) + _lit(_enc_line(line, codec)) + b" Tj"
         )
     ops.append(b"ET")
     return b"\n".join(ops)
@@ -2070,26 +2102,76 @@ def pdf_bytes(
     words_per_line: int = WORDS_PER_LINE,
     rot: int = 1,
     layout: str = "single",
+    font: str = "auto",
 ) -> bytes:
     """Render ``text`` to a real PDF (see the variant table above).
     Returns a single-empty-page PDF when the text has no words.
     ``layout="twocol"`` swaps the page content for the two-column
     builder (:func:`_content_ops_twocol`) — file structure, filters
-    and fonts still follow ``variant``."""
+    and fonts still follow ``variant``. ``font``: "auto" picks the
+    WinAnsi Type1 / Type0 Identity-H pair by text content;
+    "subset-ttf" / "subset-cff" embed a REAL symbolic subset font
+    program (no /Encoding, no /ToUnicode — text decodes only through
+    the embedded cmap+post / charset+Encoding tables, like wild
+    crawled PDFs; see operators/fontprog.py)."""
     variant %= 4
     lines = wrap_lines(text, words_per_line)
     pages = [
         lines[i : i + lines_per_page]
         for i in range(0, len(lines), lines_per_page)
     ] or [[]]
-    t0 = not text.isascii()
+    subset = font in ("subset-ttf", "subset-cff")
+    if subset:
+        # empty text still embeds a one-glyph font (never drawn)
+        chars = sorted({ch for ln in lines for ch in ln}) or [" "]
+        if len(chars) > 224:
+            raise ValueError("subset font: more than 224 distinct chars")
+        codec: dict | bool = {ch: 0x20 + i for i, ch in enumerate(chars)}
+        t0 = False
+    else:
+        t0 = not text.isascii()
+        codec = t0
 
     # object numbers: 1 Catalog, 2 Pages, 3 Font, (4 desc, 5 ToUnicode
-    # if Type0), then per-page Page + content pairs
+    # stream if Type0 / FontFile stream if subset), then per-page
+    # Page + content pairs
     font_objs: dict[int, bytes] = {}
     next_num = 4
     tounicode_stream = None
-    if t0:
+    fontfile_stream = None
+    if subset:
+        from tl_spark.operators.fontprog import (
+            build_subset_cff,
+            build_subset_ttf,
+        )
+
+        desc_num, ff_num = 4, 5
+        next_num = 6
+        if font == "subset-ttf":
+            prog = build_subset_ttf(codec)
+            sub, ff_key = b"/TrueType", b"FontFile2"
+            ff_extra = {"Length1": b"%d" % len(prog)}
+        else:
+            prog = build_subset_cff(codec)
+            sub, ff_key = b"/Type1", b"FontFile3"
+            ff_extra = {"Subtype": b"/Type1C"}
+        font_objs[3] = _plain_body(
+            3,
+            b"<< /Type /Font /Subtype %s /BaseFont /TLSYNF+Synth "
+            b"/FontDescriptor %d 0 R >>" % (sub, desc_num),
+        )
+        font_objs[desc_num] = _plain_body(
+            desc_num,
+            b"<< /Type /FontDescriptor /FontName /TLSYNF+Synth "
+            b"/Flags 4 /ItalicAngle 0 /Ascent 800 /Descent -200 "
+            b"/CapHeight 700 /StemV 80 /FontBBox [0 -200 1000 800] "
+            b"/%s %d 0 R >>" % (ff_key, ff_num),
+        )
+        ff_extra["Filter"] = b"/FlateDecode"
+        fontfile_stream = _stream_body(
+            ff_num, ff_extra, zlib.compress(prog)
+        )
+    elif t0:
         desc_num, tu_num = 4, 5
         next_num = 6
         font_objs[3] = _plain_body(
@@ -2135,9 +2217,9 @@ def pdf_bytes(
             b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>" % ct_num,
         )
         if layout == "twocol":
-            ops = _content_ops_twocol(page_lines, t0, rot + p)
+            ops = _content_ops_twocol(page_lines, codec, rot + p)
         else:
-            ops = _content_ops(page_lines, variant, t0, rot + p)
+            ops = _content_ops(page_lines, variant, codec, rot + p)
         if variant == 0:
             content_streams[ct_num] = _stream_body(ct_num, {}, ops)
         elif variant == 3:
@@ -2167,6 +2249,8 @@ def pdf_bytes(
         direct = dict(content_streams)
         if tounicode_stream is not None:
             direct[5] = tounicode_stream
+        if fontfile_stream is not None:
+            direct[5] = fontfile_stream
         packed = {1: cat_body, 2: pages_body}
         for num, body in font_objs.items():
             if num != 5:
@@ -2183,6 +2267,8 @@ def pdf_bytes(
     bodies.update(font_objs)
     if tounicode_stream is not None:
         bodies[5] = tounicode_stream
+    if fontfile_stream is not None:
+        bodies[5] = fontfile_stream
     bodies.update(page_objs)
     bodies.update(content_streams)
     info_num = next_num
@@ -2212,9 +2298,15 @@ PDF_MEDIA_SCHEMA = "doc_id long, payload binary"
 PDF_PAGES_SCHEMA = "doc_id long, page_no int, text string, nchars int"
 
 
-N_PDF_VARIANTS = 6
+N_PDF_VARIANTS = 8
 # variant -> (encryption method, structural base variant)
 _ENCRYPTED_VARIANTS = {4: ("rc4", 1), 5: ("aes128", 3)}
+# variant -> (embedded font kind, structural base variant): real
+# symbolic subset font programs with no /Encoding and no /ToUnicode,
+# so the driver oracle also exercises the embedded-font decode chain
+# (fontprog.py) end-to-end — 7 additionally packs the font alongside
+# an ObjStm/xref-stream structure.
+_SUBSET_FONT_VARIANTS = {6: ("subset-ttf", 1), 7: ("subset-cff", 2)}
 
 
 def _variant_of(doc_id) -> int:
@@ -2231,15 +2323,23 @@ def pdf_bytes_variant(
     layout: str = "single",
     lines_per_page: int = LINES_PER_PAGE,
 ) -> bytes:
-    """The full 6-variant generator: 0-3 structural (:func:`pdf_bytes`),
+    """The full 8-variant generator: 0-3 structural (:func:`pdf_bytes`),
     4/5 re-encrypted through the standard security handler with the
-    empty user password (pdf_crypt.encrypt_pdf), so the driver oracle
-    also exercises RC4 and AES-128 decryption end-to-end."""
+    empty user password (pdf_crypt.encrypt_pdf), 6/7 embedded symbolic
+    subset fonts (real TrueType / bare-CFF programs, no /Encoding, no
+    /ToUnicode) — so the driver oracle also exercises RC4 and AES-128
+    decryption and the embedded-font decode chain end-to-end."""
     variant %= N_PDF_VARIANTS
     if variant < 4:
         return pdf_bytes(
             text, variant, rot=rot, layout=layout,
             lines_per_page=lines_per_page,
+        )
+    if variant in _SUBSET_FONT_VARIANTS:
+        fkind, base = _SUBSET_FONT_VARIANTS[variant]
+        return pdf_bytes(
+            text, base, rot=rot, layout=layout,
+            lines_per_page=lines_per_page, font=fkind,
         )
     from tl_spark.operators.pdf_crypt import encrypt_pdf
 

@@ -1455,15 +1455,18 @@ SELECTOR_ID_CLASS_SQL = _attr_selector_sql(2, 24, 64)
 def pdf_extract_docs(spark, sf_dir):
     """PDF text + layout extraction end-to-end (north rule's
     "PDF/layout parse" slot; no reference analog — y21/tl is
-    HTML-only). Each document is rendered to a REAL PDF in one of six
-    variants by doc_id % 6 (classic xref / Flate content + quote-op
-    lines / xref-stream+ObjStm+predictor+hex strings / incremental
-    update + ASCII85·Flate cascade + TJ kern splits / RC4-encrypted /
-    AES-128-encrypted, both with the empty user password; see
-    operators/pdf.py + pdf_crypt.py), then parsed back by the
-    from-scratch ISO 32000 kernel: xref chain, standard-security-
-    handler decryption, filter cascades, font decoding (WinAnsi and
-    Identity-H + ToUnicode CMap), the full text-state machine, and
+    HTML-only). Each document is rendered to a REAL PDF in one of
+    eight variants by doc_id % 8 (classic xref / Flate content +
+    quote-op lines / xref-stream+ObjStm+predictor+hex strings /
+    incremental update + ASCII85·Flate cascade + TJ kern splits /
+    RC4-encrypted / AES-128-encrypted, both with the empty user
+    password / embedded symbolic subset TrueType / embedded subset
+    bare-CFF, both with no /Encoding and no /ToUnicode; see
+    operators/pdf.py + pdf_crypt.py + fontprog.py), then parsed back
+    by the from-scratch ISO 32000 kernel: xref chain, standard-
+    security-handler decryption, filter cascades, font decoding
+    (WinAnsi, Identity-H + ToUnicode CMap, and embedded-font-program
+    cmap/post/charset chains), the full text-state machine, and
     layout re-assembly of deliberately out-of-draw-order content.
 
     SQL-checkable because generation wraps text by a closed rule
