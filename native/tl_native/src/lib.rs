@@ -13,8 +13,10 @@
 //! offsets, node counts, version codes) that the Python side wraps as
 //! Arrow buffers zero-copy and releases via `tl_batch_free`.
 
+mod crypt;
 mod dom;
 mod entropy;
+mod pdf;
 
 /// ident charset [0-9A-Za-z\-_:+/] (htmlparse.py `_IDENT_TABLE`)
 const fn make_ident() -> [bool; 256] {

@@ -1,0 +1,230 @@
+"""Native PDF legs vs the pure-Python kernel: bit-equality.
+
+Three native legs are covered (all optional; tests skip when the
+cdylib isn't present):
+- content-stream interpreter (pdf.rs `tl_pdf_interp`) — chunks must be
+  bit-equal to `_Interp._run_py`, including coordinates (IEEE-identical
+  op order) and error behavior (native bails → Python raises the
+  documented ValueError);
+- RC4 / AES-CBC decrypt (crypt.rs) — exact ciphers, pinned against the
+  Python implementation and FIPS-197 vectors;
+- ASCII85 decode (crypt.rs) — `_a85_decode_slow` semantics.
+
+The differential mutation fuzz is the load-bearing gate: random byte
+mutations over real generated PDFs must produce the SAME pages or the
+SAME exception type with the native legs on and off.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import random
+
+import pytest
+
+from tl_spark.kernel import native_crypt, native_pdf
+
+pytestmark = pytest.mark.skipif(
+    native_pdf.load() is None, reason="native cdylib not built"
+)
+
+
+@contextlib.contextmanager
+def _native_disabled():
+    os.environ["TL_SPARK_NATIVE_PDF"] = "0"
+    os.environ["TL_SPARK_NATIVE_CRYPT"] = "0"
+    for m in (native_pdf, native_crypt):
+        m._LIB = None
+        m._TRIED = False
+    try:
+        yield
+    finally:
+        del os.environ["TL_SPARK_NATIVE_PDF"]
+        del os.environ["TL_SPARK_NATIVE_CRYPT"]
+        for m in (native_pdf, native_crypt):
+            m._LIB = None
+            m._TRIED = False
+
+
+def _extract_outcome(data: bytes, columns: str = "off"):
+    from tl_spark.operators.pdf import extract_pdf_pages_with_spans
+
+    try:
+        return ("ok", extract_pdf_pages_with_spans(data, columns))
+    except ValueError as e:
+        return ("ValueError", str(e))
+    except Exception as e:  # noqa: BLE001 - fuzz wants the exact class
+        return (type(e).__name__, str(e))
+
+
+def _texts(n=48, words=40):
+    rng = random.Random(7)
+    pool = (
+        "alpha bravo Charlie δέλτα echo foxtrot golf hôtel india "
+        "juliett kilo lima Mike nové oscar papa 北京 québec romeo "
+        "sierra tango 😀 uniform victor whiskey xray yankee zulu"
+    ).split()
+    return [
+        " ".join(rng.choice(pool) for _ in range(rng.randrange(8, words)))
+        for _ in range(n)
+    ]
+
+
+def test_native_interp_matches_python_on_eight_variants():
+    from tl_spark.operators.pdf import pdf_bytes_variant
+
+    docs = [
+        pdf_bytes_variant(t, i, rot=i % 3)
+        for i, t in enumerate(_texts(48))
+    ]
+    nat = [_extract_outcome(d) for d in docs]
+    with _native_disabled():
+        ref = [_extract_outcome(d) for d in docs]
+    assert nat == ref
+    assert all(k == "ok" for k, _ in nat)
+
+
+def test_native_interp_two_column_layout_matches():
+    from tl_spark.operators.pdf import pdf_bytes
+
+    for v in range(4):
+        d = pdf_bytes("one two three four five six seven eight " * 6, v,
+                      layout="twocol")
+        nat = _extract_outcome(d, columns="auto")
+        with _native_disabled():
+            ref = _extract_outcome(d, columns="auto")
+        assert nat == ref and nat[0] == "ok"
+
+
+def test_native_interp_mutation_fuzz_differential():
+    """Random byte mutations: same pages or same exception class."""
+    from tl_spark.operators.pdf import pdf_bytes_variant
+
+    rng = random.Random(11)
+    base = [pdf_bytes_variant(t, i) for i, t in enumerate(_texts(8))]
+    n_checked = 0
+    for trial in range(300):
+        d = bytearray(rng.choice(base))
+        for _ in range(rng.randrange(1, 6)):
+            pos = rng.randrange(len(d))
+            d[pos] = rng.randrange(256)
+        d = bytes(d)
+        nat = _extract_outcome(d)
+        with _native_disabled():
+            ref = _extract_outcome(d)
+        assert nat == ref, (trial, nat[0], ref[0])
+        n_checked += 1
+    assert n_checked == 300
+
+
+def test_native_interp_content_stream_edge_ops():
+    """Operators/edge syntax the generator never emits, via a raw
+    content stream run through _Interp directly."""
+    from tl_spark.operators.pdf import PdfDocument, _Interp, pdf_bytes
+
+    doc = PdfDocument(pdf_bytes("seed text", 0))
+    page = doc.pages()[0]
+    cases = [
+        # bool inside TJ is an offset in Python (isinstance(True, int))
+        b"BT /F1 12 Tf [(a) true (b)] TJ ET",
+        b"BT /F1 12 Tf 2 Tz 100 700 Td (wide) Tj ET",
+        b"BT /F1 12 Tf 1.5 TL (x) ' (y) ' ET",
+        b"BT /F1 12 Tf 3 1 2 \" ET",
+        b"q 2 0 0 2 10 20 cm BT /F1 7 Tf (s) Tj ET Q",
+        b"BT /Nope 9 Tf (default font) Tj ET",
+        b"BT /F1 12 Tf (esc \\n \\053 \\( ) Tj ET",
+        b"BT /F1 12 Tf <48656c6c 6f> Tj ET",
+        b"BT /F1 12 Tf % comment\n(after) Tj ET",
+        b"BT /F1 12 Tf [(k) -120 (ern)] TJ ET",
+        b"BI /W 2 /H 2 ID \x00\x01\x02\x03 EI BT /F1 12 Tf (img) Tj ET",
+        b"BT /F1 12 Tf (unterminated",
+        b"BT /F1 12 Tf ) stray (ok) Tj ET",
+        b"BT /F1 0 Tf (zero size) Tj ET",
+        b"BT /F1 12 Tf 0 0 0 0 0 0 Tm (degenerate) Tj ET",
+    ]
+    for content in cases:
+        nat = _Interp(doc, page.get("Resources", {})).run(content)
+        ref = _Interp(doc, page.get("Resources", {}))._run_py(content)
+        assert [
+            (c.x0, c.y, c.x1, c.size, c.text) for c in nat
+        ] == [(c.x0, c.y, c.x1, c.size, c.text) for c in ref], content
+
+
+def test_native_aes_vectors_and_roundtrip():
+    import secrets
+
+    import tl_spark.operators.pdf_crypt as pc
+
+    # FIPS-197 appendix C encrypt vector (exercises the sbox tables)
+    ct = pc._aes_ecb_encrypt(
+        bytes.fromhex("000102030405060708090a0b0c0d0e0f"),
+        bytes.fromhex("00112233445566778899aabbccddeeff"),
+    )
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    for klen in (16, 24, 32):
+        for n in (16, 160, 1600):
+            k = secrets.token_bytes(klen)
+            iv = secrets.token_bytes(16)
+            data = secrets.token_bytes(n - 5)
+            enc = pc.aes_cbc_encrypt(k, iv, data, pad=True)
+            nat = pc.aes_cbc_decrypt(k, iv, enc)
+            with _native_disabled():
+                ref = pc.aes_cbc_decrypt(k, iv, enc)
+            assert nat == ref == data
+
+
+def test_native_rc4_differential():
+    import secrets
+
+    import tl_spark.operators.pdf_crypt as pc
+
+    # Wikipedia/RFC 6229-style known answer
+    assert pc.rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    for n in (0, 1, 33, 5000):
+        k = secrets.token_bytes(9)
+        d = secrets.token_bytes(n)
+        nat = pc.rc4(k, d)
+        with _native_disabled():
+            ref = pc.rc4(k, d)
+        assert nat == ref
+
+
+def test_native_a85_differential():
+    import base64
+    import secrets
+
+    import tl_spark.operators.pdf as P
+
+    cases = [
+        b"", b"z", b"~>rest", b"87cUR", b"87cU~>x", b" 8 7 c U R \n",
+        b"zz~>", b"87cURDZ", b"u" * 5, b"s8W-!", b"a", b"az",
+    ]
+    for n in (0, 1, 2, 3, 4, 5, 100, 1001):
+        enc = base64.a85encode(secrets.token_bytes(n))
+        cases += [enc, enc + b"~>junk"]
+    for c in cases:
+        def _run():
+            try:
+                return ("ok", P._a85_decode(c))
+            except Exception as e:  # noqa: BLE001
+                return (type(e).__name__, None)
+
+        nat = _run()
+        with _native_disabled():
+            ref = _run()
+        assert nat == ref, c
+
+
+def test_native_pdf_kill_switch():
+    from tl_spark.operators.pdf import PdfDocument, _Interp, pdf_bytes
+
+    doc = PdfDocument(pdf_bytes("seed", 0))
+    page = doc.pages()[0]
+    with _native_disabled():
+        assert (
+            native_pdf.run_native(
+                _Interp(doc, page.get("Resources", {})), b"BT ET"
+            )
+            is None
+        )

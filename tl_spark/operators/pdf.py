@@ -468,6 +468,11 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
 
 
 def _a85_decode(data: bytes) -> bytes:
+    from tl_spark.kernel import native_crypt
+
+    out = native_crypt.a85_decode(data)
+    if out is not None:
+        return out
     # fast path: stdlib a85decode (C); our scanner remains the
     # reference for inputs it rejects (odd whitespace, partial tails)
     try:
@@ -1452,6 +1457,17 @@ class _Interp:
         return f
 
     def run(self, content: bytes) -> list[_Chunk]:
+        # native leg (bit-equal chunks; silent fallback on any anomaly
+        # so error semantics stay Python-exact — see kernel/native_pdf)
+        from tl_spark.kernel import native_pdf
+
+        nat = native_pdf.run_native(self, content)
+        if nat is not None:
+            self.chunks.extend(_Chunk(*t) for t in nat)
+            return self.chunks
+        return self._run_py(content)
+
+    def _run_py(self, content: bytes) -> list[_Chunk]:
         lx = _FastLexer(content)
         stack: list = []
         ctm = _ID

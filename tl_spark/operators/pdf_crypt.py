@@ -248,13 +248,17 @@ def aes_cbc_decrypt(key: bytes, iv: bytes, ct: bytes, unpad: bool = True) -> byt
     wrong, and over-stripping corrupts text)."""
     if not ct:
         return b""
-    rk = _expand_key(key)
-    blocks = _to_blocks(ct)
-    dec = _ecb_decrypt_blocks(rk, blocks)
-    prev = np.vstack(
-        [np.frombuffer(iv, dtype=np.uint8).reshape(1, 16), blocks[:-1]]
-    )
-    pt = (dec ^ prev).tobytes()
+    from tl_spark.kernel import native_crypt
+
+    pt = native_crypt.aes_cbc_decrypt_raw(key, iv, ct)
+    if pt is None:
+        rk = _expand_key(key)
+        blocks = _to_blocks(ct)
+        dec = _ecb_decrypt_blocks(rk, blocks)
+        prev = np.vstack(
+            [np.frombuffer(iv, dtype=np.uint8).reshape(1, 16), blocks[:-1]]
+        )
+        pt = (dec ^ prev).tobytes()
     if unpad and pt:
         n = pt[-1]
         if 1 <= n <= 16 and n <= len(pt):
@@ -306,6 +310,11 @@ def _aes_ecb_decrypt(key: bytes, ct: bytes) -> bytes:
 def rc4(key: bytes, data: bytes) -> bytes:
     if not key:
         raise ValueError("empty RC4 key")
+    from tl_spark.kernel import native_crypt
+
+    out = native_crypt.rc4(key, data)
+    if out is not None:
+        return out
     S = list(range(256))
     j = 0
     kl = len(key)
