@@ -1196,6 +1196,177 @@ pub unsafe extern "C" fn tl_pdf_interp(
     }
 }
 
+#[repr(C)]
+pub struct TlPdfPagesOut {
+    base: TlPdfOut,
+    page_offs: *mut i64, // n_pages + 1 cumulative chunk counts
+    n_pages: i64,
+    page_offs_cap: i64,
+}
+
+/// Interpret `n_pages` content streams in ONE call against one shared
+/// font table: page `i` is `content[offs[i]..offs[i+1]]` and each page
+/// starts from a fresh text/graphics state, exactly as if
+/// `tl_pdf_interp` had been called per page. Chunks come back
+/// concatenated, with `page_offs` giving each page's chunk range.
+/// Amortizes the per-call FFI + font-table parse cost for multi-page
+/// documents (the dominant fixed cost on short pages). A NeedFont or
+/// bail on ANY page fails the whole batch — callers fall back to the
+/// per-page entry, so semantics stay bit-equal to the Python
+/// interpreter. Free with `tl_pdf_pages_free`, or NULL on invalid
+/// arguments (non-monotonic / out-of-range offsets included).
+///
+/// # Safety
+/// `content` readable for `content_len`; `offs` readable for
+/// `n_pages + 1` i64s; `blob` for `blob_len`.
+#[no_mangle]
+pub unsafe extern "C" fn tl_pdf_interp_pages(
+    content: *const u8,
+    content_len: i64,
+    offs: *const i64,
+    n_pages: i64,
+    blob: *const u8,
+    blob_len: i64,
+) -> *mut TlPdfPagesOut {
+    if content_len < 0
+        || blob_len < 0
+        || n_pages < 0
+        || (content.is_null() && content_len > 0)
+        || (offs.is_null() && n_pages > 0)
+    {
+        return std::ptr::null_mut();
+    }
+    let content = if content_len > 0 {
+        std::slice::from_raw_parts(content, content_len as usize)
+    } else {
+        &[]
+    };
+    let offs = if n_pages > 0 {
+        std::slice::from_raw_parts(offs, n_pages as usize + 1)
+    } else {
+        &[0i64][..]
+    };
+    for w in offs.windows(2) {
+        if w[0] > w[1] {
+            return std::ptr::null_mut();
+        }
+    }
+    if n_pages > 0 && (offs[0] < 0 || offs[n_pages as usize] > content_len) {
+        return std::ptr::null_mut();
+    }
+    let blob = if blob_len > 0 {
+        std::slice::from_raw_parts(blob, blob_len as usize)
+    } else {
+        &[]
+    };
+    fn pages_out(base: *mut TlPdfOut) -> *mut TlPdfPagesOut {
+        // re-box the single-page struct into the batched layout
+        unsafe {
+            let b = Box::from_raw(base);
+            Box::into_raw(Box::new(TlPdfPagesOut {
+                base: *b,
+                page_offs: std::ptr::null_mut(),
+                n_pages: 0,
+                page_offs_cap: 0,
+            }))
+        }
+    }
+    let ft = match parse_font_blob(blob) {
+        Ok(ft) => ft,
+        Err(_) => return pages_out(empty_out(2)),
+    };
+    let mut all: Vec<Chunk> = Vec::new();
+    let mut page_offs: Vec<i64> = Vec::with_capacity(n_pages as usize + 1);
+    page_offs.push(0);
+    for i in 0..n_pages as usize {
+        let page = &content[offs[i] as usize..offs[i + 1] as usize];
+        match run(page, &ft) {
+            Ok(chunks) => {
+                all.extend(chunks);
+                page_offs.push(all.len() as i64);
+            }
+            Err(RunErr::NeedFont(nm)) => {
+                let (np, nl, nc) = take_vec(nm);
+                let out = empty_out(1);
+                (*out).need_font = np;
+                (*out).need_font_len = nl;
+                (*out).nf_cap = nc;
+                return pages_out(out);
+            }
+            Err(RunErr::Bail) => return pages_out(empty_out(2)),
+        }
+    }
+    let n = all.len();
+    let mut x0 = Vec::with_capacity(n);
+    let mut y = Vec::with_capacity(n);
+    let mut x1 = Vec::with_capacity(n);
+    let mut size = Vec::with_capacity(n);
+    let mut toffs: Vec<i64> = Vec::with_capacity(n + 1);
+    let mut text: Vec<u8> = Vec::new();
+    toffs.push(0);
+    for c in &all {
+        x0.push(c.x0);
+        y.push(c.y);
+        x1.push(c.x1);
+        size.push(c.size);
+        for &cp in &c.text {
+            utf8_push(&mut text, cp);
+        }
+        toffs.push(text.len() as i64);
+    }
+    let (x0p, _, x0c) = take_vec(x0);
+    let (yp, _, yc) = take_vec(y);
+    let (x1p, _, x1c) = take_vec(x1);
+    let (sp, _, sc) = take_vec(size);
+    let (tp, tl, tc) = take_vec(text);
+    let (op, _, oc) = take_vec(toffs);
+    let (pp, _, pc) = take_vec(page_offs);
+    Box::into_raw(Box::new(TlPdfPagesOut {
+        base: TlPdfOut {
+            status: 0,
+            n_chunks: n as i64,
+            x0: x0p,
+            y: yp,
+            x1: x1p,
+            size: sp,
+            text_data: tp,
+            text_len: tl,
+            text_offs: op,
+            need_font: std::ptr::null_mut(),
+            need_font_len: 0,
+            x0_cap: x0c,
+            y_cap: yc,
+            x1_cap: x1c,
+            size_cap: sc,
+            text_cap: tc,
+            offs_cap: oc,
+            nf_cap: 0,
+        },
+        page_offs: pp,
+        n_pages: n_pages,
+        page_offs_cap: pc,
+    }))
+}
+
+/// # Safety
+/// `out` must come from `tl_pdf_interp_pages` and not be freed twice.
+#[no_mangle]
+pub unsafe extern "C" fn tl_pdf_pages_free(out: *mut TlPdfPagesOut) {
+    if out.is_null() {
+        return;
+    }
+    let o = Box::from_raw(out);
+    if !o.page_offs.is_null() {
+        drop(Vec::from_raw_parts(
+            o.page_offs,
+            o.n_pages as usize + 1,
+            o.page_offs_cap as usize,
+        ));
+    }
+    // base owns the chunk arrays; reuse the single-page free
+    tl_pdf_free(Box::into_raw(Box::new(o.base)));
+}
+
 /// # Safety
 /// `out` must come from `tl_pdf_interp` and not be freed twice.
 #[no_mangle]

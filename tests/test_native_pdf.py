@@ -228,3 +228,53 @@ def test_native_pdf_kill_switch():
             )
             is None
         )
+
+
+def test_batched_pages_equals_per_page_leg():
+    """run_native_pages (one FFI call per doc) must be bit-equal to the
+    per-page native leg AND to pure Python, across all 8 structural
+    variants (incl. encrypted + embedded-subset-font NeedFont retries)
+    and multi-page docs."""
+    from tl_spark.operators import pdf as P
+
+    docs = [
+        P.pdf_bytes_variant(t, i, rot=i % 3)
+        for i, t in enumerate(_texts(16, words=120))
+    ]
+    batched = [_extract_outcome(d) for d in docs]
+    # force the per-page leg by hiding the batched symbol
+    lib = native_pdf.load()
+    assert lib is not None and lib._tl_has_pages
+    lib._tl_has_pages = False
+    try:
+        per_page = [_extract_outcome(d) for d in docs]
+    finally:
+        lib._tl_has_pages = True
+    assert batched == per_page
+    with _native_disabled():
+        ref = [_extract_outcome(d) for d in docs]
+    assert batched == ref
+    assert all(k == "ok" for k, _ in batched)
+
+
+def test_batched_pages_mixed_resources_groups_fall_back_cleanly():
+    """Pages whose /Font dicts differ must split into separate batch
+    groups (or fall back) with output unchanged."""
+    from tl_spark.operators.pdf import PdfDocument, _Interp
+    from tl_spark.operators import pdf as P
+
+    # one doc per variant pair -> interps with DIFFERENT font_res dicts
+    d1 = PdfDocument(P.pdf_bytes("alpha beta gamma " * 20, 0))
+    d2 = PdfDocument(P.pdf_bytes("δέλτα epsilon ζήτα " * 20, 1))
+    interps, contents = [], []
+    for doc in (d1, d2):
+        for page in doc.pages():
+            contents.append(doc.page_content(page))
+            interps.append(_Interp(doc, page.get("Resources", {})))
+    res = native_pdf.run_native_pages(interps, contents)
+    assert res is not None and len(res) == len(interps)
+    for k, (interp, content) in enumerate(zip(interps, contents)):
+        ref = _Interp(interp.doc, {"Font": interp.font_res}).run(content)
+        if res[k] is not None:
+            want = [(c.x0, c.y, c.x1, c.size, c.text) for c in ref]
+            assert res[k] == want

@@ -70,6 +70,15 @@ class _TlPdfOut(ctypes.Structure):
     ]
 
 
+class _TlPdfPagesOut(ctypes.Structure):
+    _fields_ = [
+        ("base", _TlPdfOut),
+        ("page_offs", ctypes.POINTER(ctypes.c_int64)),
+        ("n_pages", ctypes.c_int64),
+        ("page_offs_cap", ctypes.c_int64),
+    ]
+
+
 def load():
     """The loaded cdylib with PDF symbols, or None. Cached; never raises."""
     global _LIB, _TRIED
@@ -100,6 +109,27 @@ def load():
             ]
             lib.tl_pdf_free.restype = None
             lib.tl_pdf_free.argtypes = [ctypes.POINTER(_TlPdfOut)]
+            # batched per-document entry (newer .so only; absence just
+            # disables the batch fast path, never the per-page leg)
+            try:
+                lib.tl_pdf_interp_pages.restype = ctypes.POINTER(
+                    _TlPdfPagesOut
+                )
+                lib.tl_pdf_interp_pages.argtypes = [
+                    ctypes.c_char_p,  # concatenated content
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64),  # page offsets
+                    ctypes.c_int64,  # n_pages
+                    ctypes.c_char_p,  # font blob
+                    ctypes.c_int64,
+                ]
+                lib.tl_pdf_pages_free.restype = None
+                lib.tl_pdf_pages_free.argtypes = [
+                    ctypes.POINTER(_TlPdfPagesOut)
+                ]
+                lib._tl_has_pages = True
+            except AttributeError:
+                lib._tl_has_pages = False
             _LIB = lib
             break
         except (OSError, AttributeError):
@@ -226,6 +256,101 @@ def _font_blob(interp) -> bytes:
         blob,
     )
     return blob
+
+
+def run_native_pages(interps, contents):
+    """Batched per-document native interpretation: ONE FFI call per run
+    of consecutive pages sharing a /Font resource dict (each page still
+    starts from a fresh interpreter state — bit-equal to per-page
+    calls). Amortizes the call + font-blob-parse fixed cost that
+    dominates short pages. Returns a per-page list of chunk-tuple
+    lists, with None for pages the caller must run through the
+    per-page path, or None when the batched leg is unavailable."""
+    lib = load()
+    if lib is None or not getattr(lib, "_tl_has_pages", False):
+        return None
+    n = len(interps)
+    results: list = [None] * n
+    i = 0
+    while i < n:
+        fr = interps[i].font_res
+        j = i + 1
+        while j < n and (
+            interps[j].font_res is fr or (not interps[j].font_res and not fr)
+        ):
+            j += 1
+        if all(isinstance(c, bytes) for c in contents[i:j]):
+            results[i:j] = _run_group(lib, interps[i], contents[i:j])
+        i = j
+    return results
+
+
+def _run_group(lib, interp, contents):
+    npages = len(contents)
+    cat = b"".join(contents)
+    offs = (ctypes.c_int64 * (npages + 1))()
+    acc = 0
+    for k, c in enumerate(contents):
+        offs[k] = acc
+        acc += len(c)
+    offs[npages] = acc
+    bail = [None] * npages
+    # each retry materializes exactly one missing font (same protocol
+    # as run_native; the blob cache makes retried pages cheap)
+    for _ in range(len(interp.font_res) + 2):
+        blob = _font_blob(interp)
+        out = lib.tl_pdf_interp_pages(cat, acc, offs, npages, blob, len(blob))
+        if not out:
+            return bail
+        try:
+            o = out.contents
+            b = o.base
+            if b.status == 2:
+                return bail
+            if b.status == 1:
+                name = (
+                    ctypes.string_at(b.need_font, b.need_font_len).decode(
+                        "utf-8"
+                    )
+                    if b.need_font_len
+                    else ""
+                )
+                # may raise ValueError — identical to the Python
+                # path's Tf-time error surface
+                interp._font(name)
+                if name not in interp._font_cache:
+                    return bail
+                continue
+            nc = b.n_chunks
+            poffs = o.page_offs[: npages + 1]
+            if nc == 0:
+                return [[] for _ in range(npages)]
+            toffs = b.text_offs[: nc + 1]
+            tbuf = (
+                ctypes.string_at(b.text_data, b.text_len)
+                if b.text_len
+                else b""
+            )
+            x0 = b.x0[:nc]
+            y = b.y[:nc]
+            x1 = b.x1[:nc]
+            size = b.size[:nc]
+            return [
+                [
+                    (
+                        x0[m],
+                        y[m],
+                        x1[m],
+                        size[m],
+                        tbuf[toffs[m] : toffs[m + 1]].decode("utf-8"),
+                    )
+                    for m in range(poffs[k], poffs[k + 1])
+                ]
+                for k in range(npages)
+            ]
+        finally:
+            lib.tl_pdf_pages_free(out)
+    return bail
 
 
 def run_native(interp, content: bytes):

@@ -1790,16 +1790,52 @@ def _assemble_spans(
     return spans
 
 
+def _doc_chunks(doc: "PdfDocument") -> list[list[_Chunk]]:
+    """Per-page chunk lists for a whole document. Fast path: gather
+    every page's decoded content + interpreter, then ONE batched native
+    call per run of pages sharing a /Font dict
+    (kernel/native_pdf.run_native_pages) — the per-call FFI fixed cost
+    dominates short pages. Error semantics are pinned to the
+    sequential per-page path bit-for-bit: if gathering raises anywhere
+    (content decode, resource resolution), the whole document is
+    replayed strictly sequentially from scratch so the SAME exception
+    surfaces in the same page order; a batch bail falls back per page
+    in order for the same reason."""
+    try:
+        pages_ci = [
+            (doc.page_content(p), _Interp(doc, p.get("Resources", {})))
+            for p in doc.pages()
+        ]
+    except Exception:
+        pages_ci = None
+    if pages_ci is not None:
+        from tl_spark.kernel import native_pdf
+
+        contents = [c for c, _ in pages_ci]
+        interps = [i for _, i in pages_ci]
+        nat = native_pdf.run_native_pages(interps, contents)
+        out = []
+        for k, (content, interp) in enumerate(pages_ci):
+            res = nat[k] if nat is not None else None
+            if res is not None:
+                interp.chunks.extend(_Chunk(*t) for t in res)
+                out.append(interp.chunks)
+            else:
+                out.append(interp.run(content))
+        return out
+    # sequential replay: reproduces the exact per-page error order
+    out = []
+    for page in doc.pages():
+        content = doc.page_content(page)
+        out.append(_Interp(doc, page.get("Resources", {})).run(content))
+    return out
+
+
 def extract_pdf_pages(data: bytes, columns: str = "off") -> list[str]:
     """Kernel entry: PDF bytes → list of per-page extracted text.
     ``columns="auto"`` enables X-Y-cut column segmentation."""
     doc = PdfDocument(data)
-    out = []
-    for page in doc.pages():
-        content = doc.page_content(page)
-        interp = _Interp(doc, page.get("Resources", {}))
-        out.append(_assemble(interp.run(content), columns))
-    return out
+    return [_assemble(chunks, columns) for chunks in _doc_chunks(doc)]
 
 
 def extract_pdf_pages_with_spans(
@@ -1810,12 +1846,10 @@ def extract_pdf_pages_with_spans(
     text plus device position, the PDF analog of the HTML kernel's
     text + byte-span contract."""
     doc = PdfDocument(data)
-    out = []
-    for page in doc.pages():
-        content = doc.page_content(page)
-        chunks = _Interp(doc, page.get("Resources", {})).run(content)
-        out.append((_assemble(chunks, columns), _assemble_spans(chunks, columns)))
-    return out
+    return [
+        (_assemble(chunks, columns), _assemble_spans(chunks, columns))
+        for chunks in _doc_chunks(doc)
+    ]
 
 
 # ---------------------------------------------------------------------------
