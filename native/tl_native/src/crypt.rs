@@ -16,13 +16,13 @@ use std::sync::OnceLock;
 
 #[repr(C)]
 pub struct TlBytesOut {
-    status: i64, // 0 ok; 1 invalid input → Python fallback
+    pub(crate) status: i64, // 0 ok; 1 invalid input → Python fallback
     data: *mut u8,
     len: i64,
     cap: i64,
 }
 
-fn bytes_out(status: i64, v: Vec<u8>) -> *mut TlBytesOut {
+pub(crate) fn bytes_out(status: i64, v: Vec<u8>) -> *mut TlBytesOut {
     let (p, l, c) = take_vec(v);
     Box::into_raw(Box::new(TlBytesOut { status, data: p, len: l, cap: c }))
 }
@@ -102,6 +102,15 @@ pub unsafe extern "C" fn tl_a85_decode(
     } else {
         &[]
     };
+    match a85_core(data) {
+        Ok(out) => bytes_out(0, out),
+        Err(()) => bytes_out(1, Vec::new()),
+    }
+}
+
+/// The `_a85_decode_slow` scanner itself, shared with the native
+/// whole-document PDF parser (doc.rs). Err = Python raises.
+pub(crate) fn a85_core(data: &[u8]) -> Result<Vec<u8>, ()> {
     let mut out: Vec<u8> = Vec::with_capacity(data.len() * 4 / 5 + 8);
     let mut group = [0u32; 5];
     let mut k = 0usize;
@@ -119,29 +128,29 @@ pub unsafe extern "C" fn tl_a85_decode(
                         v = v * 85 + g as u64;
                     }
                     if v > u32::MAX as u64 {
-                        return bytes_out(1, Vec::new());
+                        return Err(());
                     }
                     out.extend_from_slice(&(v as u32).to_be_bytes());
                     k = 0;
                 }
             }
-            _ => return bytes_out(1, Vec::new()),
+            _ => return Err(()),
         }
     }
     if k > 0 {
         if k == 1 {
-            return bytes_out(1, Vec::new());
+            return Err(());
         }
         let mut v: u64 = 0;
         for i in 0..5 {
             v = v * 85 + if i < k { group[i] as u64 } else { 84 };
         }
         if v > u32::MAX as u64 {
-            return bytes_out(1, Vec::new());
+            return Err(());
         }
         out.extend_from_slice(&(v as u32).to_be_bytes()[..k - 1]);
     }
-    bytes_out(0, out)
+    Ok(out)
 }
 
 // ------------------------------------------------------------ AES (FIPS-197)

@@ -14,8 +14,10 @@
 //! Arrow buffers zero-copy and releases via `tl_batch_free`.
 
 mod crypt;
+mod doc;
 mod dom;
 mod entropy;
+mod inflate;
 mod pdf;
 
 /// ident charset [0-9A-Za-z\-_:+/] (htmlparse.py `_IDENT_TABLE`)

@@ -40,7 +40,7 @@ fn is_regular(c: u8) -> bool {
 }
 
 #[derive(Clone, Debug)]
-enum Tok {
+pub(crate) enum Tok {
     Num { v: f64, is_int: bool },
     Str(Vec<u8>),
     Name(Vec<u8>),
@@ -52,25 +52,29 @@ enum Tok {
     Eof,
 }
 
-struct Lexer<'a> {
-    buf: &'a [u8],
-    pos: usize,
+pub(crate) struct Lexer<'a> {
+    pub(crate) buf: &'a [u8],
+    pub(crate) pos: usize,
     push: Vec<Tok>,
 }
 
 #[derive(Debug)]
-struct LexErr; // any ValueError-class failure → caller falls back
+pub(crate) struct LexErr; // any ValueError-class failure → caller falls back
 
 impl<'a> Lexer<'a> {
-    fn new(buf: &'a [u8]) -> Self {
+    pub(crate) fn new(buf: &'a [u8]) -> Self {
         Lexer { buf, pos: 0, push: Vec::new() }
     }
 
-    fn pushback(&mut self, t: Tok) {
+    pub(crate) fn new_at(buf: &'a [u8], pos: usize) -> Self {
+        Lexer { buf, pos, push: Vec::new() }
+    }
+
+    pub(crate) fn pushback(&mut self, t: Tok) {
         self.push.push(t);
     }
 
-    fn next(&mut self) -> Result<Tok, LexErr> {
+    pub(crate) fn next(&mut self) -> Result<Tok, LexErr> {
         if let Some(t) = self.push.pop() {
             return Ok(t);
         }

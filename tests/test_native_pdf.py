@@ -278,3 +278,182 @@ def test_batched_pages_mixed_resources_groups_fall_back_cleanly():
         if res[k] is not None:
             want = [(c.x0, c.y, c.x1, c.size, c.text) for c in ref]
             assert res[k] == want
+
+
+# ---------------------------------------------------------------------------
+# Whole-document native leg (doc.rs: xref/objects/filters/page tree)
+# ---------------------------------------------------------------------------
+
+
+def _doc_leg_off():
+    return os.environ.get("TL_SPARK_NATIVE_PDF_DOC") == "0"
+
+
+def test_doc_leg_used_and_bitequal_on_eight_variants():
+    """doc_chunks must (a) engage on every non-encrypted variant —
+    guards against the leg silently always bailing — and (b) produce
+    chunk tuples bit-equal to the pure-Python _doc_chunks."""
+    from tl_spark.operators.pdf import (
+        PdfDocument,
+        _doc_chunks,
+        pdf_bytes_variant,
+    )
+
+    for i, t in enumerate(_texts(16)):
+        v = i % 8
+        d = pdf_bytes_variant(t, v, rot=i % 3)
+        nat = native_pdf.doc_chunks(d)
+        if v in (4, 5):
+            # encrypted: decryption stays Python-side → leg bails
+            assert nat is None
+            continue
+        assert nat is not None, f"doc leg bailed on variant {v}"
+        ref = [
+            [(c.x0, c.y, c.x1, c.size, c.text) for c in page]
+            for page in _doc_chunks(PdfDocument(d))
+        ]
+        assert nat == ref, f"variant {v}"
+
+
+def test_doc_leg_kill_switch():
+    from tl_spark.operators.pdf import pdf_bytes
+
+    d = pdf_bytes("alpha beta gamma " * 10, 0)
+    assert native_pdf.doc_chunks(d) is not None
+    os.environ["TL_SPARK_NATIVE_PDF_DOC"] = "0"
+    try:
+        assert native_pdf.doc_chunks(d) is None
+    finally:
+        del os.environ["TL_SPARK_NATIVE_PDF_DOC"]
+
+
+def test_doc_leg_zero_pages_and_junk_prefix():
+    from tl_spark.operators.pdf import extract_pdf_pages, pdf_bytes
+
+    # junk before %PDF (≤1024) must parse through the doc leg too
+    d = b"\xff\xfejunk" * 3 + pdf_bytes("alpha beta " * 8, 1)
+    got = extract_pdf_pages(d)
+    with _native_disabled():
+        want = extract_pdf_pages(d)
+    assert got == want and got
+
+
+def test_doc_leg_structural_mutation_fuzz():
+    """Mutations aimed at the OBJECT layer the doc leg now owns: xref
+    offsets, trailer bytes, stream /Length digits, truncations. The
+    contract is end-to-end: same pages or the same exception."""
+    from tl_spark.operators.pdf import pdf_bytes_variant
+
+    rng = random.Random(23)
+    base = [pdf_bytes_variant(t, i % 8) for i, t in enumerate(_texts(8))]
+    for trial in range(240):
+        src = rng.choice(base)
+        mode = trial % 4
+        if mode == 0:  # random byte flips
+            d = bytearray(src)
+            for _ in range(rng.randrange(1, 6)):
+                d[rng.randrange(len(d))] = rng.randrange(256)
+            d = bytes(d)
+        elif mode == 1:  # truncate
+            d = src[: rng.randrange(16, len(src))]
+        elif mode == 2:  # corrupt near startxref / trailer tail
+            d = bytearray(src)
+            lo = max(0, len(d) - 120)
+            for _ in range(rng.randrange(1, 4)):
+                d[rng.randrange(lo, len(d))] = rng.randrange(256)
+            d = bytes(d)
+        else:  # splice two docs (incremental-update-ish garbage)
+            other = rng.choice(base)
+            cut = rng.randrange(1, len(src))
+            d = src[:cut] + other[rng.randrange(len(other)) :]
+        nat = _extract_outcome(d)
+        with _native_disabled():
+            ref = _extract_outcome(d)
+        assert nat == ref, (trial, mode, nat[0], ref[0])
+
+
+def test_doc_leg_closure_font_cache_reuse():
+    """The same font closure across documents must hit the
+    process-wide cache (cross-doc reuse is the 100-TB win: a crawl's
+    font population is tiny compared to its page population)."""
+    from tl_spark.operators.pdf import pdf_bytes
+
+    native_pdf._CLOSURE_FONTS.clear()
+    docs = [pdf_bytes(f"alpha beta gamma doc{i} " * 6, 1) for i in range(12)]
+    for d in docs:
+        assert native_pdf.doc_chunks(d) is not None
+    # all twelve docs share the one WinAnsi Type1 closure
+    assert 1 <= len(native_pdf._CLOSURE_FONTS) <= 2
+
+
+def test_native_inflate_differential_fuzz():
+    """The from-scratch DEFLATE decoder vs CPython zlib, exact:
+    - valid streams (levels 0-9, strategies): equal bytes
+    - truncations at every prefix length: equal partial bytes
+    - random mutations: zlib raises ⇔ native status 1, else equal."""
+    import ctypes
+    import zlib
+
+    from tl_spark.operators.pdf import _flate_decode
+
+    lib = native_pdf.load()
+    try:
+        lib.tl_zlib_inflate_test.restype = ctypes.POINTER(
+            native_pdf._TlBytesOut
+        )
+        lib.tl_zlib_inflate_test.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    except AttributeError:
+        pytest.skip("stale cdylib without the inflate test hook")
+
+    def native(data: bytes):
+        out = lib.tl_zlib_inflate_test(data, len(data))
+        assert out
+        try:
+            o = out.contents
+            if o.status != 0:
+                return None
+            return ctypes.string_at(o.data, o.len) if o.len else b""
+        finally:
+            lib.tl_bytes_free(out)
+
+    def python(data: bytes):
+        try:
+            return _flate_decode(data)
+        except ValueError:
+            return None
+
+    rng = random.Random(31)
+    payloads = [
+        b"",
+        b"a",
+        b"abc" * 1000,
+        bytes(rng.randrange(256) for _ in range(4096)),
+        bytes(rng.randrange(4) for _ in range(8192)),  # low entropy
+        b"\x00" * 70000,  # > one stored block if level 0
+    ]
+    streams = []
+    for p in payloads:
+        for level in (0, 1, 6, 9):
+            streams.append(zlib.compress(p, level))
+    # exactness on valid streams
+    for s in streams:
+        assert native(s) == python(s)
+    # truncations: every prefix of a sample of streams
+    for s in (streams[2], streams[5], streams[13], streams[-1]):
+        step = max(1, len(s) // 200)
+        for cut in range(0, len(s), step):
+            t = s[:cut]
+            assert native(t) == python(t), ("truncate", len(s), cut)
+    # random mutations
+    n_div = 0
+    for trial in range(600):
+        s = bytearray(rng.choice(streams))
+        if not s:
+            continue
+        for _ in range(rng.randrange(1, 4)):
+            s[rng.randrange(len(s))] = rng.randrange(256)
+        t = bytes(s)
+        n, p = native(t), python(t)
+        assert n == p, ("mutate", trial)
+        n_div += n is None
+    assert n_div > 0  # the corpus did exercise the error paths

@@ -407,3 +407,379 @@ def run_native(interp, content: bytes):
         finally:
             lib.tl_pdf_free(out)
     return None
+
+
+# ---------------------------------------------------------------------------
+# Whole-document native leg (native/tl_native/src/doc.rs)
+# ---------------------------------------------------------------------------
+#
+# tl_pdf_doc_parse ports the object/xref layer (PdfDocument, _Stream,
+# filters, page tree) and returns ONE blob: per-page decoded content +
+# per-page /Font tables + font CLOSURES (the unresolved root value plus
+# every transitively referenced object, streams pre-decoded). Fonts are
+# then materialized HERE in Python (_Font can raise ValueError — that
+# error surface must stay Python-side) and shipped back through the
+# existing tl_pdf_interp_pages wire format. Any anomaly — native bail,
+# font-build failure, NeedFont — makes doc_chunks return None and the
+# caller re-runs the WHOLE document through the pure-Python path, so
+# error semantics (message, page order) are Python-exact by
+# construction. Success is byte-equal by the whole-doc differential
+# fuzz in tests/test_native_pdf.py.
+
+
+class _TlBytesOut(ctypes.Structure):
+    _fields_ = [
+        ("status", ctypes.c_int64),
+        ("data", ctypes.c_void_p),
+        ("len", ctypes.c_int64),
+        ("cap", ctypes.c_int64),
+    ]
+
+
+def _load_doc_symbols(lib) -> bool:
+    try:
+        lib.tl_pdf_doc_parse.restype = ctypes.POINTER(_TlBytesOut)
+        lib.tl_pdf_doc_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.tl_bytes_free.restype = None
+        lib.tl_bytes_free.argtypes = [ctypes.POINTER(_TlBytesOut)]
+        return True
+    except AttributeError:
+        return False
+
+
+# closure bytes -> (font, serialized entry) | ValueError instance
+_CLOSURE_FONTS: dict = {}
+_CLOSURE_FONTS_CAP = 4096
+
+
+class _ClosureDoc:
+    """Shim `doc` for _Font built from a native closure: resolve()
+    follows refs through the closure's object store with the same
+    32-hop cap as PdfDocument.resolve."""
+
+    __slots__ = ("_store",)
+
+    def __init__(self, store: dict):
+        self._store = store
+
+    def resolve(self, val):
+        from tl_spark.operators.pdf import _Ref
+
+        seen = 0
+        while isinstance(val, _Ref):
+            val = self._store.get(val.num)
+            seen += 1
+            if seen > 32:
+                raise ValueError("reference loop")
+        return val
+
+
+def _deser_value(b: bytes, o: int):
+    """One serialized value (doc.rs ser_value tags) -> (python value,
+    new offset). Raises ValueError on a malformed blob."""
+    from tl_spark.operators.pdf import _Kw, _Name, _Ref, _Stream
+
+    tag = b[o]
+    o += 1
+    if tag == 0:
+        return None, o
+    if tag == 1:
+        return bool(b[o]), o + 1
+    if tag == 2:
+        return int.from_bytes(b[o : o + 8], "little", signed=True), o + 8
+    if tag == 3:
+        return struct.unpack_from("<d", b, o)[0], o + 8
+    if tag in (4, 5, 10):
+        (n,) = struct.unpack_from("<I", b, o)
+        o += 4
+        raw = bytes(b[o : o + n])
+        o += n
+        if tag == 4:
+            return raw, o
+        if tag == 5:
+            return _Name(raw.decode("latin-1")), o
+        return _Kw(raw.decode("latin-1")), o
+    if tag == 6:
+        (n,) = struct.unpack_from("<I", b, o)
+        o += 4
+        arr = []
+        for _ in range(n):
+            v, o = _deser_value(b, o)
+            arr.append(v)
+        return arr, o
+    if tag == 7:
+        (n,) = struct.unpack_from("<I", b, o)
+        o += 4
+        d = {}
+        for _ in range(n):
+            (kl,) = struct.unpack_from("<I", b, o)
+            o += 4
+            k = bytes(b[o : o + kl]).decode("latin-1")
+            o += kl
+            v, o = _deser_value(b, o)
+            d[k] = v
+        return d, o
+    if tag == 8:
+        num = int.from_bytes(b[o : o + 8], "little", signed=True)
+        gen = int.from_bytes(b[o + 8 : o + 16], "little", signed=True)
+        return _Ref(num, gen), o + 16
+    if tag in (9, 11):
+        d, o = _deser_value(b, o)
+        if not isinstance(d, dict):
+            raise ValueError("bad closure stream dict")
+        if tag == 9:
+            (n,) = struct.unpack_from("<I", b, o)
+            o += 4
+            data = bytes(b[o : o + n])
+            o += n
+            s = _Stream(d, b"", None, None)
+            s._data = data
+            return s, o
+        s = _err_stream_cls()(d, b"", None, None)
+        return s, o
+    if tag == 12:
+        return _SENTINEL, o
+    raise ValueError(f"bad closure tag {tag}")
+
+
+_SENTINEL = object()
+_ErrStream = None  # created lazily (subclasses pdf._Stream)
+
+
+def _err_stream_cls():
+    global _ErrStream
+    if _ErrStream is None:
+        from tl_spark.operators.pdf import _Stream
+
+        class _ES(_Stream):
+            @property
+            def data(self):
+                # the native side could not decode this stream; the
+                # Python path raises here too (and _Font's ToUnicode
+                # try/except swallows it exactly the same way)
+                raise ValueError("stream decode failed")
+
+        _ErrStream = _ES
+    return _ErrStream
+
+
+def _closure_font(closure: bytes):
+    """Materialize (font, serialized-entry) for one closure, cached
+    process-wide by closure bytes. Returns a ValueError instance when
+    the build failed (→ caller bails to the pure-Python path)."""
+    ent = _CLOSURE_FONTS.get(closure)
+    if ent is not None:
+        return ent
+    from tl_spark.operators.pdf import _Font
+
+    try:
+        o = 0
+        (n_store,) = struct.unpack_from("<I", closure, o)
+        o += 4
+        store = {}
+        for _ in range(n_store):
+            num = int.from_bytes(
+                closure[o : o + 8], "little", signed=True
+            )
+            o += 8
+            v, o = _deser_value(closure, o)
+            store[num] = v
+        root, o = _deser_value(closure, o)
+        shim = _ClosureDoc(store)
+        font = _Font(shim, root)
+        ent = (font, _ser_font(font))
+    except ValueError as exc:
+        ent = exc
+    if len(_CLOSURE_FONTS) >= _CLOSURE_FONTS_CAP:
+        _CLOSURE_FONTS.clear()
+    _CLOSURE_FONTS[closure] = ent
+    return ent
+
+
+def _pages_ffi(lib, cat: bytes, offs, npages: int, blob: bytes):
+    """One tl_pdf_interp_pages call. Returns ("ok", per-page lists) /
+    ("needfont", name) / ("bail", None)."""
+    out = lib.tl_pdf_interp_pages(cat, len(cat), offs, npages, blob, len(blob))
+    if not out:
+        return ("bail", None)
+    try:
+        o = out.contents
+        b = o.base
+        if b.status == 2:
+            return ("bail", None)
+        if b.status == 1:
+            name = (
+                ctypes.string_at(b.need_font, b.need_font_len).decode("utf-8")
+                if b.need_font_len
+                else ""
+            )
+            return ("needfont", name)
+        nc = b.n_chunks
+        poffs = o.page_offs[: npages + 1]
+        if nc == 0:
+            return ("ok", [[] for _ in range(npages)])
+        toffs = b.text_offs[: nc + 1]
+        tbuf = ctypes.string_at(b.text_data, b.text_len) if b.text_len else b""
+        x0 = b.x0[:nc]
+        y = b.y[:nc]
+        x1 = b.x1[:nc]
+        size = b.size[:nc]
+        return (
+            "ok",
+            [
+                [
+                    (
+                        x0[m],
+                        y[m],
+                        x1[m],
+                        size[m],
+                        tbuf[toffs[m] : toffs[m + 1]].decode("utf-8"),
+                    )
+                    for m in range(poffs[k], poffs[k + 1])
+                ]
+                for k in range(npages)
+            ],
+        )
+    finally:
+        lib.tl_pdf_pages_free(out)
+
+
+def doc_chunks(data: bytes):
+    """Whole-document native fast path: one tl_pdf_doc_parse call plus
+    one tl_pdf_interp_pages call per font group. Returns per-page chunk
+    tuple lists, or None — the caller must then run the pure-Python
+    path (PdfDocument + _doc_chunks), which reproduces the exact
+    Python error/leniency semantics."""
+    lib = load()
+    if (
+        lib is None
+        or not isinstance(data, bytes)
+        or not getattr(lib, "_tl_has_pages", False)
+        or os.environ.get("TL_SPARK_NATIVE_PDF_DOC", "1") == "0"
+    ):
+        return None
+    if not getattr(lib, "_tl_doc_checked", False):
+        lib._tl_has_doc = _load_doc_symbols(lib)
+        lib._tl_doc_checked = True
+    if not lib._tl_has_doc:
+        return None
+    out = lib.tl_pdf_doc_parse(data, len(data))
+    if not out:
+        return None
+    try:
+        o = out.contents
+        if o.status != 0:
+            return None
+        blob = ctypes.string_at(o.data, o.len) if o.len else b""
+    finally:
+        lib.tl_bytes_free(out)
+    try:
+        return _doc_chunks_from_blob(lib, blob)
+    except (ValueError, struct.error, IndexError):
+        # malformed blob: impossible by construction, but never let the
+        # fast path change the error surface — fall back
+        return None
+
+
+def _doc_chunks_from_blob(lib, blob: bytes):
+    if blob[:4] != b"TLPD":
+        return None
+    o = 4
+    (ver,) = struct.unpack_from("<I", blob, o)
+    o += 4
+    if ver != 1:
+        return None
+    (n_pages,) = struct.unpack_from("<I", blob, o)
+    o += 4
+    page_group = []
+    contents = []
+    for _ in range(n_pages):
+        gid, clen = struct.unpack_from("<II", blob, o)
+        o += 8
+        page_group.append(gid)
+        contents.append(blob[o : o + clen])
+        o += clen
+    (n_groups,) = struct.unpack_from("<I", blob, o)
+    o += 4
+    group_tables = []
+    for _ in range(n_groups):
+        (n_entries,) = struct.unpack_from("<I", blob, o)
+        o += 4
+        table = []
+        for _ in range(n_entries):
+            (nl,) = struct.unpack_from("<I", blob, o)
+            o += 4
+            name = blob[o : o + nl].decode("latin-1")
+            o += nl
+            (cidx,) = struct.unpack_from("<I", blob, o)
+            o += 4
+            table.append((name, cidx))
+        group_tables.append(table)
+    (n_closures,) = struct.unpack_from("<I", blob, o)
+    o += 4
+    closures = []
+    for _ in range(n_closures):
+        (cl,) = struct.unpack_from("<I", blob, o)
+        o += 4
+        closures.append(blob[o : o + cl])
+        o += cl
+    if n_pages == 0:
+        return []
+    # materialize fonts per group; any ValueError → bail (the Python
+    # path materializes lazily at Tf — replaying the whole doc there
+    # reproduces its exact error-or-success behavior)
+    global _DEFAULT_FONT, _DEFAULT_SER
+    if _DEFAULT_FONT is None:
+        from tl_spark.operators.pdf import _Font
+
+        _DEFAULT_FONT = _Font(_ClosureDoc({}), {})
+        _DEFAULT_SER = _ser_font(_DEFAULT_FONT)
+    group_blobs = []
+    for table in group_tables:
+        fonts = []
+        ok = True
+        for name, cidx in table:
+            if cidx >= len(closures):
+                return None
+            ent = _closure_font(closures[cidx])
+            if isinstance(ent, ValueError):
+                ok = False
+                break
+            fonts.append((name, ent[1]))
+        if not ok:
+            return None
+        parts = [struct.pack("<I", len(table))]
+        for name, _ in table:
+            nb = name.encode("utf-8")
+            parts.append(struct.pack("<I", len(nb)))
+            parts.append(nb)
+        parts.append(struct.pack("<I", len(fonts) + 1))
+        nb = b""
+        parts.append(struct.pack("<I", len(nb)))
+        parts.append(nb)
+        parts.append(_DEFAULT_SER)
+        for name, ser in fonts:
+            nb = name.encode("utf-8")
+            parts.append(struct.pack("<I", len(nb)))
+            parts.append(nb)
+            parts.append(ser)
+        group_blobs.append(b"".join(parts))
+    # one interp call per group
+    results: list = [None] * n_pages
+    for gid in range(n_groups):
+        idxs = [i for i in range(n_pages) if page_group[i] == gid]
+        if not idxs:
+            continue
+        cat = b"".join(contents[i] for i in idxs)
+        offs = (ctypes.c_int64 * (len(idxs) + 1))()
+        acc = 0
+        for k, i in enumerate(idxs):
+            offs[k] = acc
+            acc += len(contents[i])
+        offs[len(idxs)] = acc
+        status, pages = _pages_ffi(lib, cat, offs, len(idxs), group_blobs[gid])
+        if status != "ok":
+            return None
+        for k, i in enumerate(idxs):
+            results[i] = pages[k]
+    return results

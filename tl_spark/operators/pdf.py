@@ -1831,11 +1831,27 @@ def _doc_chunks(doc: "PdfDocument") -> list[list[_Chunk]]:
     return out
 
 
+def _chunks_for(data: bytes) -> list[list[_Chunk]]:
+    """Per-page chunks for a document. Fast path: the whole-document
+    native leg (kernel/native_pdf.doc_chunks — xref, objects, filters,
+    page tree AND interpretation in one native pass, fonts
+    materialized Python-side from native closures). On ANY anomaly it
+    returns None and the pure-Python PdfDocument path replays the
+    whole document, reproducing the exact Python error/leniency
+    semantics; on success the chunks are bit-equal (pinned by the
+    whole-doc differential fuzz in tests/test_native_pdf.py)."""
+    from tl_spark.kernel import native_pdf
+
+    pages = native_pdf.doc_chunks(data)
+    if pages is not None:
+        return [[_Chunk(*t) for t in page] for page in pages]
+    return _doc_chunks(PdfDocument(data))
+
+
 def extract_pdf_pages(data: bytes, columns: str = "off") -> list[str]:
     """Kernel entry: PDF bytes → list of per-page extracted text.
     ``columns="auto"`` enables X-Y-cut column segmentation."""
-    doc = PdfDocument(data)
-    return [_assemble(chunks, columns) for chunks in _doc_chunks(doc)]
+    return [_assemble(chunks, columns) for chunks in _chunks_for(data)]
 
 
 def extract_pdf_pages_with_spans(
@@ -1845,10 +1861,9 @@ def extract_pdf_pages_with_spans(
     per-line ``(start, end, x, y)`` spans — char offsets into the page
     text plus device position, the PDF analog of the HTML kernel's
     text + byte-span contract."""
-    doc = PdfDocument(data)
     return [
         (_assemble(chunks, columns), _assemble_spans(chunks, columns))
-        for chunks in _doc_chunks(doc)
+        for chunks in _chunks_for(data)
     ]
 
 
