@@ -60,6 +60,12 @@ pub unsafe extern "C" fn tl_rc4(
     } else {
         &[]
     };
+    bytes_out(0, rc4_core(key, data))
+}
+
+/// The RC4 cipher itself, shared with the native whole-document PDF
+/// decryptor (doc.rs). `key` must be non-empty (callers check).
+pub(crate) fn rc4_core(key: &[u8], data: &[u8]) -> Vec<u8> {
     let mut s: [u8; 256] = [0; 256];
     for (i, v) in s.iter_mut().enumerate() {
         *v = i as u8;
@@ -77,7 +83,27 @@ pub unsafe extern "C" fn tl_rc4(
         s.swap(i, j);
         out.push(ch ^ s[(s[i] as usize + s[j] as usize) & 0xFF]);
     }
-    bytes_out(0, out)
+    out
+}
+
+/// Raw AES-CBC (no unpad), shared with doc.rs. None on a bad key
+/// length or unaligned ciphertext (callers bail to Python).
+pub(crate) fn aes_cbc_core(key: &[u8], iv: &[u8; 16], ct: &[u8]) -> Option<Vec<u8>> {
+    if !matches!(key.len(), 16 | 24 | 32) || ct.len() % 16 != 0 {
+        return None;
+    }
+    let rks = expand_key(key)?;
+    let mut out = vec![0u8; ct.len()];
+    let mut prev: [u8; 16] = *iv;
+    let mut blk = [0u8; 16];
+    for (i, c) in ct.chunks_exact(16).enumerate() {
+        decrypt_block(&rks, c, &mut blk);
+        for k in 0..16 {
+            out[16 * i + k] = blk[k] ^ prev[k];
+        }
+        prev.copy_from_slice(c);
+    }
+    Some(out)
 }
 
 // -------------------------------------------------------------- ASCII85

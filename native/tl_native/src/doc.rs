@@ -43,6 +43,8 @@ pub(crate) struct StreamCell {
     dict: Rc<DictVec>,
     raw: Vec<u8>,
     data: RefCell<Option<Rc<Vec<u8>>>>,
+    /// (objnum, gen) when this stream's bytes are encrypted
+    cryptinfo: Option<(i64, i64)>,
 }
 
 #[derive(Clone)]
@@ -593,6 +595,8 @@ struct Doc<'a> {
     cache: HashMap<i64, Option<FV>>,
     objstm_cache: HashMap<i64, Rc<Vec<(i64, FV)>>>,
     inflight: HashSet<i64>,
+    crypt: Option<Rc<Crypt>>,
+    crypt_skip: HashSet<i64>,
 }
 
 impl<'a> Doc<'a> {
@@ -604,6 +608,8 @@ impl<'a> Doc<'a> {
             cache: HashMap::new(),
             objstm_cache: HashMap::new(),
             inflight: HashSet::new(),
+            crypt: None,
+            crypt_skip: HashSet::new(),
         }
     }
 
@@ -878,7 +884,7 @@ impl<'a> Doc<'a> {
             Tok::Num { v, is_int: true } => int_exact(v).ok_or(Bail)?,
             _ => return Err(Bail), // no indirect object at off
         };
-        let _gen = match lx.next()? {
+        let gen = match lx.next()? {
             Tok::Num { v, is_int: true } => int_exact(v).ok_or(Bail)?,
             _ => return Err(Bail),
         };
@@ -888,6 +894,7 @@ impl<'a> Doc<'a> {
         }
         let val = parse_full(&mut lx, None, 0)?;
         let tok = lx.next()?;
+        let do_crypt = self.crypt.is_some() && !self.crypt_skip.contains(&num);
         if matches!(&tok, Tok::Kw(k) if k.as_slice() == b"stream") {
             let d = match &val {
                 FV::Dict(d) => d.clone(),
@@ -936,14 +943,42 @@ impl<'a> Doc<'a> {
                     r.to_vec()
                 }
             };
+            let mut d = d;
+            let mut cryptinfo = None;
+            if do_crypt {
+                let crypt = match &self.crypt {
+                    Some(c) => c.clone(),
+                    None => return Err(Bail), // unreachable
+                };
+                let dv = crypt.decrypt_value(&FV::Dict(d), num, gen)?;
+                d = match dv {
+                    FV::Dict(nd) => nd,
+                    _ => return Err(Bail), // unreachable
+                };
+                // xref streams are never encrypted; /Metadata follows
+                // the EncryptMetadata flag (PdfDocument._parse_indirect_at)
+                let t = dget(&d, b"Type").and_then(typename).unwrap_or(b"");
+                if t != b"XRef" && (t != b"Metadata" || crypt.encrypt_metadata)
+                {
+                    cryptinfo = Some((num, gen));
+                }
+            }
             return Ok((
                 num,
                 FV::Stream(Rc::new(StreamCell {
                     dict: d,
                     raw,
                     data: RefCell::new(None),
+                    cryptinfo,
                 })),
             ));
+        }
+        if do_crypt {
+            let crypt = match &self.crypt {
+                Some(c) => c.clone(),
+                None => return Err(Bail), // unreachable
+            };
+            return Ok((num, crypt.decrypt_value(&val, num, gen)?));
         }
         Ok((num, val))
     }
@@ -957,7 +992,13 @@ impl<'a> Doc<'a> {
             dget(&s.dict, b"DecodeParms").cloned().unwrap_or(FV::Null);
         let filter_r = self.resolve(&filter_fv)?;
         let parms_r = self.resolve(&parms_fv)?;
-        let out = apply_filters(s.raw.clone(), &filter_r, &parms_r)?;
+        let raw = match (&s.cryptinfo, &self.crypt) {
+            (Some((num, gen)), Some(c)) => {
+                c.clone().decrypt_stream(&s.raw, *num, *gen)?
+            }
+            _ => s.raw.clone(),
+        };
+        let out = apply_filters(raw, &filter_r, &parms_r)?;
         let rc = Rc::new(out);
         *s.data.borrow_mut() = Some(rc.clone());
         Ok(rc)
@@ -1425,9 +1466,36 @@ pub(crate) fn build_doc_blob(raw: &[u8]) -> Result<Vec<u8>, Bail> {
     if !dhas(&doc.trailer, b"Root") {
         return Err(Bail); // scan-fallback territory
     }
-    match dget(&doc.trailer, b"Encrypt") {
+    let enc_fv = dget(&doc.trailer, b"Encrypt").cloned();
+    match enc_fv {
         None | Some(FV::Null) => {}
-        Some(_) => return Err(Bail), // decryption stays Python-side
+        Some(enc_fv) => {
+            // PdfDocument._setup_encryption: never decrypt the
+            // /Encrypt dictionary's own strings
+            if let FV::Ref(n, _) = &enc_fv {
+                doc.crypt_skip.insert(*n);
+            }
+            let enc_d = match doc.resolve(&enc_fv)? {
+                FV::Dict(d) => d,
+                _ => return Err(Bail), // bad /Encrypt dictionary
+            };
+            let mut id0: Vec<u8> = Vec::new();
+            let ids_fv =
+                dget(&doc.trailer, b"ID").cloned().unwrap_or(FV::Null);
+            if let FV::Arr(a) = doc.resolve(&ids_fv)? {
+                if let Some(first) = a.first() {
+                    if let FV::Str(b) = doc.resolve(first)? {
+                        id0 = b;
+                    }
+                }
+            }
+            let crypt = Crypt::new(&mut doc, &enc_d, &id0)?;
+            doc.crypt = Some(Rc::new(crypt));
+            // objects parsed before the handler existed still hold
+            // ciphertext strings/streams — re-parse on demand
+            doc.cache.clear();
+            doc.objstm_cache.clear();
+        }
     }
     let root_fv = dget(&doc.trailer, b"Root").cloned().unwrap_or(FV::Null);
     let root = doc.resolve(&root_fv)?;
@@ -1578,5 +1646,410 @@ pub unsafe extern "C" fn tl_zlib_inflate_test(
     match zlib_inflate(data, MAX_DECODE_BYTES) {
         Ok(b) => crate::crypt::bytes_out(0, b),
         Err(_) => crate::crypt::bytes_out(1, Vec::new()),
+    }
+}
+
+// ------------------------------------------------------- decryption
+//
+// Port of tl_spark/operators/pdf_crypt.py StandardSecurityHandler for
+// the R2-R4 family (RC4 V1/V2, V4 crypt filters with V2/AESV2) and the
+// empty user/owner password — the schemes the whole-doc leg can see in
+// a crawl. V5/R5-R6 (AES-256, SHA-2 hardened hash) stays Python-side:
+// the doc leg bails and the pure-Python handler takes over. Every
+// ValueError the Python handler can raise maps to Bail here (the
+// fallback re-raises the exact message).
+
+const MD5_T: [u32; 64] = [
+    0xd76aa478, 0xe8c7b756, 0x242070db, 0xc1bdceee,
+    0xf57c0faf, 0x4787c62a, 0xa8304613, 0xfd469501,
+    0x698098d8, 0x8b44f7af, 0xffff5bb1, 0x895cd7be,
+    0x6b901122, 0xfd987193, 0xa679438e, 0x49b40821,
+    0xf61e2562, 0xc040b340, 0x265e5a51, 0xe9b6c7aa,
+    0xd62f105d, 0x02441453, 0xd8a1e681, 0xe7d3fbc8,
+    0x21e1cde6, 0xc33707d6, 0xf4d50d87, 0x455a14ed,
+    0xa9e3e905, 0xfcefa3f8, 0x676f02d9, 0x8d2a4c8a,
+    0xfffa3942, 0x8771f681, 0x6d9d6122, 0xfde5380c,
+    0xa4beea44, 0x4bdecfa9, 0xf6bb4b60, 0xbebfbc70,
+    0x289b7ec6, 0xeaa127fa, 0xd4ef3085, 0x04881d05,
+    0xd9d4d039, 0xe6db99e5, 0x1fa27cf8, 0xc4ac5665,
+    0xf4292244, 0x432aff97, 0xab9423a7, 0xfc93a039,
+    0x655b59c3, 0x8f0ccc92, 0xffeff47d, 0x85845dd1,
+    0x6fa87e4f, 0xfe2ce6e0, 0xa3014314, 0x4e0811a1,
+    0xf7537e82, 0xbd3af235, 0x2ad7d2bb, 0xeb86d391,
+];
+
+const MD5_S: [u32; 64] = [
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21,
+];
+
+/// RFC 1321 MD5 (verified against hashlib by tests/test_native_pdf.py
+/// through the encrypted-fixture parity path — a single wrong constant
+/// fails key derivation and the whole leg bails, caught by the
+/// "doc leg engaged on every variant" assertion).
+pub(crate) fn md5(msg: &[u8]) -> [u8; 16] {
+    let (mut a0, mut b0, mut c0, mut d0): (u32, u32, u32, u32) =
+        (0x67452301, 0xefcdab89, 0x98badcfe, 0x10325476);
+    let ml = (msg.len() as u64).wrapping_mul(8);
+    let mut padded = msg.to_vec();
+    padded.push(0x80);
+    while padded.len() % 64 != 56 {
+        padded.push(0);
+    }
+    padded.extend_from_slice(&ml.to_le_bytes());
+    for chunk in padded.chunks_exact(64) {
+        let mut m = [0u32; 16];
+        for (j, w) in m.iter_mut().enumerate() {
+            *w = u32::from_le_bytes([
+                chunk[4 * j],
+                chunk[4 * j + 1],
+                chunk[4 * j + 2],
+                chunk[4 * j + 3],
+            ]);
+        }
+        let (mut a, mut b, mut c, mut d) = (a0, b0, c0, d0);
+        for i in 0..64 {
+            let (f, g) = match i {
+                0..=15 => ((b & c) | (!b & d), i),
+                16..=31 => ((d & b) | (!d & c), (5 * i + 1) % 16),
+                32..=47 => (b ^ c ^ d, (3 * i + 5) % 16),
+                _ => (c ^ (b | !d), (7 * i) % 16),
+            };
+            let f = f
+                .wrapping_add(a)
+                .wrapping_add(MD5_T[i])
+                .wrapping_add(m[g]);
+            a = d;
+            d = c;
+            c = b;
+            b = b.wrapping_add(f.rotate_left(MD5_S[i]));
+        }
+        a0 = a0.wrapping_add(a);
+        b0 = b0.wrapping_add(b);
+        c0 = c0.wrapping_add(c);
+        d0 = d0.wrapping_add(d);
+    }
+    let mut out = [0u8; 16];
+    out[0..4].copy_from_slice(&a0.to_le_bytes());
+    out[4..8].copy_from_slice(&b0.to_le_bytes());
+    out[8..12].copy_from_slice(&c0.to_le_bytes());
+    out[12..16].copy_from_slice(&d0.to_le_bytes());
+    out
+}
+
+const PDF_PAD: [u8; 32] = [
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+];
+
+#[derive(Clone, Copy, PartialEq)]
+enum Method {
+    None,
+    Rc4,
+    Aes,
+}
+
+pub(crate) struct Crypt {
+    key: Vec<u8>,
+    stm: Method,
+    strm: Method,
+    encrypt_metadata: bool,
+}
+
+/// Python truthiness over parsed PDF values (`bool(resolve(x))`).
+fn pybool(fv: &FV) -> bool {
+    match fv {
+        FV::Null => false,
+        FV::Bool(b) => *b,
+        FV::Num { v, .. } => *v != 0.0, // NaN != 0.0 → truthy, like Python
+        FV::Str(b) | FV::Name(b) | FV::Kw(b) => !b.is_empty(),
+        FV::Arr(a) => !a.is_empty(),
+        FV::Dict(d) => !d.is_empty(),
+        FV::Stream(_) | FV::Sentinel => true,
+        FV::Ref(..) => true, // unreachable post-resolve
+    }
+}
+
+fn alg2_file_key(
+    padded_pwd: &[u8],
+    o: &[u8],
+    p: u32,
+    id0: &[u8],
+    r: i64,
+    n: usize,
+    encrypt_metadata: bool,
+) -> Vec<u8> {
+    let mut msg = Vec::with_capacity(96);
+    msg.extend_from_slice(padded_pwd);
+    msg.extend_from_slice(&o[..o.len().min(32)]);
+    msg.extend_from_slice(&p.to_le_bytes()); // <i of the masked P
+    msg.extend_from_slice(id0);
+    if !encrypt_metadata && r >= 4 {
+        msg.extend_from_slice(&[0xff, 0xff, 0xff, 0xff]);
+    }
+    let h = md5(&msg);
+    let mut key = h[..n.min(16)].to_vec();
+    if r >= 3 {
+        for _ in 0..50 {
+            let d = md5(&key[..n.min(key.len())]);
+            key = d[..n.min(16)].to_vec();
+        }
+    }
+    key.truncate(n);
+    key
+}
+
+fn alg45_user_check(key: &[u8], u: &[u8], id0: &[u8], r: i64) -> bool {
+    use crate::crypt::rc4_core;
+
+    if key.is_empty() {
+        return false; // rc4 with an empty key: Python would ZeroDivision
+    }
+    if r == 2 {
+        let x = rc4_core(key, &PDF_PAD);
+        return u.len() >= 32 && x == u[..32];
+    }
+    let mut msg = PDF_PAD.to_vec();
+    msg.extend_from_slice(id0);
+    let t = md5(&msg);
+    let mut x = rc4_core(key, &t);
+    for i in 1u8..20 {
+        let k2: Vec<u8> = key.iter().map(|b| b ^ i).collect();
+        x = rc4_core(&k2, &x);
+    }
+    u.len() >= 16 && x[..16] == u[..16]
+}
+
+fn alg3_owner_key(owner_padded: &[u8], r: i64, n: usize) -> Vec<u8> {
+    let mut h = md5(owner_padded);
+    if r >= 3 {
+        for _ in 0..50 {
+            h = md5(&h);
+        }
+    }
+    h[..n.min(16)].to_vec()
+}
+
+impl Crypt {
+    /// Mirror of StandardSecurityHandler.__init__ + _authenticate for
+    /// R2-R4. `enc` is the RESOLVED /Encrypt dict; nested values are
+    /// resolved through `doc` exactly like the Python resolve hook.
+    fn new(doc: &mut Doc, enc: &DictVec, id0: &[u8]) -> Result<Crypt, Bail> {
+        use crate::crypt::rc4_core;
+
+        let rsv = |doc: &mut Doc, d: &DictVec, k: &[u8]| -> Result<Option<FV>, Bail> {
+            match dget(d, k) {
+                None => Ok(None),
+                Some(fv) => Ok(Some(doc.resolve(fv)?)),
+            }
+        };
+        match rsv(doc, enc, b"Filter")? {
+            Some(fv) if typename(&fv) == Some(b"Standard") => {}
+            _ => return Err(Bail), // unsupported encryption filter
+        }
+        let geti = |doc: &mut Doc, d: &DictVec, k: &[u8], dflt: i64| -> Result<i64, Bail> {
+            match dget(d, k) {
+                None => Ok(dflt),
+                Some(fv) => {
+                    let r = doc.resolve(fv)?;
+                    as_int_trunc(&r).ok_or(Bail)
+                }
+            }
+        };
+        let v = geti(doc, enc, b"V", 0)?;
+        let r = geti(doc, enc, b"R", 0)?;
+        if !matches!(v, 1 | 2 | 4) || !matches!(r, 2 | 3 | 4) {
+            // V5/R5-6 and anything else: Python side (or ValueError)
+            return Err(Bail);
+        }
+        let o = match rsv(doc, enc, b"O")? {
+            Some(FV::Str(b)) => b,
+            _ => return Err(Bail), // bad /O
+        };
+        let u = match rsv(doc, enc, b"U")? {
+            Some(FV::Str(b)) => b,
+            _ => return Err(Bail), // bad /U
+        };
+        let p = (geti(doc, enc, b"P", -1)? & 0xFFFF_FFFF) as u32;
+        let encrypt_metadata = match rsv(doc, enc, b"EncryptMetadata")? {
+            None => true,
+            Some(fv) => pybool(&fv),
+        };
+        let length_bits = geti(doc, enc, b"Length", 40)?;
+        let mut n: i64 = if length_bits >= 40 {
+            length_bits.div_euclid(8)
+        } else {
+            length_bits
+        };
+        let mut stm = Method::Rc4;
+        let mut strm = Method::Rc4;
+        if v == 4 {
+            let cf: Rc<DictVec> = match rsv(doc, enc, b"CF")? {
+                Some(FV::Dict(d)) => d,
+                Some(fv) if !pybool(&fv) => Rc::new(Vec::new()),
+                None => Rc::new(Vec::new()),
+                Some(_) => return Err(Bail), // cf.get → AttributeError
+            };
+            let fname = |doc: &mut Doc, d: &DictVec, k: &[u8]| -> Result<Vec<u8>, Bail> {
+                match dget(d, k) {
+                    None => Ok(b"Identity".to_vec()),
+                    Some(fv) => {
+                        let rv = doc.resolve(fv)?;
+                        typename(&rv).map(|b| b.to_vec()).ok_or(Bail)
+                    }
+                }
+            };
+            let stmf = fname(doc, enc, b"StmF")?;
+            let strf = fname(doc, enc, b"StrF")?;
+            let mut method = |doc: &mut Doc, name: &[u8]| -> Result<(Method, i64), Bail> {
+                if name == b"Identity" {
+                    return Ok((Method::None, n));
+                }
+                let f = match dget(&cf, name) {
+                    None => return Err(Bail), // missing crypt filter
+                    Some(fv) => doc.resolve(fv)?,
+                };
+                let fd = match &f {
+                    FV::Dict(d) => d.clone(),
+                    _ => return Err(Bail),
+                };
+                let cfm = match dget(&fd, b"CFM") {
+                    None => Vec::new(),
+                    Some(fv) => {
+                        let rv = doc.resolve(fv)?;
+                        typename(&rv).map(|b| b.to_vec()).ok_or(Bail)?
+                    }
+                };
+                let mut ln = geti(doc, &fd, b"Length", n)?;
+                if ln >= 40 {
+                    ln = ln.div_euclid(8);
+                }
+                match cfm.as_slice() {
+                    b"V2" => Ok((Method::Rc4, ln)),
+                    b"AESV2" => Ok((Method::Aes, 16)),
+                    _ => Err(Bail), // unsupported crypt filter method
+                }
+            };
+            let (m1, n1) = method(doc, &stmf)?;
+            let (m2, n2) = method(doc, &strf)?;
+            stm = m1;
+            strm = m2;
+            n = n1.max(n2);
+        }
+        let n = n.clamp(5, 16) as usize;
+        // authenticate: empty USER password, then empty OWNER password
+        let key = alg2_file_key(&PDF_PAD, &o, p, id0, r, n, encrypt_metadata);
+        let key = if alg45_user_check(&key, &u, id0, r) {
+            key
+        } else {
+            let okey = alg3_owner_key(&PDF_PAD, r, n);
+            if okey.is_empty() {
+                return Err(Bail);
+            }
+            let user_padded: Vec<u8> = if r == 2 {
+                rc4_core(&okey, &o[..o.len().min(32)])
+            } else {
+                let mut d = o[..o.len().min(32)].to_vec();
+                for i in (0u8..20).rev() {
+                    let k2: Vec<u8> = okey.iter().map(|b| b ^ i).collect();
+                    d = rc4_core(&k2, &d);
+                }
+                d
+            };
+            let key2 = alg2_file_key(
+                &user_padded[..user_padded.len().min(32)],
+                &o,
+                p,
+                id0,
+                r,
+                n,
+                encrypt_metadata,
+            );
+            if !alg45_user_check(&key2, &u, id0, r) {
+                return Err(Bail); // password-protected (non-empty pwd)
+            }
+            key2
+        };
+        Ok(Crypt { key, stm, strm, encrypt_metadata })
+    }
+
+    fn obj_key(&self, num: i64, gen: i64, aes: bool) -> Vec<u8> {
+        let mut msg = self.key.clone();
+        let nm = (num & 0xFF_FFFF) as u32;
+        msg.extend_from_slice(&nm.to_le_bytes()[..3]);
+        let gn = (gen & 0xFFFF) as u16;
+        msg.extend_from_slice(&gn.to_le_bytes());
+        if aes {
+            msg.extend_from_slice(b"sAlT");
+        }
+        let h = md5(&msg);
+        h[..(self.key.len() + 5).min(16)].to_vec()
+    }
+
+    fn apply(&self, method: Method, data: &[u8], num: i64, gen: i64) -> Result<Vec<u8>, Bail> {
+        use crate::crypt::{aes_cbc_core, rc4_core};
+
+        match method {
+            Method::None => Ok(data.to_vec()),
+            _ if data.is_empty() => Ok(data.to_vec()),
+            Method::Rc4 => {
+                let k = self.obj_key(num, gen, false);
+                if k.is_empty() {
+                    return Err(Bail);
+                }
+                Ok(rc4_core(&k, data))
+            }
+            Method::Aes => {
+                let k = self.obj_key(num, gen, true);
+                if data.len() < 16 {
+                    return Err(Bail); // AES ciphertext shorter than IV
+                }
+                let iv: [u8; 16] = match data[..16].try_into() {
+                    Ok(x) => x,
+                    Err(_) => return Err(Bail),
+                };
+                let ct = &data[16..];
+                let ct = &ct[..ct.len() - ct.len() % 16]; // ragged tail
+                let pt = aes_cbc_core(&k, &iv, ct).ok_or(Bail)?;
+                // lenient PKCS#7 unpad (pdf_crypt.aes_cbc_decrypt)
+                if let Some(&last) = pt.last() {
+                    let nn = last as usize;
+                    if (1..=16).contains(&nn) && nn <= pt.len() {
+                        return Ok(pt[..pt.len() - nn].to_vec());
+                    }
+                }
+                Ok(pt)
+            }
+        }
+    }
+
+    fn decrypt_stream(&self, data: &[u8], num: i64, gen: i64) -> Result<Vec<u8>, Bail> {
+        self.apply(self.stm, data, num, gen)
+    }
+
+    /// decrypt_object: every Str anywhere in the value tree.
+    fn decrypt_value(&self, fv: &FV, num: i64, gen: i64) -> Result<FV, Bail> {
+        match fv {
+            FV::Str(b) => Ok(FV::Str(self.apply(self.strm, b, num, gen)?)),
+            FV::Arr(a) => {
+                let mut out = Vec::with_capacity(a.len());
+                for v in a.iter() {
+                    out.push(self.decrypt_value(v, num, gen)?);
+                }
+                Ok(FV::Arr(Rc::new(out)))
+            }
+            FV::Dict(d) => {
+                let mut out: DictVec = Vec::with_capacity(d.len());
+                for (k, v) in d.iter() {
+                    out.push((k.clone(), self.decrypt_value(v, num, gen)?));
+                }
+                Ok(FV::Dict(Rc::new(out)))
+            }
+            other => Ok(other.clone()),
+        }
     }
 }

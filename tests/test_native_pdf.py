@@ -303,11 +303,10 @@ def test_doc_leg_used_and_bitequal_on_eight_variants():
         v = i % 8
         d = pdf_bytes_variant(t, v, rot=i % 3)
         nat = native_pdf.doc_chunks(d)
-        if v in (4, 5):
-            # encrypted: decryption stays Python-side → leg bails
-            assert nat is None
-            continue
         assert nat is not None, f"doc leg bailed on variant {v}"
+        # variants 4 (RC4 V2/R3) and 5 (AES-128 V4/R4) pin the native
+        # security handler: a single wrong MD5 constant or key-salting
+        # byte fails authentication and the leg bails
         ref = [
             [(c.x0, c.y, c.x1, c.size, c.text) for c in page]
             for page in _doc_chunks(PdfDocument(d))
