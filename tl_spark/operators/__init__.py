@@ -1,3 +1,9 @@
+from tl_spark.operators.mp3 import (  # noqa: F401
+    audio_stream_info,
+    mp3_frame_bytes,
+    mp3_stream_info,
+    synth_mp3_media,
+)
 from tl_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
     minhash_signatures,
