@@ -1,3 +1,9 @@
+from tl_spark.operators.mp4 import (  # noqa: F401
+    mp4_bytes,
+    mp4_stream_info,
+    synth_mp4_media,
+    video_stream_info,
+)
 from tl_spark.operators.mp3 import (  # noqa: F401
     audio_stream_info,
     mp3_frame_bytes,
