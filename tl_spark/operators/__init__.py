@@ -1,3 +1,8 @@
+from tl_spark.operators.media_info import (  # noqa: F401
+    image_header_info,
+    media_payload_info,
+    media_stream_info,
+)
 from tl_spark.operators.mp4 import (  # noqa: F401
     mp4_bytes,
     mp4_stream_info,

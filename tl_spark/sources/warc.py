@@ -290,3 +290,36 @@ def extract_warc_pdf(
         passthrough=("warc_file", "record_idx", "target_uri"),
         on_error=on_error,
     )
+
+
+def extract_warc_media(
+    spark: SparkSession,
+    path: str,
+    on_error: str = "skip",
+) -> DataFrame:
+    """Crawl-side media metadata: WARC records -> 200-status non-HTML
+    payloads -> the unified magic-byte media router
+    (operators/media_info.py). One row per RECOGNIZED payload:
+    (warc_file, record_idx, target_uri, kind, container, width,
+    height, duration_ms, sample_rate, channels, bitrate_kbps,
+    n_samples, clean). Dispatch is by payload magic, not Content-Type
+    (crawl headers lie); unrecognized payloads follow ``on_error``
+    (default "skip" — the crawl posture). Map-only, zero shuffle, the
+    same scaling shape as the HTML and PDF legs."""
+    from pyspark.sql import functions as F
+
+    from tl_spark.operators.media_info import media_stream_info
+
+    recs = read_warc(spark, path, on_error=on_error)
+    cand = recs.filter(
+        (F.col("http_status") == 200)
+        & ~F.col("content_type").contains("text/html")
+        & ~F.col("content_type").contains("application/pdf")
+    ).select("warc_file", "record_idx", "target_uri", "body")
+    return media_stream_info(
+        cand,
+        payload_col="body",
+        id_col="record_idx",
+        passthrough=("warc_file", "target_uri"),
+        on_error=on_error,
+    )
