@@ -246,6 +246,10 @@ SUITE_GATED_BEYOND_WINDOW = {
     # exact DuckDB check continues below in
     # test_rotated_r7_queries_still_match_oracle
     "lookup_by_id_tracked": "tests/test_driver_contract.py::ROTATED_R7",
+    # rotated out in round 7, second rotation (slot now carries
+    # media_info_docs); exact DuckDB check continues below in
+    # test_rotated_r7_queries_still_match_oracle
+    "doc_html_version": "tests/test_driver_contract.py::ROTATED_R7",
     # born beyond the window in round 7: the columns="auto" X-Y-cut
     # path under the same closed-form oracle as pdf_extract_docs,
     # plus a pinned negative (columns="off" must NOT match on the
@@ -387,6 +391,9 @@ def test_rotated_r6_queries_still_match_oracle(spark, ddb, name):
 # ROTATED_R5.
 ROTATED_R7 = {
     "lookup_by_id_tracked": "LOOKUP_BY_ID_SQL",
+    # second r7 rotation: slot carries media_info_docs; version
+    # detection stays golden-pinned on 774 docs across both legs
+    "doc_html_version": "DOC_HTML_VERSION_SQL",
 }
 
 

@@ -304,3 +304,103 @@ def media_stream_info(
         )
     )
     return src.mapInArrow(fn, f"{fields}, {_INFO_SCHEMA_PREFIX}")
+
+
+# ---------------------------------------------------------------------------
+# doc_id-keyed synthesis (driver-oracle harness)
+# ---------------------------------------------------------------------------
+
+
+def png_bytes(w: int, h: int) -> bytes:
+    """A fully valid minimal PNG: IHDR + one zlib IDAT of a zeroed
+    8-bit RGB raster + IEND, all CRCs real."""
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raster = (b"\x00" + b"\x00" * (3 * w)) * h
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def gif_header_bytes(w: int, h: int) -> bytes:
+    """GIF89a logical-screen descriptor + trailer (header-complete;
+    the full-image GIF path lives in multimodal.synth_gif_media)."""
+    return b"GIF89a" + struct.pack("<HHBBB", w, h, 0x00, 0, 0) + b"\x3b"
+
+
+def bmp_bytes(w: int, h: int) -> bytes:
+    """A fully valid 24-bpp bottom-up BMP with a zeroed raster."""
+    row = (3 * w + 3) // 4 * 4
+    raster = b"\x00" * (row * h)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return header + raster
+
+
+def synth_media_for_docs(df, id_col: str = "doc_id"):
+    """doc_id-keyed REAL media payloads in five container variants
+    (doc_id % 5 → png / gif / bmp / mp3 / mp4) whose metadata is a
+    closed form over doc_id — the driver-oracle harness for
+    :func:`media_stream_info` (queries.media_info_docs):
+
+    - images: width = 16 + doc_id%101, height = 16 + doc_id%67
+    - mp3 (CBR 128): frames = 20 + doc_id%11, sample rate by doc_id%3
+      (44100/48000/32000), mono when doc_id is odd
+    - mp4: duration units = 500 + (doc_id%97)*37 at timescale
+      600 + (doc_id%3)*400; 320+(doc_id%4)*160 × 180+(doc_id%4)*90;
+      24 + doc_id%7 samples
+    """
+    import pyarrow as pa
+
+    from tl_spark.operators.mp3 import mp3_frame_bytes
+    from tl_spark.operators.mp4 import mp4_bytes
+
+    def _payload(i: int) -> bytes:
+        v = i % 5
+        if v <= 2:
+            w, h = 16 + i % 101, 16 + i % 67
+            return (png_bytes, gif_header_bytes, bmp_bytes)[v](w, h)
+        if v == 3:
+            return mp3_frame_bytes(
+                20 + i % 11,
+                bitrates=128,
+                sample_rate=(44100, 48000, 32000)[i % 3],
+                channels=1 if i % 2 else 2,
+                seed=i,
+            )
+        return mp4_bytes(
+            duration_units=500 + (i % 97) * 37,
+            timescale=600 + (i % 3) * 400,
+            width=320 + (i % 4) * 160,
+            height=180 + (i % 4) * 90,
+            n_samples=24 + i % 7,
+            seed=i,
+        )
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(
+                        [_payload(int(i)) for i in ids], type=pa.binary()
+                    ),
+                ],
+                names=[id_col, "payload"],
+            )
+
+    return df.select(id_col).mapInArrow(fn, f"{id_col} long, payload binary")

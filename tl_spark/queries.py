@@ -1704,6 +1704,66 @@ SELECT doc_id, 'HTML5' AS html_version FROM documents ORDER BY doc_id
 """
 
 
+def media_info_docs(spark, sf_dir):
+    """The unified media metadata router end-to-end (LLM-pipeline
+    scope; no reference analog — y21/tl is HTML-only). Each document
+    id keys a REAL media payload in one of five container variants
+    (doc_id % 5: PNG / GIF / 24-bpp BMP / MPEG-1 Layer III frame
+    chain / ISO BMFF movie — operators/media_info.synth_media_for_docs),
+    then media_stream_info routes it by MAGIC BYTES to the real
+    parser: header-only image dims, the MPEG frame walk, the BMFF box
+    tree. SQL-checkable because every payload parameter is a closed
+    form over doc_id (the writers are exact; rounding was checked to
+    have no half-integer cases, so DuckDB round == Python round).
+    Plan: synth + route co-located, map-only; the trailing orderBy is
+    the driver-hash determinism Exchange, drop it in production."""
+    from tl_spark.operators.media_info import (
+        media_stream_info,
+        synth_media_for_docs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = synth_media_for_docs(docs, id_col="doc_id")
+    out = media_stream_info(media, id_col="doc_id", on_error="raise")
+    return out.select(
+        "doc_id", "kind", "container", "width", "height", "duration_ms",
+        "sample_rate", "channels", "bitrate_kbps", "n_samples",
+    ).orderBy("doc_id")
+
+
+MEDIA_INFO_SQL = """
+WITH m AS (SELECT doc_id, doc_id % 5 AS v FROM documents)
+SELECT doc_id,
+  CASE WHEN v <= 2 THEN 'image' WHEN v = 3 THEN 'audio'
+       ELSE 'video' END AS kind,
+  CASE v WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+         WHEN 3 THEN 'mp3' ELSE 'mp4' END AS container,
+  CAST(CASE WHEN v <= 2 THEN 16 + doc_id % 101
+            WHEN v = 4 THEN 320 + (doc_id % 4) * 160
+            ELSE 0 END AS BIGINT) AS width,
+  CAST(CASE WHEN v <= 2 THEN 16 + doc_id % 67
+            WHEN v = 4 THEN 180 + (doc_id % 4) * 90
+            ELSE 0 END AS BIGINT) AS height,
+  CAST(CASE WHEN v = 3 THEN round((20 + doc_id % 11) * 1152 * 1000.0 /
+                 (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                       ELSE 32000 END))
+            WHEN v = 4 THEN round((500 + (doc_id % 97) * 37) * 1000.0 /
+                 (600 + (doc_id % 3) * 400))
+            ELSE 0 END AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN v = 3 THEN CASE doc_id % 3 WHEN 0 THEN 44100
+                 WHEN 1 THEN 48000 ELSE 32000 END
+            ELSE 0 END AS BIGINT) AS sample_rate,
+  CAST(CASE WHEN v = 3 THEN CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END
+            ELSE 0 END AS BIGINT) AS channels,
+  CAST(CASE WHEN v = 3 THEN 128 ELSE 0 END AS BIGINT) AS bitrate_kbps,
+  CAST(CASE WHEN v = 3 THEN 20 + doc_id % 11
+            WHEN v = 4 THEN 24 + doc_id % 7
+            ELSE 0 END AS BIGINT) AS n_samples
+FROM m
+ORDER BY doc_id
+"""
+
+
 def _doc_transcripts(d):
     """HTML-wrap the documents table as single-turn transcripts
     (conv_id constant, turn_idx = doc_id) — the curation queries'
@@ -2327,7 +2387,15 @@ def queries():
         "curate_documents_clusters": curate_documents_clusters,
         "doc_classifier_scores": doc_classifier_scores,
         "doc_outer_html_roundtrip": doc_outer_html_roundtrip,
-        "doc_html_version": doc_html_version,
+        # Round-7 second rotation: media_info_docs (the unified
+        # magic-byte media router over five REAL container variants —
+        # sitting 3's LLM-pipeline flagship) takes the slot of
+        # doc_html_version, which is triply redundant (the 774-doc
+        # golden corpus pins VDom::version per doc across native AND
+        # Python legs, and read_markdown's doctype path has its own
+        # oracle). It keeps its exact DuckDB check as a suite-oracle
+        # (test_driver_contract.py ROTATED_R7).
+        "media_info_docs": media_info_docs,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
         "curate_documents": curate_documents,
         # The driver verifies only the FIRST 50 registry entries
@@ -2338,6 +2406,10 @@ def queries():
         # checks as suite-oracles in tests/test_driver_contract.py.
         "media_image_features": media_image_features,
         "media_frame_sample": media_frame_sample,
+        # rotated out in round 7 (slot carries media_info_docs); keeps
+        # its exact DuckDB oracle as a suite gate (ROTATED_R7) and the
+        # golden corpus pins version detection three other ways
+        "doc_html_version": doc_html_version,
         "selector_attr_ws": selector_attr_ws,
         "selector_id_class": selector_id_class,
         "lookup_by_id": lookup_by_id,
@@ -2422,7 +2494,7 @@ def oracle_sql():
         # stays and gates it as a suite-oracle (ROTATED_R7).
         "semantic_dedup_docs": SEMANTIC_DEDUP_SQL,
         "doc_outer_html_roundtrip": DOC_OUTER_HTML_SQL,
-        "doc_html_version": DOC_HTML_VERSION_SQL,
+        "media_info_docs": MEDIA_INFO_SQL,
         # media_image_features: the deterministic fake decoder is a
         # sha256 byte stream — not SQL-reproducible -> rows-only check
     }
