@@ -222,6 +222,33 @@ def main() -> None:
 
     timed("pdf_extract", run_pdf)
 
+    # round-7 addition: the unified media metadata router (magic-byte
+    # dispatch to header-only image dims / MPEG frame walk / BMFF box
+    # tree). Payloads pre-rendered from the documents table in five
+    # container variants (synth+write untimed, same protocol); the
+    # timed leg is routing + real parsing only.
+    mpath = f"/tmp/tl_bench_media_{sf}"
+    if not Path(mpath, "_SUCCESS").exists():
+        from tl_spark.operators.media_info import synth_media_for_docs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id"
+        )
+        synth_media_for_docs(docs).repartition(max(8, int(cpus))).write.mode(
+            "overwrite"
+        ).parquet(mpath)
+
+    def run_media():
+        from tl_spark.operators.media_info import media_stream_info
+
+        consume(
+            media_stream_info(
+                spark.read.parquet(mpath), id_col="doc_id"
+            )
+        )
+
+    timed("media_info", run_media)
+
     total = round(sum(timings.values()), 3)
     turns_per_sec = round(n_turns / timings["extract_transcripts"], 1)
     print(
