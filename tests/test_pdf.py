@@ -1131,3 +1131,40 @@ def test_poisoned_kernel_propagates_under_skip(monkeypatch):
     monkeypatch.setattr(pdfmod, "extract_pdf_pages", malformed)
     out = list(fn(iter([batch])))
     assert sum(b.num_rows for b in out) == 0
+
+
+def test_font_cache_survives_dict_id_reuse():
+    """Regression (round-7 whole-doc differential fuzz, trial 9305): a
+    page whose Tf names a MISSING resource materializes the default
+    font from a short-lived {}; with the old bare-id() doc cache key a
+    later-parsed real font dict could land on the recycled address and
+    silently inherit the default font. The cache now holds the dict in
+    the value (identity-checked), so the aliasing is impossible; this
+    pins the observable contract on a crafted two-page doc."""
+    import gc
+
+    from tl_spark.operators.pdf import PdfDocument, _Interp, pdf_bytes
+
+    # two pages of non-ASCII text → Type0/Identity-H font, raw content
+    d = pdf_bytes("δέλτα εψιλον " * 24, 0)
+    # corrupt page 0's Tf operand only (the SECOND /F1 occurrence —
+    # the first is the /Resources dict; variant-0 content is raw, so
+    # the byte patch is safe)
+    at = d.index(b"/F1 ", d.index(b"/F1 ") + 1)
+    d = d[:at] + b"/Fx " + d[at + 4 :]
+    doc = PdfDocument(d)
+    pages = doc.pages()
+    assert len(pages) >= 2
+    outs = []
+    for p in pages:
+        it = _Interp(doc, p.get("Resources", {}))
+        content = doc.page_content(p)
+        outs.append(it.run(content))
+        gc.collect()  # encourage id reuse between pages
+    # page 0 used the default font (missing name) — 1-byte decode of
+    # UTF-16BE codes; page 1 MUST still decode through the real font
+    assert "δέλτα" not in "".join(c.text for c in outs[0])
+    assert any("δέλτα" in c.text for c in outs[1])
+    # structural pin: the doc-scoped cache holds the dict in the value
+    for ent in doc._font_cache.values():
+        assert isinstance(ent, tuple) and len(ent) == 2

@@ -1447,12 +1447,20 @@ class _Interp:
             fd = self.font_res.get(name)
             rd = self.doc.resolve(fd) if fd is not None else {}
             # decoders are doc-scoped: ToUnicode/Widths parse once per
-            # document, not once per page
+            # document, not once per page. The cache holds rd in the
+            # VALUE: keying by a bare id() let a freed dict's recycled
+            # address alias a LATER font dict (a page whose Tf named a
+            # missing resource cached the default font under a
+            # short-lived {}; the real font dict parsed afterwards
+            # could land on the same address and silently inherit it —
+            # found by the whole-document differential fuzz, r7).
             key = id(rd)
-            f = self.doc._font_cache.get(key)
-            if f is None:
+            ent = self.doc._font_cache.get(key)
+            if ent is not None and ent[0] is rd:
+                f = ent[1]
+            else:
                 f = _Font(self.doc, rd)
-                self.doc._font_cache[key] = f
+                self.doc._font_cache[key] = (rd, f)
             self._font_cache[name] = f
         return f
 
