@@ -293,6 +293,65 @@ fn expand_key(key: &[u8]) -> Option<Vec<[u8; 16]>> {
 
 const INV_SHIFT: [usize; 16] = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3];
 
+// forward ShiftRows source map (inverse permutation of INV_SHIFT)
+const FWD_SHIFT: [usize; 16] =
+    [0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11];
+
+fn encrypt_block(rks: &[[u8; 16]], pt: &[u8], out: &mut [u8; 16]) {
+    let t = tables();
+    let nr = rks.len() - 1;
+    let mut st = [0u8; 16];
+    for i in 0..16 {
+        st[i] = pt[i] ^ rks[0][i];
+    }
+    for rk in rks.iter().take(nr).skip(1) {
+        // SubBytes + ShiftRows
+        let mut tmp = [0u8; 16];
+        for i in 0..16 {
+            tmp[i] = t.sbox[st[FWD_SHIFT[i]] as usize];
+        }
+        // MixColumns + AddRoundKey
+        for c in 0..4 {
+            let (b0, b1, b2, b3) =
+                (tmp[4 * c], tmp[4 * c + 1], tmp[4 * c + 2], tmp[4 * c + 3]);
+            let m3 = |x: u8| xtime(x) ^ x;
+            st[4 * c] = xtime(b0) ^ m3(b1) ^ b2 ^ b3 ^ rk[4 * c];
+            st[4 * c + 1] = b0 ^ xtime(b1) ^ m3(b2) ^ b3 ^ rk[4 * c + 1];
+            st[4 * c + 2] = b0 ^ b1 ^ xtime(b2) ^ m3(b3) ^ rk[4 * c + 2];
+            st[4 * c + 3] = m3(b0) ^ b1 ^ b2 ^ xtime(b3) ^ rk[4 * c + 3];
+        }
+    }
+    for i in 0..16 {
+        out[i] = t.sbox[st[FWD_SHIFT[i]] as usize] ^ rks[nr][i];
+    }
+}
+
+/// CBC encrypt WITHOUT padding (pt length must be a multiple of 16) —
+/// the ISO 32000-2 Algorithm 2.B hardened-hash inner loop (doc.rs).
+pub(crate) fn aes_cbc_encrypt_core(
+    key: &[u8],
+    iv: &[u8; 16],
+    pt: &[u8],
+) -> Option<Vec<u8>> {
+    if !matches!(key.len(), 16 | 24 | 32) || pt.len() % 16 != 0 {
+        return None;
+    }
+    let rks = expand_key(key)?;
+    let mut out = vec![0u8; pt.len()];
+    let mut prev: [u8; 16] = *iv;
+    let mut blk = [0u8; 16];
+    for (i, p) in pt.chunks_exact(16).enumerate() {
+        let mut x = [0u8; 16];
+        for k in 0..16 {
+            x[k] = p[k] ^ prev[k];
+        }
+        encrypt_block(&rks, &x, &mut blk);
+        out[16 * i..16 * i + 16].copy_from_slice(&blk);
+        prev = blk;
+    }
+    Some(out)
+}
+
 fn xtime(a: u8) -> u8 {
     (a << 1) ^ if a & 0x80 != 0 { 0x1B } else { 0 }
 }

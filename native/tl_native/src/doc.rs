@@ -1758,6 +1758,7 @@ pub(crate) struct Crypt {
     stm: Method,
     strm: Method,
     encrypt_metadata: bool,
+    v5: bool, // AES-256 (R5/R6): file key used directly, no salting
 }
 
 /// Python truthiness over parsed PDF values (`bool(resolve(x))`).
@@ -1771,6 +1772,51 @@ fn pybool(fv: &FV) -> bool {
         FV::Dict(d) => !d.is_empty(),
         FV::Stream(_) | FV::Sentinel => true,
         FV::Ref(..) => true, // unreachable post-resolve
+    }
+}
+
+/// ISO 32000-2 Algorithm 2.B (R6 hardened hash) / the R5 plain
+/// SHA-256, shared salt+udata shape (pdf_crypt._r56_hash).
+fn r56_hash(pwd: &[u8], salt: &[u8], udata: &[u8], r: i64) -> Result<Vec<u8>, Bail> {
+    use crate::crypt::aes_cbc_encrypt_core;
+    use crate::sha2::{sha256, sha384, sha512};
+
+    let mut msg = pwd.to_vec();
+    msg.extend_from_slice(salt);
+    msg.extend_from_slice(udata);
+    let mut k: Vec<u8> = sha256(&msg).to_vec();
+    if r == 5 {
+        return Ok(k);
+    }
+    let mut i: u32 = 0;
+    loop {
+        let mut unit = pwd.to_vec();
+        unit.extend_from_slice(&k);
+        unit.extend_from_slice(udata);
+        let mut k1 = Vec::with_capacity(unit.len() * 64);
+        for _ in 0..64 {
+            k1.extend_from_slice(&unit);
+        }
+        let key16: [u8; 16] = k[..16].try_into().map_err(|_| Bail)?;
+        let iv: [u8; 16] = k[16..32].try_into().map_err(|_| Bail)?;
+        let e = aes_cbc_encrypt_core(&key16, &iv, &k1).ok_or(Bail)?;
+        let sum: u32 = e[..16].iter().map(|&b| b as u32).sum();
+        k = match sum % 3 {
+            0 => sha256(&e).to_vec(),
+            1 => sha384(&e).to_vec(),
+            _ => sha512(&e).to_vec(),
+        };
+        i += 1;
+        if i >= 64 {
+            let last = *e.last().ok_or(Bail)?;
+            if (last as u32) <= i - 32 {
+                k.truncate(32);
+                return Ok(k);
+            }
+        }
+        if i > 100_000 {
+            return Err(Bail); // cannot happen (last<=i-32 by i=287)
+        }
     }
 }
 
@@ -1862,8 +1908,9 @@ impl Crypt {
         };
         let v = geti(doc, enc, b"V", 0)?;
         let r = geti(doc, enc, b"R", 0)?;
-        if !matches!(v, 1 | 2 | 4) || !matches!(r, 2 | 3 | 4) {
-            // V5/R5-6 and anything else: Python side (or ValueError)
+        let v5 = v == 5 && matches!(r, 5 | 6);
+        if !v5 && (!matches!(v, 1 | 2 | 4) || !matches!(r, 2 | 3 | 4)) {
+            // exotic V/R mixes: Python side (or its ValueError)
             return Err(Bail);
         }
         let o = match rsv(doc, enc, b"O")? {
@@ -1940,6 +1987,47 @@ impl Crypt {
             strm = m2;
             n = n1.max(n2);
         }
+        if v5 {
+            // ISO 32000-2 AES-256: validation salts in /U and /O, the
+            // file key wrapped in /UE //OE (empty user, then owner pwd)
+            use crate::crypt::aes_cbc_core;
+
+            let _ = n;
+            if u.len() < 48 {
+                return Err(Bail); // bad /U for R5/R6
+            }
+            let wrapped: Vec<u8>;
+            let ik: Vec<u8>;
+            if r56_hash(b"", &u[32..40], b"", r)?.as_slice() == &u[..32] {
+                let ue = match rsv(doc, enc, b"UE")? {
+                    Some(FV::Str(b)) if b.len() >= 32 => b,
+                    _ => return Err(Bail), // bad /UE
+                };
+                ik = r56_hash(b"", &u[40..48], b"", r)?;
+                wrapped = ue[..32].to_vec();
+            } else if o.len() >= 48
+                && r56_hash(b"", &o[32..40], &u[..48], r)?.as_slice()
+                    == &o[..32]
+            {
+                let oe = match rsv(doc, enc, b"OE")? {
+                    Some(FV::Str(b)) if b.len() >= 32 => b,
+                    _ => return Err(Bail), // bad /OE
+                };
+                ik = r56_hash(b"", &o[40..48], &u[..48], r)?;
+                wrapped = oe[..32].to_vec();
+            } else {
+                return Err(Bail); // password-protected (non-empty pwd)
+            }
+            let key =
+                aes_cbc_core(&ik, &[0u8; 16], &wrapped).ok_or(Bail)?;
+            return Ok(Crypt {
+                key,
+                stm: Method::Aes,
+                strm: Method::Aes,
+                encrypt_metadata,
+                v5: true,
+            });
+        }
         let n = n.clamp(5, 16) as usize;
         // authenticate: empty USER password, then empty OWNER password
         let key = alg2_file_key(&PDF_PAD, &o, p, id0, r, n, encrypt_metadata);
@@ -1974,10 +2062,13 @@ impl Crypt {
             }
             key2
         };
-        Ok(Crypt { key, stm, strm, encrypt_metadata })
+        Ok(Crypt { key, stm, strm, encrypt_metadata, v5: false })
     }
 
     fn obj_key(&self, num: i64, gen: i64, aes: bool) -> Vec<u8> {
+        if self.v5 {
+            return self.key.clone(); // AES-256: no per-object salting
+        }
         let mut msg = self.key.clone();
         let nm = (num & 0xFF_FFFF) as u32;
         msg.extend_from_slice(&nm.to_le_bytes()[..3]);

@@ -19,6 +19,7 @@ mod dom;
 mod entropy;
 mod inflate;
 mod pdf;
+mod sha2;
 
 /// ident charset [0-9A-Za-z\-_:+/] (htmlparse.py `_IDENT_TABLE`)
 const fn make_ident() -> [bool; 256] {

@@ -456,3 +456,52 @@ def test_native_inflate_differential_fuzz():
         assert n == p, ("mutate", trial)
         n_div += n is None
     assert n_div > 0  # the corpus did exercise the error paths
+
+
+def test_doc_leg_decrypts_aes256_v5r6():
+    """ISO 32000-2 AES-256 (V5/R6): the native doc leg must ENGAGE
+    (not bail) and match the Python handler byte-for-byte. This
+    end-to-end pins the from-scratch SHA-256/384/512 and the
+    Algorithm 2.B hardened hash — a single wrong constant fails
+    authentication and the engagement assertion trips."""
+    from tl_spark.operators.pdf import extract_pdf_pages_with_spans, pdf_bytes
+    from tl_spark.operators.pdf_crypt import encrypt_pdf
+
+    for i, t in enumerate(
+        ["alpha beta gamma delta " * 30, "δέλτα 北京 😀 über " * 25]
+    ):
+        enc = encrypt_pdf(pdf_bytes(t, i % 4), method="aes256")
+        assert native_pdf.doc_chunks(enc) is not None, "doc leg bailed"
+        nat = extract_pdf_pages_with_spans(enc)
+        with _native_disabled():
+            ref = extract_pdf_pages_with_spans(enc)
+        assert nat == ref and nat
+
+
+def test_doc_leg_aes256_mutation_fuzz():
+    """Mutations over AES-256 fixtures: same pages or same exception
+    (corrupt /U//UE validation salts, wrapped keys, stream bodies)."""
+    from tl_spark.operators.pdf import pdf_bytes
+    from tl_spark.operators.pdf_crypt import encrypt_pdf
+
+    rng = random.Random(41)
+    base = [
+        encrypt_pdf(pdf_bytes(t, i % 4), method="aes256")
+        for i, t in enumerate(_texts(4, words=24))
+    ]
+    for trial in range(120):
+        src = rng.choice(base)
+        d = bytearray(src)
+        if trial % 2 == 0:
+            # aim at the /Encrypt dictionary region
+            at = max(0, src.find(b"/Encrypt") - 600)
+            lo, hi = at, min(len(d), at + 1200)
+        else:
+            lo, hi = 0, len(d)
+        for _ in range(rng.randrange(1, 5)):
+            d[rng.randrange(lo, hi)] = rng.randrange(256)
+        d = bytes(d)
+        nat = _extract_outcome(d)
+        with _native_disabled():
+            ref = _extract_outcome(d)
+        assert nat == ref, (trial, nat[0], ref[0])
