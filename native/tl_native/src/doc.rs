@@ -2144,3 +2144,46 @@ impl Crypt {
         }
     }
 }
+
+/// R5/R6 key-derivation hash as a standalone export: the Python
+/// security handler AND the encrypted-fixture writer call this
+/// through kernel/native_crypt.r56_hash — Algorithm 2.B's 64+ rounds
+/// of dependent AES-CBC over multi-KB buffers dominate fixture
+/// synthesis otherwise. Python remains source of truth + fallback;
+/// parity is pinned by tests (native-vs-Python over random
+/// pwd/salt/udata and by the encrypted round-trips).
+///
+/// # Safety
+/// All pointers readable for their lengths.
+#[no_mangle]
+pub unsafe extern "C" fn tl_r56_hash(
+    pwd: *const u8,
+    pwd_len: i64,
+    salt: *const u8,
+    salt_len: i64,
+    udata: *const u8,
+    udata_len: i64,
+    r: i64,
+) -> *mut crate::crypt::TlBytesOut {
+    let grab = |p: *const u8, n: i64| -> Option<&'static [u8]> {
+        if n < 0 || (p.is_null() && n > 0) {
+            None
+        } else if n == 0 {
+            Some(&[])
+        } else {
+            Some(std::slice::from_raw_parts(p, n as usize))
+        }
+    };
+    let (pwd, salt, udata) = match (
+        grab(pwd, pwd_len),
+        grab(salt, salt_len),
+        grab(udata, udata_len),
+    ) {
+        (Some(a), Some(b), Some(c)) => (a, b, c),
+        _ => return crate::crypt::bytes_out(1, Vec::new()),
+    };
+    match r56_hash(pwd, salt, udata, r) {
+        Ok(k) => crate::crypt::bytes_out(0, k),
+        Err(Bail) => crate::crypt::bytes_out(1, Vec::new()),
+    }
+}

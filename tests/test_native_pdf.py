@@ -505,3 +505,20 @@ def test_doc_leg_aes256_mutation_fuzz():
         with _native_disabled():
             ref = _extract_outcome(d)
         assert nat == ref, (trial, nat[0], ref[0])
+
+
+def test_native_r56_hash_parity():
+    """Algorithm 2.B native leg vs the pure-Python loop: bit-equal
+    over random pwd/salt/udata shapes (both the handler and the
+    fixture writer route through it)."""
+    from tl_spark.kernel import native_crypt
+    from tl_spark.operators.pdf_crypt import _hash_2b
+
+    if native_crypt.r56_hash(b"", b"\x00" * 8, b"", 6) is None:
+        pytest.skip("stale cdylib without tl_r56_hash")
+    rng = random.Random(5)
+    for _ in range(24):
+        pwd = bytes(rng.randrange(256) for _ in range(rng.choice([0, 3, 8])))
+        salt = bytes(rng.randrange(256) for _ in range(8))
+        ud = bytes(rng.randrange(256) for _ in range(rng.choice([0, 48])))
+        assert native_crypt.r56_hash(pwd, salt, ud, 6) == _hash_2b(pwd, salt, ud)

@@ -63,6 +63,17 @@ def load():
             ]
             lib.tl_a85_decode.restype = ctypes.POINTER(_TlBytesOut)
             lib.tl_a85_decode.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            try:
+                lib.tl_r56_hash.restype = ctypes.POINTER(_TlBytesOut)
+                lib.tl_r56_hash.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64,
+                    ctypes.c_char_p, ctypes.c_int64,
+                    ctypes.c_char_p, ctypes.c_int64,
+                    ctypes.c_int64,
+                ]
+                lib._tl_has_r56 = True
+            except AttributeError:
+                lib._tl_has_r56 = False
             lib.tl_bytes_free.restype = None
             lib.tl_bytes_free.argtypes = [ctypes.POINTER(_TlBytesOut)]
             _LIB = lib
@@ -114,3 +125,15 @@ def aes_cbc_decrypt_raw(key: bytes, iv: bytes, ct: bytes) -> bytes | None:
     ):
         return None
     return _take(lib, lib.tl_aes_cbc_decrypt(key, len(key), iv, ct, len(ct)))
+
+
+def r56_hash(pwd: bytes, salt: bytes, udata: bytes, r: int) -> bytes | None:
+    """ISO 32000-2 R5/R6 key-derivation hash (Algorithm 2.B for R6),
+    native leg — None → caller falls back to the pure-Python loop."""
+    lib = load()
+    if lib is None or not getattr(lib, "_tl_has_r56", False):
+        return None
+    out = lib.tl_r56_hash(
+        pwd, len(pwd), salt, len(salt), udata, len(udata), int(r)
+    )
+    return _take(lib, out)

@@ -2371,9 +2371,9 @@ PDF_MEDIA_SCHEMA = "doc_id long, payload binary"
 PDF_PAGES_SCHEMA = "doc_id long, page_no int, text string, nchars int"
 
 
-N_PDF_VARIANTS = 8
+N_PDF_VARIANTS = 9
 # variant -> (encryption method, structural base variant)
-_ENCRYPTED_VARIANTS = {4: ("rc4", 1), 5: ("aes128", 3)}
+_ENCRYPTED_VARIANTS = {4: ("rc4", 1), 5: ("aes128", 3), 8: ("aes256", 2)}
 # variant -> (embedded font kind, structural base variant): real
 # symbolic subset font programs with no /Encoding and no /ToUnicode,
 # so the driver oracle also exercises the embedded-font decode chain
@@ -2396,12 +2396,15 @@ def pdf_bytes_variant(
     layout: str = "single",
     lines_per_page: int = LINES_PER_PAGE,
 ) -> bytes:
-    """The full 8-variant generator: 0-3 structural (:func:`pdf_bytes`),
-    4/5 re-encrypted through the standard security handler with the
-    empty user password (pdf_crypt.encrypt_pdf), 6/7 embedded symbolic
-    subset fonts (real TrueType / bare-CFF programs, no /Encoding, no
-    /ToUnicode) — so the driver oracle also exercises RC4 and AES-128
-    decryption and the embedded-font decode chain end-to-end."""
+    """The full 9-variant generator: 0-3 structural (:func:`pdf_bytes`),
+    4/5/8 re-encrypted through the standard security handler with the
+    empty user password (pdf_crypt.encrypt_pdf — RC4 V2/R3, AES-128
+    V4/R4 crypt filters, AES-256 V5/R6 with the Algorithm 2.B hardened
+    hash; variant 8 layers encryption over the xref-stream+ObjStm
+    structure), 6/7 embedded symbolic subset fonts (real TrueType /
+    bare-CFF programs, no /Encoding, no /ToUnicode) — so the driver
+    oracle exercises every decryption family and the embedded-font
+    decode chain end-to-end."""
     variant %= N_PDF_VARIANTS
     if variant < 4:
         return pdf_bytes(
@@ -2434,8 +2437,9 @@ def synth_pdf_media(
     lines_per_page: int = LINES_PER_PAGE,
 ) -> DataFrame:
     """(doc_id, text) → (doc_id, payload): real PDFs, variant by
-    doc_id % 6 (4 structural + RC4/AES-128 encrypted re-emissions).
-    Map-only; payloads never leave the partition."""
+    doc_id % 9 (4 structural + RC4/AES-128/AES-256 encrypted
+    re-emissions + 2 embedded-subset-font variants). Map-only;
+    payloads never leave the partition."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:

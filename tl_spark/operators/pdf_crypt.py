@@ -411,6 +411,11 @@ def _hash_2b(pwd: bytes, salt: bytes, udata: bytes) -> bytes:
 def _r56_hash(pwd: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
     if r == 5:
         return hashlib.sha256(pwd + salt + udata).digest()
+    from tl_spark.kernel import native_crypt
+
+    nk = native_crypt.r56_hash(pwd, salt, udata, r)
+    if nk is not None:
+        return nk  # Algorithm 2.B, native leg (parity-pinned)
     return _hash_2b(pwd, salt, udata)
 
 
