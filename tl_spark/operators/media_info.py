@@ -205,6 +205,21 @@ def media_payload_info(payload: bytes) -> dict:
             clean=info["clean"],
         )
         return base
+    if payload[:4] == b"fLaC":
+        from tl_spark.operators.flac import flac_stream_info
+
+        fi = flac_stream_info(bytes(payload))
+        n, sr = fi["n_samples"], fi["sample_rate"]
+        base.update(
+            kind="audio",
+            container="flac",
+            duration_ms=fi["duration_ms"],
+            sample_rate=sr,
+            channels=fi["channels"],
+            bitrate_kbps=round(len(payload) * 8 * sr / (n * 1000)) if n else 0,
+            n_samples=n,
+        )
+        return base
     # MPEG audio: ID3 envelope or raw frame sync
     if payload[:3] == b"ID3" or (
         len(payload) >= 2

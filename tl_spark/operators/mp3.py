@@ -397,6 +397,31 @@ def audio_stream_info(
                             "vbr": False,
                             "clean": True,
                         }
+                    elif p and p[:4] == b"fLaC":
+                        from tl_spark.operators.flac import flac_stream_info
+
+                        fi = _malformed_as_valueerror(
+                            flac_stream_info, p, "FLAC"
+                        )
+                        n, sr = fi["n_samples"], fi["sample_rate"]
+                        info = {
+                            "container": "flac",
+                            "duration_ms": fi["duration_ms"],
+                            "sample_rate": sr,
+                            "channels": fi["channels"],
+                            # real mean stream bitrate (not SQL-closed-
+                            # form: depends on compressed size)
+                            "bitrate_kbps": round(
+                                len(p) * 8 * sr / (n * 1000)
+                            )
+                            if n
+                            else 0,
+                            "n_frames": n,
+                            # lossless: the CBR/VBR distinction doesn't
+                            # apply; report False like WAV
+                            "vbr": False,
+                            "clean": True,
+                        }
                     else:
                         info = _malformed_as_valueerror(
                             mp3_stream_info, p, "MPEG audio"

@@ -2227,15 +2227,22 @@ def audio_features(
                 try:
                     if p and p[:4] == b"RIFF":
                         samples, rate = _malformed_as_valueerror(_parse_wav, p, "WAV")
+                    elif p and p[:4] == b"fLaC":
+                        from tl_spark.operators.flac import flac_decode
+
+                        samples, rate = _malformed_as_valueerror(
+                            flac_decode, p, "FLAC"
+                        )
                     elif decode_stub == "fake":
                         raw = _fake_decode(p, 2048)
                         samples = raw.view("<i2").reshape(-1, 1).copy()
                         rate = 16000
                     else:
                         raise NotImplementedError(
-                            "compressed-audio decoding requires a codec; "
-                            "RIFF/WAV PCM16 decodes for real, or pass "
-                            "decode_stub='fake'"
+                            "perceptual-codec audio (MP3/AAC) decoding "
+                            "requires tables this container can't verify; "
+                            "RIFF/WAV PCM16 and FLAC decode for real, or "
+                            "pass decode_stub='fake'"
                         )
                 except (ValueError, NotImplementedError):
                     if on_error == "raise":
@@ -2321,15 +2328,22 @@ def audio_spectral_features(
                 try:
                     if p and p[:4] == b"RIFF":
                         samples, rate = _malformed_as_valueerror(_parse_wav, p, "WAV")
+                    elif p and p[:4] == b"fLaC":
+                        from tl_spark.operators.flac import flac_decode
+
+                        samples, rate = _malformed_as_valueerror(
+                            flac_decode, p, "FLAC"
+                        )
                     elif decode_stub == "fake":
                         raw = _fake_decode(p, 2048)
                         samples = raw.view("<i2").reshape(-1, 1).copy()
                         rate = 16000
                     else:
                         raise NotImplementedError(
-                            "compressed-audio decoding requires a codec; "
-                            "WAV (PCM16/G.711/ADPCM) decodes for real, or "
-                            "pass decode_stub='fake'"
+                            "perceptual-codec audio (MP3/AAC) decoding "
+                            "requires tables this container can't verify; "
+                            "WAV (PCM16/G.711/ADPCM) and FLAC decode for "
+                            "real, or pass decode_stub='fake'"
                         )
                 except (ValueError, NotImplementedError):
                     if on_error == "raise":
