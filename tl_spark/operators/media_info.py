@@ -220,12 +220,58 @@ def media_payload_info(payload: bytes) -> dict:
             n_samples=n,
         )
         return base
-    # MPEG audio: ID3 envelope or raw frame sync
+    if payload[:4] == b"OggS":
+        from tl_spark.operators.ogg import ogg_stream_info
+
+        info = ogg_stream_info(bytes(payload))
+        base.update(
+            kind="audio",
+            container="ogg",
+            duration_ms=info["duration_ms"],
+            sample_rate=info["sample_rate"],
+            channels=info["channels"],
+            bitrate_kbps=info["bitrate_kbps"],
+            n_samples=info["n_samples"],
+            clean=info["clean"],
+        )
+        return base
+    if payload[:4] == b"\x1aE\xdf\xa3":  # EBML: Matroska / WebM
+        from tl_spark.operators.ebml import mkv_stream_info
+
+        info = mkv_stream_info(bytes(payload))
+        base.update(
+            kind="video" if info["has_video"] else "audio",
+            container=info["container"],
+            width=info["width"],
+            height=info["height"],
+            duration_ms=info["duration_ms"],
+            sample_rate=info["sample_rate"],
+            channels=info["channels"],
+        )
+        return base
+    # MPEG audio: ID3 envelope or raw frame sync. An ADTS/AAC header
+    # shares the 0xFFEx sync but has layer bits 00 (reserved in
+    # MP1/2/3), which is exactly how the two are told apart.
     if payload[:3] == b"ID3" or (
         len(payload) >= 2
         and payload[0] == 0xFF
         and payload[1] & 0xE0 == 0xE0
     ):
+        if len(payload) >= 2 and payload[0] == 0xFF and payload[1] & 0x06 == 0:
+            from tl_spark.operators.aac import aac_stream_info
+
+            info = aac_stream_info(bytes(payload))
+            base.update(
+                kind="audio",
+                container="aac",
+                duration_ms=info["duration_ms"],
+                sample_rate=info["sample_rate"],
+                channels=info["channels"],
+                bitrate_kbps=info["bitrate_kbps"],
+                n_samples=info["n_frames"],
+                clean=info["clean"],
+            )
+            return base
         from tl_spark.operators.mp3 import mp3_stream_info
 
         info = mp3_stream_info(bytes(payload))

@@ -422,6 +422,36 @@ def audio_stream_info(
                             "vbr": False,
                             "clean": True,
                         }
+                    elif p and p[:4] == b"OggS":
+                        from tl_spark.operators.ogg import ogg_stream_info
+
+                        oi = _malformed_as_valueerror(
+                            ogg_stream_info, p, "Ogg"
+                        )
+                        info = {
+                            "container": "ogg",
+                            "duration_ms": oi["duration_ms"],
+                            "sample_rate": oi["sample_rate"],
+                            "channels": oi["channels"],
+                            "bitrate_kbps": oi["bitrate_kbps"],
+                            "n_frames": oi["n_samples"],
+                            "vbr": False,
+                            "clean": oi["clean"],
+                        }
+                    elif (
+                        p
+                        and len(p) >= 2
+                        and p[0] == 0xFF
+                        and p[1] & 0xF0 == 0xF0
+                        and p[1] & 0x06 == 0
+                    ):
+                        # ADTS sync with layer bits 00 (reserved in
+                        # MP1/2/3): AAC, not MP3
+                        from tl_spark.operators.aac import aac_stream_info
+
+                        info = _malformed_as_valueerror(
+                            aac_stream_info, p, "ADTS"
+                        )
                     else:
                         info = _malformed_as_valueerror(
                             mp3_stream_info, p, "MPEG audio"

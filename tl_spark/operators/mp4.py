@@ -114,6 +114,114 @@ def _parse_stts_samples(payload: bytes, body: int, end: int) -> int:
     return total
 
 
+class _ExpGolomb:
+    """MSB-first bit reader with ue(v)/se(v) Exp-Golomb codes (ITU-T
+    H.264 §9.1 — the coding is a short formula, not a table)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        p, end = self.pos, self.pos + n
+        if end > len(self.data) * 8:
+            raise ValueError("SPS bitstream overrun")
+        self.pos = end
+        first, last = p >> 3, (end + 7) >> 3
+        chunk = int.from_bytes(self.data[first:last], "big")
+        return (chunk >> ((last << 3) - end)) & ((1 << n) - 1)
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("bad Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) >> 1 if k & 1 else -(k >> 1)
+
+
+def _sps_dims(nal: bytes) -> tuple[int, int]:
+    """REAL coded dimensions from an H.264 sequence parameter set
+    (ITU-T H.264 §7.3.2.1): emulation-prevention removal, Exp-Golomb
+    walk to pic_width_in_mbs / pic_height_in_map_units, frame cropping
+    applied with the chroma-format crop units. Raises ValueError for
+    anything that isn't a parseable SPS."""
+    if not nal or nal[0] & 0x1F != 7:
+        raise ValueError("not an SPS NAL")
+    # strip emulation-prevention bytes: 00 00 03 -> 00 00
+    rbsp = nal[1:].replace(b"\x00\x00\x03", b"\x00\x00")
+    g = _ExpGolomb(rbsp)
+    profile_idc = g.u(8)
+    g.u(8)  # constraint flags + reserved
+    g.u(8)  # level_idc
+    g.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1  # 4:2:0 default for non-high profiles
+    separate_planes = 0
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135):
+        chroma_format_idc = g.ue()
+        if chroma_format_idc == 3:
+            separate_planes = g.u(1)
+        g.ue()  # bit_depth_luma_minus8
+        g.ue()  # bit_depth_chroma_minus8
+        g.u(1)  # qpprime_y_zero_transform_bypass
+        if g.u(1):  # seq_scaling_matrix_present
+            raise ValueError("SPS scaling matrices unsupported")
+    g.ue()  # log2_max_frame_num_minus4
+    poc_type = g.ue()
+    if poc_type == 0:
+        g.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        g.u(1)  # delta_pic_order_always_zero
+        g.se()  # offset_for_non_ref_pic
+        g.se()  # offset_for_top_to_bottom_field
+        for _ in range(g.ue()):
+            g.se()
+    g.ue()  # max_num_ref_frames
+    g.u(1)  # gaps_in_frame_num_value_allowed
+    w_mbs = g.ue() + 1
+    h_units = g.ue() + 1
+    frame_mbs_only = g.u(1)
+    if not frame_mbs_only:
+        g.u(1)  # mb_adaptive_frame_field
+    g.u(1)  # direct_8x8_inference
+    crop_l = crop_r = crop_t = crop_b = 0
+    if g.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = g.ue(), g.ue(), g.ue(), g.ue()
+    if chroma_format_idc == 0 or separate_planes:
+        unit_x, unit_y = 1, 2 - frame_mbs_only
+    else:
+        sub_w = 2 if chroma_format_idc in (1, 2) else 1
+        sub_h = 2 if chroma_format_idc == 1 else 1
+        unit_x, unit_y = sub_w, sub_h * (2 - frame_mbs_only)
+    width = w_mbs * 16 - unit_x * (crop_l + crop_r)
+    height = (2 - frame_mbs_only) * h_units * 16 - unit_y * (crop_t + crop_b)
+    if width <= 0 or height <= 0:
+        raise ValueError("SPS crop exceeds coded size")
+    return width, height
+
+
+def _avcc_sps_dims(payload: bytes, body: int, end: int) -> tuple[int, int]:
+    """Dims from the first SPS inside an avcC
+    (AVCDecoderConfigurationRecord, ISO 14496-15 §5.3.3.1)."""
+    if body + 6 > end or payload[body] != 1:
+        raise ValueError("bad avcC record")
+    n_sps = payload[body + 5] & 0x1F
+    p = body + 6
+    if n_sps < 1 or p + 2 > end:
+        raise ValueError("avcC has no SPS")
+    (ln,) = struct.unpack_from(">H", payload, p)
+    nal = payload[p + 2 : p + 2 + ln]
+    if len(nal) != ln:
+        raise ValueError("truncated avcC SPS")
+    return _sps_dims(nal)
+
+
 def mp4_stream_info(payload: bytes) -> dict:
     """Parse an ISO BMFF payload's container metadata. Raises
     ValueError for anything that is not a well-formed BMFF tree (the
@@ -148,6 +256,7 @@ def mp4_stream_info(payload: bytes) -> dict:
             elif btype == b"trak" and path == (b"moov",):
                 tracks.append(
                     {"handler": "", "codec": "", "w": 0, "h": 0,
+                     "coded_w": 0, "coded_h": 0,
                      "mdhd": None, "n_samples": 0}
                 )
                 walk(body, bend, path + (b"trak",))
@@ -173,9 +282,25 @@ def mp4_stream_info(payload: bytes) -> dict:
                 if p + 4 <= bend:
                     (n,) = struct.unpack_from(">I", payload, p)
                     if n >= 1 and p + 12 <= bend:
-                        tracks[-1]["codec"] = payload[p + 8 : p + 12].decode(
-                            "latin-1"
-                        )
+                        codec = payload[p + 8 : p + 12].decode("latin-1")
+                        tracks[-1]["codec"] = codec
+                        if codec in ("avc1", "avc3"):
+                            (esize,) = struct.unpack_from(">I", payload, p + 4)
+                            entry_end = min(p + 4 + esize, bend)
+                            # children follow the 86-byte
+                            # VisualSampleEntry (8 header + 78 fields)
+                            kids = p + 4 + 86
+                            if kids < entry_end:
+                                for kt, kb, ke in _boxes(
+                                    payload, kids, entry_end, budget
+                                ):
+                                    if kt == b"avcC":
+                                        cw, ch = _avcc_sps_dims(
+                                            payload, kb, ke
+                                        )
+                                        tracks[-1]["coded_w"] = cw
+                                        tracks[-1]["coded_h"] = ch
+                                        break
             elif btype == b"stts" and path[-1:] == (b"stbl",):
                 tracks[-1]["n_samples"] = _parse_stts_samples(
                     payload, body, bend
@@ -203,6 +328,12 @@ def mp4_stream_info(payload: bytes) -> dict:
         "audio_codec": audio["codec"] if audio else "",
         "width": video["w"] if video else 0,
         "height": video["h"] if video else 0,
+        # REAL coded dims from the H.264 SPS inside avcC (0 when the
+        # track carries no parseable avcC) — tkhd width/height above
+        # are the 16.16 DISPLAY dims, which real-world files disagree
+        # on; curation gates should prefer the coded dims when present
+        "coded_width": video["coded_w"] if video else 0,
+        "coded_height": video["coded_h"] if video else 0,
         "n_samples": video["n_samples"] if video else 0,
         "clean": clean,
     }
@@ -250,6 +381,8 @@ def _avi_stream_info(payload: bytes) -> dict:
         "audio_codec": "",
         "width": w,
         "height": h,
+        "coded_width": 0,
+        "coded_height": 0,
         "n_samples": total_frames,
         "clean": True,
     }
@@ -268,6 +401,86 @@ def _full(btype: bytes, ver: int, body: bytes) -> bytes:
     return _box(btype, bytes([ver, 0, 0, 0]) + body)
 
 
+class _SpsWriter:
+    def __init__(self):
+        self.acc, self.nbits, self.buf = 0, 0, bytearray()
+
+    def u(self, v: int, n: int):
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def ue(self, v: int):
+        k = v + 1
+        self.u(k, 2 * k.bit_length() - 1)
+
+
+def sps_bytes(width: int, height: int, level_idc: int = 30) -> bytes:
+    """A VALID baseline-profile H.264 SPS NAL for the given coded
+    dimensions (crop fields express non-multiples-of-16; 4:2:0 crop
+    units need even dims), with emulation-prevention bytes inserted."""
+    if width % 2 or height % 2:
+        raise ValueError("SPS writer needs even dimensions")
+    w_mbs = (width + 15) // 16
+    h_units = (height + 15) // 16
+    crop_r = (w_mbs * 16 - width) // 2
+    crop_b = (h_units * 16 - height) // 2
+    g = _SpsWriter()
+    g.u(66, 8)  # profile_idc: baseline (no chroma/scaling fields)
+    g.u(0, 8)   # constraint flags + reserved
+    g.u(level_idc, 8)
+    g.ue(0)     # seq_parameter_set_id
+    g.ue(0)     # log2_max_frame_num_minus4
+    g.ue(0)     # pic_order_cnt_type -> log2_max_poc_lsb follows
+    g.ue(0)
+    g.ue(1)     # max_num_ref_frames
+    g.u(0, 1)   # gaps_in_frame_num_value_allowed
+    g.ue(w_mbs - 1)
+    g.ue(h_units - 1)
+    g.u(1, 1)   # frame_mbs_only
+    g.u(1, 1)   # direct_8x8_inference
+    if crop_r or crop_b:
+        g.u(1, 1)
+        g.ue(0)
+        g.ue(crop_r)
+        g.ue(0)
+        g.ue(crop_b)
+    else:
+        g.u(0, 1)
+    g.u(0, 1)   # vui_parameters_present
+    g.u(1, 1)   # rbsp_stop_one_bit
+    if g.nbits:
+        g.u(0, 8 - g.nbits)
+    # emulation prevention: 00 00 0x (x<=3) -> 00 00 03 0x
+    rbsp = bytes(g.buf)
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return b"\x67" + bytes(out)
+
+
+def avcc_bytes(sps: bytes) -> bytes:
+    """An AVCDecoderConfigurationRecord wrapping one SPS + a minimal
+    PPS (ISO 14496-15 §5.3.3.1)."""
+    pps = b"\x68\xce\x38\x80"
+    return (
+        bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+        + struct.pack(">H", len(sps))
+        + sps
+        + bytes([1])
+        + struct.pack(">H", len(pps))
+        + pps
+    )
+
+
 def mp4_bytes(
     duration_units: int,
     timescale: int = 1000,
@@ -277,11 +490,14 @@ def mp4_bytes(
     video_codec: bytes = b"avc1",
     audio: bool = False,
     version1: bool = False,
+    avcc_dims: tuple | None = None,
     seed: int = 0,
 ) -> bytes:
     """Serialize a VALID minimal ISO BMFF movie (ftyp + moov with one
     video track, optional audio track, + an mdat of deterministic
-    filler — never decoded; see module docstring)."""
+    filler — never decoded; see module docstring). ``avcc_dims=(w,h)``
+    emits a real VisualSampleEntry carrying an avcC with a real SPS at
+    those coded dimensions (the :func:`_sps_dims` test surface)."""
     ver = 1 if version1 else 0
     tfmt = ">IQ" if version1 else ">II"
     pad = (16 if version1 else 8)
@@ -337,7 +553,22 @@ def mp4_bytes(
             struct.pack(">III", 1, samples, 1) if samples else struct.pack(">I", 0)
         )
         stts = _full(b"stts", 0, stts_entries)
-        entry = _box(codec, bytes(70))  # opaque sample entry body
+        if handler == b"vide" and avcc_dims is not None:
+            cw, ch = avcc_dims
+            vse = (
+                bytes(6)
+                + struct.pack(">H", 1)  # data_reference_index
+                + bytes(16)
+                + struct.pack(">HH", cw, ch)
+                + struct.pack(">II", 0x00480000, 0x00480000)
+                + bytes(4)
+                + struct.pack(">H", 1)  # frame_count
+                + bytes(32)  # compressorname
+                + struct.pack(">Hh", 24, -1)
+            )
+            entry = _box(codec, vse + _box(b"avcC", avcc_bytes(sps_bytes(cw, ch))))
+        else:
+            entry = _box(codec, bytes(70))  # opaque sample entry body
         stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
         stbl = _box(b"stbl", stsd + stts)
         minf = _box(b"minf", stbl)
@@ -395,13 +626,13 @@ _INFO_SCHEMA = (
     "media_id long, container string, brand string, duration_ms long, "
     "n_tracks long, has_video boolean, has_audio boolean, "
     "video_codec string, audio_codec string, width long, height long, "
-    "n_samples long, clean boolean"
+    "coded_width long, coded_height long, n_samples long, clean boolean"
 )
 
 _COLS = (
     "container", "brand", "duration_ms", "n_tracks", "has_video",
     "has_audio", "video_codec", "audio_codec", "width", "height",
-    "n_samples", "clean",
+    "coded_width", "coded_height", "n_samples", "clean",
 )
 
 
@@ -435,6 +666,28 @@ def video_stream_info(
                         info = _malformed_as_valueerror(
                             _avi_stream_info, p, "AVI"
                         )
+                    elif p and p[:4] == b"\x1aE\xdf\xa3":
+                        from tl_spark.operators.ebml import mkv_stream_info
+
+                        mi = _malformed_as_valueerror(
+                            mkv_stream_info, p, "Matroska"
+                        )
+                        info = {
+                            "container": mi["container"],
+                            "brand": "",
+                            "duration_ms": mi["duration_ms"],
+                            "n_tracks": mi["n_tracks"],
+                            "has_video": mi["has_video"],
+                            "has_audio": mi["has_audio"],
+                            "video_codec": mi["video_codec"],
+                            "audio_codec": mi["audio_codec"],
+                            "width": mi["width"],
+                            "height": mi["height"],
+                            "coded_width": 0,
+                            "coded_height": 0,
+                            "n_samples": 0,
+                            "clean": True,
+                        }
                     else:
                         info = _malformed_as_valueerror(
                             mp4_stream_info, p, "MP4"
@@ -459,6 +712,8 @@ def video_stream_info(
                     pa.array(rows["audio_codec"], type=pa.string()),
                     pa.array(rows["width"], type=pa.int64()),
                     pa.array(rows["height"], type=pa.int64()),
+                    pa.array(rows["coded_width"], type=pa.int64()),
+                    pa.array(rows["coded_height"], type=pa.int64()),
                     pa.array(rows["n_samples"], type=pa.int64()),
                     pa.array(rows["clean"], type=pa.bool_()),
                 ],
