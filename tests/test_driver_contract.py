@@ -250,6 +250,10 @@ SUITE_GATED_BEYOND_WINDOW = {
     # media_info_docs); exact DuckDB check continues below in
     # test_rotated_r7_queries_still_match_oracle
     "doc_html_version": "tests/test_driver_contract.py::ROTATED_R7",
+    # rotated out in round 7, third rotation (slot now carries
+    # main_content_docs); exact DuckDB check continues below in
+    # test_rotated_r7_queries_still_match_oracle
+    "selector_extract_p": "tests/test_driver_contract.py::ROTATED_R7",
     # born beyond the window in round 7: the columns="auto" X-Y-cut
     # path under the same closed-form oracle as pdf_extract_docs,
     # plus a pinned negative (columns="off" must NOT match on the
@@ -394,6 +398,12 @@ ROTATED_R7 = {
     # second r7 rotation: slot carries media_info_docs; version
     # detection stays golden-pinned on 774 docs across both legs
     "doc_html_version": "DOC_HTML_VERSION_SQL",
+    # third r7 rotation: slot carries main_content_docs (density-based
+    # main-content selection); <p> selector extraction stays pinned by
+    # the golden corpus (17 selectors x 774 docs x 4 modes) and the
+    # selector-extraction family stays in the window via
+    # selector_extract_main_inner + selector_attr_eq
+    "selector_extract_p": "SELECTOR_EXTRACT_P_SQL",
 }
 
 

@@ -1336,6 +1336,69 @@ def extract_documents_text(spark, sf_dir):
     return out.select("doc_id", "extracted_text").orderBy("doc_id")
 
 
+def main_content_docs(spark, sf_dir):
+    """Density-based main-content selection (the north rule's "DOM
+    heuristics" leg, functions/readability.py): each document is
+    wrapped in one of THREE realistic page shells (nav bars, link
+    rails, comment threads, footers — doc_id % 3) and the operator
+    must pick the content block by text/link-density score, never by
+    position or a fixed template. The winner's inner_text, byte span,
+    tag, and candidate count are all closed forms of the documents
+    table, so the oracle is value-exact: the shells are built so the
+    content block's score dominates every decoy for any text >= the
+    corpus minimum (see readability.MAIN_HTML_VARIANTS).
+
+    Plan: the kernel stage is map-only (mapInArrow, zero Exchange);
+    the final orderBy exists for the driver's deterministic hash
+    check and is a global sort Exchange, as in extract_documents."""
+    from tl_spark.functions.readability import (
+        docs_as_variant_html,
+        main_content_extract,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    html = docs_as_variant_html(d)
+    out = main_content_extract(html, html_col="text", id_col="doc_id")
+    return out.select(
+        "doc_id", "main_text", "main_tag", "span_start", "span_end",
+        "n_candidates",
+    ).orderBy("doc_id")
+
+
+def _main_content_sql() -> str:
+    from tl_spark.functions.readability import MAIN_HTML_VARIANTS
+
+    marker = '<div id="main">'
+    starts = [pre.index(marker) for pre, _ in MAIN_HTML_VARIANTS]
+    # end (inclusive) = div start + bytes from div open to end of the
+    # prefix + len(text) + bytes of the suffix through "</div>" - 1
+    end_consts = [
+        s + (len(pre) - s) + (post.index("</div>") + 6) - 1
+        for (pre, post), s in zip(MAIN_HTML_VARIANTS, starts)
+    ]
+    ncand = [5, 6, 5]  # body+nav+main+side+foot / +section+comments / td pair
+
+    def case(vals, plus_len=False):
+        tail = " + length(text)" if plus_len else ""
+        return (
+            f"CAST(CASE doc_id % 3 WHEN 0 THEN {vals[0]} WHEN 1 THEN "
+            f"{vals[1]} ELSE {vals[2]} END{tail} AS BIGINT)"
+        )
+
+    return f"""
+SELECT doc_id,
+       'Heading ' || text || 'read more' AS main_text,
+       'div' AS main_tag,
+       {case(starts)} AS span_start,
+       {case(end_consts, plus_len=True)} AS span_end,
+       {case(ncand)} AS n_candidates
+FROM documents ORDER BY doc_id
+"""
+
+
+MAIN_CONTENT_SQL = _main_content_sql()
+
+
 def selector_extract_p(spark, sf_dir):
     """Selector-driven extraction: inner_text + spans of every <p> in
     the HTML-wrapped documents. For the fixed wrapper every doc has
@@ -2337,7 +2400,15 @@ def queries():
         "events_sessionized": events_sessionized,
         "events_asof_last_view": events_asof_last_view,
         "order_price_percentiles": order_price_percentiles,
-        "selector_extract_p": selector_extract_p,
+        # Round-7 third rotation: main_content_docs (density-based
+        # main-content selection — the north rule's "DOM heuristics"
+        # leg, value-exact over three rotating page shells) takes the
+        # slot of selector_extract_p, which is triply redundant (the
+        # golden corpus pins all 17 selectors x 774 docs x 4 modes,
+        # and selector_extract_main_inner + selector_attr_eq keep the
+        # selector-extraction family in the window). It keeps its
+        # exact DuckDB check as a suite-oracle (ROTATED_R7).
+        "main_content_docs": main_content_docs,
         "selector_attr_eq": selector_attr_eq,
         # Round-6 rotation (VERDICT r5 items 1+4): doc_lang_id (the
         # 16-language n-gram-profile classifier) and
@@ -2424,6 +2495,10 @@ def queries():
         # rotated out in round 7 (slot carries semantic_dedup_docs);
         # suite-gated via ROTATED_R7
         "lookup_by_id_tracked": lookup_by_id_tracked,
+        # rotated out in round 7, third rotation (slot carries
+        # main_content_docs); suite-gated via ROTATED_R7 and the
+        # golden corpus pins <p> selector extraction four ways
+        "selector_extract_p": selector_extract_p,
         # columns="auto" X-Y-cut path under the same closed-form
         # oracle as pdf_extract_docs; suite-gated (tests/test_pdf.py)
         "pdf_extract_twocol_docs": pdf_extract_twocol_docs,
@@ -2456,7 +2531,10 @@ def oracle_sql():
         "events_asof_last_view": EVENTS_ASOF_SQL,
         "order_price_percentiles": PERCENTILES_SQL,
         "selector_counts": SELECTOR_COUNTS_SQL,
-        "selector_extract_p": SELECTOR_EXTRACT_P_SQL,
+        # selector_extract_p rotated OUT of the driver window in round
+        # 7 (third rotation; its SQL stays as the ROTATED_R7 suite
+        # gate); its slot carries main_content_docs
+        "main_content_docs": MAIN_CONTENT_SQL,
         "selector_attr_eq": SELECTOR_ATTR_SQL,
         # selector_attr_prefix / lookup_by_class_tracked rotated OUT
         # of the driver window in round 6; their SQL constants stay
