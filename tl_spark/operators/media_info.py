@@ -411,11 +411,40 @@ def bmp_bytes(w: int, h: int) -> bytes:
     return header + raster
 
 
+_FLAC_FIX_N = 2400  # samples per fixture stream (constant on purpose)
+
+
+def flac_fixture_payload(ch: int, sample_rate: int) -> bytes:
+    """The doc-keyed FLAC fixture: FIXED sample count + seed with
+    VERBATIM subframes, so the encoded byte length is a constant per
+    channel count (verbatim size is content-independent) — which makes
+    the router's real mean-bitrate field a closed form of (ch, sr)."""
+    from tl_spark.operators.flac import flac_bytes, synth_pcm
+
+    return flac_bytes(
+        synth_pcm(17, _FLAC_FIX_N, ch),
+        sample_rate,
+        block_size=1152,
+        channel_mode="indep",
+        strategy="verbatim",
+    )
+
+
+def flac_fixture_lens() -> tuple[int, int]:
+    """(mono_len, stereo_len) of the fixture payloads — the constants
+    the DuckDB oracle's bitrate arithmetic embeds."""
+    return (
+        len(flac_fixture_payload(1, 44100)),
+        len(flac_fixture_payload(2, 44100)),
+    )
+
+
 def synth_media_for_docs(df, id_col: str = "doc_id"):
-    """doc_id-keyed REAL media payloads in five container variants
-    (doc_id % 5 → png / gif / bmp / mp3 / mp4) whose metadata is a
-    closed form over doc_id — the driver-oracle harness for
-    :func:`media_stream_info` (queries.media_info_docs):
+    """doc_id-keyed REAL media payloads in EIGHT container variants
+    (doc_id % 8 → png / gif / bmp / mp3 / mp4 / flac / ogg-vorbis /
+    webm) whose metadata is a closed form over doc_id — the
+    driver-oracle harness for :func:`media_stream_info`
+    (queries.media_info_docs):
 
     - images: width = 16 + doc_id%101, height = 16 + doc_id%67
     - mp3 (CBR 128): frames = 20 + doc_id%11, sample rate by doc_id%3
@@ -423,14 +452,23 @@ def synth_media_for_docs(df, id_col: str = "doc_id"):
     - mp4: duration units = 500 + (doc_id%97)*37 at timescale
       600 + (doc_id%3)*400; 320+(doc_id%4)*160 × 180+(doc_id%4)*90;
       24 + doc_id%7 samples
+    - flac: 2400 samples verbatim (see :func:`flac_fixture_payload`),
+      sr by doc_id%3, stereo when doc_id%4==1
+    - ogg: Vorbis ident + granule chain, n = 9600 + doc_id%7*480
+      (no n*1000/sr half-integer in the reachable set — checked),
+      sr by doc_id%3, channels 1 + (doc_id%5==0), nominal 96 kbps
+    - webm: duration_ms = 3000 + doc_id%11*700, VP9
+      640+(doc_id%4)*320 × 360+(doc_id%4)*180, Opus 48 kHz stereo
     """
     import pyarrow as pa
 
+    from tl_spark.operators.ebml import mkv_bytes
     from tl_spark.operators.mp3 import mp3_frame_bytes
     from tl_spark.operators.mp4 import mp4_bytes
+    from tl_spark.operators.ogg import ogg_bytes
 
     def _payload(i: int) -> bytes:
-        v = i % 5
+        v = i % 8
         if v <= 2:
             w, h = 16 + i % 101, 16 + i % 67
             return (png_bytes, gif_header_bytes, bmp_bytes)[v](w, h)
@@ -442,12 +480,32 @@ def synth_media_for_docs(df, id_col: str = "doc_id"):
                 channels=1 if i % 2 else 2,
                 seed=i,
             )
-        return mp4_bytes(
-            duration_units=500 + (i % 97) * 37,
-            timescale=600 + (i % 3) * 400,
-            width=320 + (i % 4) * 160,
-            height=180 + (i % 4) * 90,
-            n_samples=24 + i % 7,
+        if v == 4:
+            return mp4_bytes(
+                duration_units=500 + (i % 97) * 37,
+                timescale=600 + (i % 3) * 400,
+                width=320 + (i % 4) * 160,
+                height=180 + (i % 4) * 90,
+                n_samples=24 + i % 7,
+                seed=i,
+            )
+        if v == 5:
+            return flac_fixture_payload(
+                2 if i % 4 == 1 else 1, (44100, 48000, 32000)[i % 3]
+            )
+        if v == 6:
+            return ogg_bytes(
+                "vorbis",
+                9600 + (i % 7) * 480,
+                sample_rate=(44100, 48000, 32000)[i % 3],
+                channels=1 + (i % 5 == 0),
+                seed=i,
+            )
+        return mkv_bytes(
+            "webm",
+            3000 + (i % 11) * 700,
+            video=("V_VP9", 640 + (i % 4) * 320, 360 + (i % 4) * 180),
+            audio=("A_OPUS", 48000, 2),
             seed=i,
         )
 

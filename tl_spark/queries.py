@@ -1770,14 +1770,18 @@ SELECT doc_id, 'HTML5' AS html_version FROM documents ORDER BY doc_id
 def media_info_docs(spark, sf_dir):
     """The unified media metadata router end-to-end (LLM-pipeline
     scope; no reference analog — y21/tl is HTML-only). Each document
-    id keys a REAL media payload in one of five container variants
-    (doc_id % 5: PNG / GIF / 24-bpp BMP / MPEG-1 Layer III frame
-    chain / ISO BMFF movie — operators/media_info.synth_media_for_docs),
-    then media_stream_info routes it by MAGIC BYTES to the real
-    parser: header-only image dims, the MPEG frame walk, the BMFF box
-    tree. SQL-checkable because every payload parameter is a closed
-    form over doc_id (the writers are exact; rounding was checked to
-    have no half-integer cases, so DuckDB round == Python round).
+    id keys a REAL media payload in one of EIGHT container variants
+    (doc_id % 8: PNG / GIF / 24-bpp BMP / MPEG-1 Layer III frame
+    chain / ISO BMFF movie / FLAC / Ogg-Vorbis / WebM —
+    operators/media_info.synth_media_for_docs), then
+    media_stream_info routes it by MAGIC BYTES to the real parser:
+    header-only image dims, the MPEG/ADTS frame walks, the BMFF box
+    tree, the FLAC STREAMINFO, the Ogg page walk (CRC-verified), the
+    EBML tree. SQL-checkable because every payload parameter is a
+    closed form over doc_id (the writers are exact; the FLAC fixture
+    uses verbatim subframes so even its compressed length — hence the
+    real mean bitrate — is a constant; rounding was audited to have
+    no half-integer cases, so DuckDB round == Python round).
     Plan: synth + route co-located, map-only; the trailing orderBy is
     the driver-hash determinism Exchange, drop it in production."""
     from tl_spark.operators.media_info import (
@@ -1794,37 +1798,68 @@ def media_info_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-MEDIA_INFO_SQL = """
-WITH m AS (SELECT doc_id, doc_id % 5 AS v FROM documents)
+def _media_info_sql() -> str:
+    # the FLAC fixture's verbatim payload lengths are constants per
+    # channel count (content-independent), so the router's REAL mean
+    # bitrate is a closed form; no rounding in this oracle lands on a
+    # half-integer over the reachable doc_id set (audited: mp3 / mp4 /
+    # flac duration+bitrate / ogg over doc_id < 200000)
+    from tl_spark.operators.media_info import flac_fixture_lens
+
+    len1, len2 = flac_fixture_lens()
+    return f"""
+WITH m AS (
+  SELECT doc_id, doc_id % 8 AS v,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS sr3,
+         9600 + (doc_id % 7) * 480 AS oggn
+  FROM documents)
 SELECT doc_id,
-  CASE WHEN v <= 2 THEN 'image' WHEN v = 3 THEN 'audio'
+  CASE WHEN v <= 2 THEN 'image' WHEN v IN (3, 5, 6) THEN 'audio'
        ELSE 'video' END AS kind,
   CASE v WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
-         WHEN 3 THEN 'mp3' ELSE 'mp4' END AS container,
+         WHEN 3 THEN 'mp3' WHEN 4 THEN 'mp4' WHEN 5 THEN 'flac'
+         WHEN 6 THEN 'ogg' ELSE 'webm' END AS container,
   CAST(CASE WHEN v <= 2 THEN 16 + doc_id % 101
             WHEN v = 4 THEN 320 + (doc_id % 4) * 160
+            WHEN v = 7 THEN 640 + (doc_id % 4) * 320
             ELSE 0 END AS BIGINT) AS width,
   CAST(CASE WHEN v <= 2 THEN 16 + doc_id % 67
             WHEN v = 4 THEN 180 + (doc_id % 4) * 90
+            WHEN v = 7 THEN 360 + (doc_id % 4) * 180
             ELSE 0 END AS BIGINT) AS height,
-  CAST(CASE WHEN v = 3 THEN round((20 + doc_id % 11) * 1152 * 1000.0 /
-                 (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
-                       ELSE 32000 END))
+  CAST(CASE WHEN v = 3 THEN round((20 + doc_id % 11) * 1152 * 1000.0 / sr3)
             WHEN v = 4 THEN round((500 + (doc_id % 97) * 37) * 1000.0 /
                  (600 + (doc_id % 3) * 400))
+            WHEN v = 5 THEN round(2400 * 1000.0 / sr3)
+            WHEN v = 6 THEN round(oggn * 1000.0 / sr3)
+            WHEN v = 7 THEN 3000 + (doc_id % 11) * 700
             ELSE 0 END AS BIGINT) AS duration_ms,
-  CAST(CASE WHEN v = 3 THEN CASE doc_id % 3 WHEN 0 THEN 44100
-                 WHEN 1 THEN 48000 ELSE 32000 END
+  CAST(CASE WHEN v IN (3, 5, 6) THEN sr3
+            WHEN v = 7 THEN 48000
             ELSE 0 END AS BIGINT) AS sample_rate,
   CAST(CASE WHEN v = 3 THEN CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END
+            WHEN v = 5 THEN CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END
+            WHEN v = 6 THEN CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END
+            WHEN v = 7 THEN 2
             ELSE 0 END AS BIGINT) AS channels,
-  CAST(CASE WHEN v = 3 THEN 128 ELSE 0 END AS BIGINT) AS bitrate_kbps,
+  CAST(CASE WHEN v = 3 THEN 128
+            WHEN v = 5 THEN round(
+                 (CASE WHEN doc_id % 4 = 1 THEN {len2} ELSE {len1} END)
+                 * 8.0 * sr3 / 2400000.0)
+            WHEN v = 6 THEN 96
+            ELSE 0 END AS BIGINT) AS bitrate_kbps,
   CAST(CASE WHEN v = 3 THEN 20 + doc_id % 11
             WHEN v = 4 THEN 24 + doc_id % 7
+            WHEN v = 5 THEN 2400
+            WHEN v = 6 THEN oggn
             ELSE 0 END AS BIGINT) AS n_samples
 FROM m
 ORDER BY doc_id
 """
+
+
+MEDIA_INFO_SQL = _media_info_sql()
 
 
 def _doc_transcripts(d):
