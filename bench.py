@@ -223,11 +223,13 @@ def main() -> None:
     timed("pdf_extract", run_pdf)
 
     # round-7 addition: the unified media metadata router (magic-byte
-    # dispatch to header-only image dims / MPEG frame walk / BMFF box
-    # tree). Payloads pre-rendered from the documents table in five
-    # container variants (synth+write untimed, same protocol); the
-    # timed leg is routing + real parsing only.
-    mpath = f"/tmp/tl_bench_media_{sf}"
+    # dispatch to header-only image dims / MPEG+ADTS frame walks /
+    # BMFF box tree / FLAC STREAMINFO / CRC-verified Ogg page walk /
+    # EBML tree). Payloads pre-rendered from the documents table —
+    # EIGHT container variants since sitting 4 (path bumped to v2 so
+    # stale five-variant caches can't be reused); synth+write untimed,
+    # the timed leg is routing + real parsing only.
+    mpath = f"/tmp/tl_bench_media_v2_{sf}"
     if not Path(mpath, "_SUCCESS").exists():
         from tl_spark.operators.media_info import synth_media_for_docs
 
@@ -248,6 +250,17 @@ def main() -> None:
         )
 
     timed("media_info", run_media)
+
+    # round-7 sitting-4 addition: density-based main-content selection
+    # over the same ~4 KB realistic pages the selector key uses (nav +
+    # <main> with 40 paragraphs + script + footer) — the DOM-heuristics
+    # leg's end-to-end throughput, tracked round-over-round.
+    def run_main_content():
+        from tl_spark.functions.readability import main_content_extract
+
+        consume(main_content_extract(spark.read.parquet(hpath)))
+
+    timed("main_content", run_main_content)
 
     total = round(sum(timings.values()), 3)
     turns_per_sec = round(n_turns / timings["extract_transcripts"], 1)

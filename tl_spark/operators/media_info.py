@@ -6,9 +6,14 @@ BYTES (crawl Content-Type headers lie; the payload does not).
   raster decode, so a dims/aspect gate costs a few hundred bytes of
   reads per document instead of a full decode (the real decoders in
   operators/multimodal.py remain the feature-extraction path)
-- audio: RIFF/WAV (real sample headers) + MPEG frame walk
-  (operators/mp3.py)
-- video: ISO BMFF box tree + RIFF/AVI avih (operators/mp4.py)
+- audio: RIFF/WAV (real sample headers), MPEG frame walk
+  (operators/mp3.py), ADTS/AAC frame walk (operators/aac.py —
+  told apart from MP3 by the reserved layer bits), FLAC STREAMINFO
+  (operators/flac.py), Ogg page walk with CRC verification +
+  Vorbis/Opus ident headers (operators/ogg.py)
+- video: ISO BMFF box tree incl. H.264-SPS coded dims
+  (operators/mp4.py), RIFF/AVI avih, EBML/Matroska/WebM tree
+  (operators/ebml.py)
 
 This replaces the hash-based ``attach_media_meta`` stand-in wherever
 REAL metadata is wanted: `media_stream_info` emits one uniform row
