@@ -17,6 +17,7 @@ mod crypt;
 mod doc;
 mod dom;
 mod entropy;
+mod flac;
 mod inflate;
 mod pdf;
 mod sha2;

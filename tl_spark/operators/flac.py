@@ -221,6 +221,11 @@ _FIXED_COEFS = [
 
 _MAX_BLOCK = 65535
 _MAX_TOTAL_SAMPLES = 1 << 36
+# decode-side memory bound for streams whose STREAMINFO claims an
+# unknown (zero) total: constant subframes make ~40-bit frames that
+# each claim up to 65535 samples, a ~10^4 amplification a crafted
+# payload could use as a memory bomb without this cap
+_MAX_UNKNOWN_TOTAL = 1 << 26
 
 
 def _utf8_code(value: int) -> bytes:
@@ -539,8 +544,19 @@ def flac_decode(
     (multimodal._parse_wav). Integrity: per-frame CRC-8 + CRC-16
     always verified; the STREAMINFO MD5 of the decoded stream is
     verified too (``verify_md5=False`` skips it, e.g. for streams
-    whose writer left it zeroed). Any anomaly raises ValueError."""
+    whose writer left it zeroed). Any anomaly raises ValueError.
+
+    A native leg (native/tl_native/src/flac.rs) handles the happy
+    path when the cdylib is present; it bails to this pure-Python
+    implementation on ANY anomaly, so error semantics stay
+    Python-exact by construction (the doc.rs bail-rule pattern).
+    Kill switch: TL_SPARK_NATIVE_FLAC=0."""
     payload = bytes(payload)
+    from tl_spark.kernel import native_flac
+
+    got = native_flac.decode(payload, verify_md5)
+    if got is not None:
+        return got
     info, pos = _parse_streaminfo(payload)
     nch = info["channels"]
     bps = info["bps"]
@@ -550,12 +566,13 @@ def flac_decode(
     br = _BitReader(payload, pos)
     out: list[list[int]] = [[] for _ in range(nch)]
     n_decoded = 0
+    bound = total if total else _MAX_UNKNOWN_TOTAL
     while br.pos < len(payload) * 8:
         chans, _ = _decode_frame(br, info)
         for c in range(nch):
             out[c].extend(chans[c])
         n_decoded += len(chans[0])
-        if n_decoded > _MAX_TOTAL_SAMPLES:
+        if n_decoded > bound:
             raise ValueError("FLAC stream exceeds total-samples bound")
     if total and n_decoded != total:
         raise ValueError(
