@@ -259,6 +259,9 @@ SUITE_GATED_BEYOND_WINDOW = {
     # plus a pinned negative (columns="off" must NOT match on the
     # two-column input)
     "pdf_extract_twocol_docs": "tests/test_pdf.py::test_twocol_query_matches_oracle",
+    # born beyond the window in round 7 sitting 4: SRT/WebVTT
+    # transcript extraction under a string_agg DuckDB oracle
+    "subtitle_extract_docs": "tests/test_subtitles.py::test_operator_with_duckdb_oracle",
 }
 
 

@@ -2079,6 +2079,24 @@ def media_image_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def subtitle_extract_docs(spark, sf_dir):
+    """SRT/WebVTT transcript extraction over the doc_id-keyed synth
+    subtitle table (operators/subtitles.py; suite-gated via the
+    string_agg DuckDB oracle in tests/test_subtitles.py — lives
+    beyond the 50-query driver window)."""
+    from tl_spark.operators.subtitles import (
+        subtitle_extract,
+        synth_subtitle_media,
+    )
+
+    n = _t(spark, sf_dir, "documents").count()
+    out = subtitle_extract(synth_subtitle_media(spark, min(n, 500)))
+    return out.select(
+        "media_id", "format", "transcript", "n_cues", "duration_ms",
+        "speech_ms",
+    ).orderBy("media_id")
+
+
 SELECTOR_COUNTS_SQL = """
 SELECT doc_id, CAST(1 AS INTEGER) AS n_p, CAST(2 AS INTEGER) AS n_main_nav,
        CAST(12 AS INTEGER) AS n_nodes_all
@@ -2537,6 +2555,9 @@ def queries():
         # columns="auto" X-Y-cut path under the same closed-form
         # oracle as pdf_extract_docs; suite-gated (tests/test_pdf.py)
         "pdf_extract_twocol_docs": pdf_extract_twocol_docs,
+        # born beyond the window in round 7 sitting 4: SRT/WebVTT
+        # transcript extraction, suite-gated (tests/test_subtitles.py)
+        "subtitle_extract_docs": subtitle_extract_docs,
     }
 
 
