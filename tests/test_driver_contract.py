@@ -262,6 +262,9 @@ SUITE_GATED_BEYOND_WINDOW = {
     # born beyond the window in round 7 sitting 4: SRT/WebVTT
     # transcript extraction under a string_agg DuckDB oracle
     "subtitle_extract_docs": "tests/test_subtitles.py::test_operator_with_duckdb_oracle",
+    # born beyond the window in round 7 sitting 4: OOXML (DOCX/PPTX/
+    # XLSX) text extraction under a string_agg DuckDB oracle
+    "office_extract_docs": "tests/test_ooxml.py::test_operator_with_duckdb_oracle",
 }
 
 

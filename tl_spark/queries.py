@@ -2079,6 +2079,17 @@ def media_image_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def office_extract_docs(spark, sf_dir):
+    """DOCX/PPTX/XLSX text extraction over the id-keyed synth office
+    table (operators/ooxml.py; suite-gated via the string_agg DuckDB
+    oracle in tests/test_ooxml.py — beyond the driver window)."""
+    from tl_spark.operators.ooxml import office_extract, synth_office_media
+
+    n = _t(spark, sf_dir, "documents").count()
+    out = office_extract(synth_office_media(spark, min(n, 500)))
+    return out.orderBy("media_id")
+
+
 def subtitle_extract_docs(spark, sf_dir):
     """SRT/WebVTT transcript extraction over the doc_id-keyed synth
     subtitle table (operators/subtitles.py; suite-gated via the
@@ -2558,6 +2569,9 @@ def queries():
         # born beyond the window in round 7 sitting 4: SRT/WebVTT
         # transcript extraction, suite-gated (tests/test_subtitles.py)
         "subtitle_extract_docs": subtitle_extract_docs,
+        # born beyond the window in round 7 sitting 4: OOXML office
+        # text extraction, suite-gated (tests/test_ooxml.py)
+        "office_extract_docs": office_extract_docs,
     }
 
 
