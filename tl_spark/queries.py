@@ -2079,6 +2079,17 @@ def media_image_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def epub_extract_docs(spark, sf_dir):
+    """EPUB book-text extraction through the HTML kernel over the
+    id-keyed synth table (operators/epub.py; suite-gated via the
+    DuckDB oracle in tests/test_epub.py — beyond the driver window)."""
+    from tl_spark.operators.epub import epub_extract, synth_epub_media
+
+    n = _t(spark, sf_dir, "documents").count()
+    out = epub_extract(synth_epub_media(spark, min(n, 500)))
+    return out.orderBy("media_id")
+
+
 def office_extract_docs(spark, sf_dir):
     """DOCX/PPTX/XLSX text extraction over the id-keyed synth office
     table (operators/ooxml.py; suite-gated via the string_agg DuckDB
@@ -2572,6 +2583,9 @@ def queries():
         # born beyond the window in round 7 sitting 4: OOXML office
         # text extraction, suite-gated (tests/test_ooxml.py)
         "office_extract_docs": office_extract_docs,
+        # born beyond the window in round 7 sitting 4: EPUB book text
+        # through the HTML kernel, suite-gated (tests/test_epub.py)
+        "epub_extract_docs": epub_extract_docs,
     }
 
 
