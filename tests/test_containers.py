@@ -339,3 +339,20 @@ def test_router_dispatches_new_containers():
 
     info = media_payload_info(mp3_frame_bytes(8))
     assert info["container"] == "mp3" and info["n_samples"] == 8
+
+
+def test_adts_id3_envelopes(spark):
+    from tl_spark.operators.media_info import media_payload_info
+    from tl_spark.operators.mp3 import audio_stream_info
+
+    d = aac_adts_bytes(
+        10, sample_rate=48000, channels=2, id3v2_size=250, id3v1=True, seed=4
+    )
+    info = aac_stream_info(d)
+    assert info["n_frames"] == 10 and info["clean"]
+    assert media_payload_info(d)["container"] == "aac"
+    df = spark.createDataFrame(
+        [(1, bytearray(d))], "media_id long, payload binary"
+    )
+    rows = audio_stream_info(df).collect()
+    assert rows[0]["container"] == "aac" and rows[0]["n_frames"] == 10

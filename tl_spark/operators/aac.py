@@ -75,10 +75,15 @@ def aac_stream_info(payload: bytes, max_scan: int = 65536) -> dict:
     if not isinstance(payload, (bytes, bytearray)):
         raise ValueError("not an ADTS payload")
     payload = bytes(payload)
+    from tl_spark.operators.mp3 import _skip_id3v2
+
+    start0 = _skip_id3v2(payload)  # ID3v2-wrapped ADTS occurs in the wild
     end = len(payload)
+    if end - start0 >= 128 and payload[end - 128 : end - 125] == b"TAG":
+        end -= 128  # ID3v1 trailer
     first = None
-    scan_end = min(end - 7, max_scan)
-    p = 0
+    scan_end = min(end - 7, start0 + max_scan)
+    p = start0
     while p <= scan_end:
         q = payload.find(b"\xff", p, scan_end + 1)
         if q < 0:
@@ -157,6 +162,8 @@ def aac_adts_bytes(
     profile: int = 1,
     mpeg2: bool = False,
     crc: bool = False,
+    id3v2_size: int = 0,
+    id3v1: bool = False,
     seed: int = 0,
 ) -> bytes:
     """Serialize a VALID ADTS frame chain (headers exact, payload
@@ -169,6 +176,12 @@ def aac_adts_bytes(
         raise ValueError("ADTS channel configuration is 0-7")
     bodies = frame_body if isinstance(frame_body, list) else [frame_body]
     out = bytearray()
+    if id3v2_size:
+        s = id3v2_size
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(s >> 21) & 0x7F, (s >> 14) & 0x7F, (s >> 7) & 0x7F, s & 0x7F]
+        )
+        out += bytes((seed + i) % 251 for i in range(id3v2_size))
     hlen = 9 if crc else 7
     for k in range(n_frames):
         body_len = bodies[k % len(bodies)]
@@ -188,6 +201,8 @@ def aac_adts_bytes(
         if crc:
             out += struct.pack(">H", (seed + k) & 0xFFFF)
         out += bytes((seed * 17 + k * 11 + i) % 251 for i in range(body_len))
+    if id3v1:
+        out += b"TAG" + bytes(125)
     return bytes(out)
 
 

@@ -262,7 +262,15 @@ def media_payload_info(payload: bytes) -> dict:
         and payload[0] == 0xFF
         and payload[1] & 0xE0 == 0xE0
     ):
-        if len(payload) >= 2 and payload[0] == 0xFF and payload[1] & 0x06 == 0:
+        from tl_spark.operators.mp3 import _skip_id3v2
+
+        off = _skip_id3v2(bytes(payload))
+        if (
+            len(payload) >= off + 2
+            and payload[off] == 0xFF
+            and payload[off + 1] & 0xF0 == 0xF0
+            and payload[off + 1] & 0x06 == 0
+        ):
             from tl_spark.operators.aac import aac_stream_info
 
             info = aac_stream_info(bytes(payload))

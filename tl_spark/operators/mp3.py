@@ -440,13 +440,13 @@ def audio_stream_info(
                         }
                     elif (
                         p
-                        and len(p) >= 2
-                        and p[0] == 0xFF
-                        and p[1] & 0xF0 == 0xF0
-                        and p[1] & 0x06 == 0
+                        and len(p) >= (_o := _skip_id3v2(bytes(p))) + 2
+                        and p[_o] == 0xFF
+                        and p[_o + 1] & 0xF0 == 0xF0
+                        and p[_o + 1] & 0x06 == 0
                     ):
-                        # ADTS sync with layer bits 00 (reserved in
-                        # MP1/2/3): AAC, not MP3
+                        # ADTS sync (possibly ID3v2-wrapped) with layer
+                        # bits 00 (reserved in MP1/2/3): AAC, not MP3
                         from tl_spark.operators.aac import aac_stream_info
 
                         info = _malformed_as_valueerror(
