@@ -268,6 +268,9 @@ SUITE_GATED_BEYOND_WINDOW = {
     # born beyond the window in round 7 sitting 4: EPUB book text
     # through the HTML kernel under a DuckDB oracle
     "epub_extract_docs": "tests/test_epub.py::test_operator_with_duckdb_oracle",
+    # born beyond the window in round 7 sitting 4: RTF text extraction
+    # under a DuckDB oracle
+    "rtf_extract_docs": "tests/test_rtf.py::test_operator_with_duckdb_oracle",
 }
 
 

@@ -2079,6 +2079,17 @@ def media_image_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def rtf_extract_docs(spark, sf_dir):
+    """RTF text extraction over the id-keyed synth table
+    (operators/rtf.py; suite-gated via the DuckDB oracle in
+    tests/test_rtf.py — beyond the driver window)."""
+    from tl_spark.operators.rtf import rtf_extract, synth_rtf_media
+
+    n = _t(spark, sf_dir, "documents").count()
+    out = rtf_extract(synth_rtf_media(spark, min(n, 500)))
+    return out.orderBy("media_id")
+
+
 def epub_extract_docs(spark, sf_dir):
     """EPUB book-text extraction through the HTML kernel over the
     id-keyed synth table (operators/epub.py; suite-gated via the
@@ -2586,6 +2597,9 @@ def queries():
         # born beyond the window in round 7 sitting 4: EPUB book text
         # through the HTML kernel, suite-gated (tests/test_epub.py)
         "epub_extract_docs": epub_extract_docs,
+        # born beyond the window in round 7 sitting 4: RTF text
+        # extraction, suite-gated (tests/test_rtf.py)
+        "rtf_extract_docs": rtf_extract_docs,
     }
 
 
