@@ -271,6 +271,9 @@ SUITE_GATED_BEYOND_WINDOW = {
     # born beyond the window in round 7 sitting 4: RTF text extraction
     # under a DuckDB oracle
     "rtf_extract_docs": "tests/test_rtf.py::test_operator_with_duckdb_oracle",
+    # born beyond the window in round 7 sitting 4: the unified
+    # document-text router over a mixed four-format corpus
+    "document_extract_docs": "tests/test_docrouter.py::test_mixed_corpus_operator_with_duckdb_oracle",
 }
 
 

@@ -2079,6 +2079,20 @@ def media_image_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def document_extract_docs(spark, sf_dir):
+    """The unified document-text router over a mixed four-format
+    corpus (operators/docrouter.py; suite-gated via the DuckDB oracle
+    in tests/test_docrouter.py — beyond the driver window)."""
+    from tl_spark.operators.docrouter import (
+        document_extract,
+        synth_document_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = document_extract(synth_document_media(docs))
+    return out.orderBy("doc_id")
+
+
 def rtf_extract_docs(spark, sf_dir):
     """RTF text extraction over the id-keyed synth table
     (operators/rtf.py; suite-gated via the DuckDB oracle in
@@ -2600,6 +2614,9 @@ def queries():
         # born beyond the window in round 7 sitting 4: RTF text
         # extraction, suite-gated (tests/test_rtf.py)
         "rtf_extract_docs": rtf_extract_docs,
+        # born beyond the window in round 7 sitting 4: the unified
+        # document router, suite-gated (tests/test_docrouter.py)
+        "document_extract_docs": document_extract_docs,
     }
 
 
