@@ -262,6 +262,28 @@ def main() -> None:
 
     timed("main_content", run_main_content)
 
+    # round-7 sitting-4 addition: the unified document-text router
+    # (magic-byte dispatch to the OOXML / EPUB / RTF / HTML kernels)
+    # over a mixed corpus pre-rendered from the documents table
+    # (synth+write untimed; the timed leg is routing + extraction).
+    dpath = f"/tmp/tl_bench_docs_{sf}"
+    if not Path(dpath, "_SUCCESS").exists():
+        from tl_spark.operators.docrouter import synth_document_media
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id"
+        )
+        synth_document_media(docs).repartition(max(8, int(cpus))).write.mode(
+            "overwrite"
+        ).parquet(dpath)
+
+    def run_docs():
+        from tl_spark.operators.docrouter import document_extract
+
+        consume(document_extract(spark.read.parquet(dpath)))
+
+    timed("document_extract", run_docs)
+
     total = round(sum(timings.values()), 3)
     turns_per_sec = round(n_turns / timings["extract_transcripts"], 1)
     print(
