@@ -356,3 +356,18 @@ def test_adts_id3_envelopes(spark):
     )
     rows = audio_stream_info(df).collect()
     assert rows[0]["container"] == "aac" and rows[0]["n_frames"] == 10
+
+
+def test_avcc_corrupt_sps_length_is_refused():
+    # an SPS length claiming bytes beyond the avcC box must raise,
+    # not read dims out of sibling boxes (review finding)
+    import struct as _s
+
+    from tl_spark.operators.mp4 import _avcc_sps_dims
+
+    sps = sps_bytes(320, 180)
+    rec = bytearray(avcc_bytes(sps))
+    rec[6:8] = _s.pack(">H", len(sps) + 500)  # lie about the length
+    payload = bytes(rec)
+    with pytest.raises(ValueError, match="truncated avcC"):
+        _avcc_sps_dims(payload, 0, len(payload))

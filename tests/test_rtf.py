@@ -89,3 +89,23 @@ def test_on_error_policy(spark):
     assert rtf_extract(bad, on_error="skip").count() == 0
     with pytest.raises(Exception):
         rtf_extract(bad, on_error="raise").collect()
+
+
+def test_nested_ignorable_destination_stays_skipped():
+    # a {\*...} nested inside an already-skipped {\*...} must not
+    # reset the skip depth and leak the outer tail (review finding)
+    doc = rb"{\rtf1 A{\*\outer metadata1 {\*\inner metadata2} metadata3 }B}"
+    assert rtf_text(doc)[0] == "AB"
+
+
+def test_bin_runs_never_leak_and_never_break_groups():
+    # \binN raw bytes: never text, and embedded { } bytes must not
+    # disturb group tracking (review finding)
+    doc = b"{\\rtf1 {\\pict\\bin4 \x89}{x} after}"
+    t, _ = rtf_text(doc)
+    assert t == " after"
+    # binary run OUTSIDE a skipped destination is still dropped
+    doc = b"{\\rtf1 pre\\bin3 \x00}\x01mid}"
+    assert rtf_text(doc)[0] == "premid"
+    with pytest.raises(ValueError):
+        rtf_text(b"{\\rtf1 \\bin99 short}")

@@ -120,3 +120,11 @@ def test_on_error_policy(spark):
     assert subtitle_extract(bad, on_error="skip").count() == 0
     with pytest.raises(Exception):
         subtitle_extract(bad, on_error="raise").collect()
+
+
+def test_bom_prefixed_webvtt_routes_as_vtt():
+    # W3C allows an optional U+FEFF before the magic (review finding)
+    doc = "﻿WEBVTT\n\n00:01.000 --> 00:03.000\n<i>styled</i> text\n"
+    info = subtitle_payload_info(doc)
+    assert info["format"] == "vtt"
+    assert info["transcript"] == "styled text"  # markup stripped

@@ -466,7 +466,8 @@ def synth_media_for_docs(df, id_col: str = "doc_id"):
       600 + (doc_id%3)*400; 320+(doc_id%4)*160 × 180+(doc_id%4)*90;
       24 + doc_id%7 samples
     - flac: 2400 samples verbatim (see :func:`flac_fixture_payload`),
-      sr by doc_id%3, stereo when doc_id%4==1
+      sr by doc_id%3, stereo when doc_id%16==5 (mono at %16==13 —
+      doc_id%8==5 pins the lower moduli, so the split keys on %16)
     - ogg: Vorbis ident + granule chain, n = 9600 + doc_id%7*480
       (no n*1000/sr half-integer in the reachable set — checked),
       sr by doc_id%3, channels 1 + (doc_id%5==0), nominal 96 kbps
@@ -503,8 +504,11 @@ def synth_media_for_docs(df, id_col: str = "doc_id"):
                 seed=i,
             )
         if v == 5:
+            # NB: v==5 forces doc_id odd (and doc_id%4==1), so the
+            # channel split must key on a modulus that still varies
+            # within this residue class: doc_id%16 is 5 or 13 here
             return flac_fixture_payload(
-                2 if i % 4 == 1 else 1, (44100, 48000, 32000)[i % 3]
+                2 if i % 16 == 5 else 1, (44100, 48000, 32000)[i % 3]
             )
         if v == 6:
             return ogg_bytes(

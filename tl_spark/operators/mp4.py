@@ -216,9 +216,11 @@ def _avcc_sps_dims(payload: bytes, body: int, end: int) -> tuple[int, int]:
     if n_sps < 1 or p + 2 > end:
         raise ValueError("avcC has no SPS")
     (ln,) = struct.unpack_from(">H", payload, p)
-    nal = payload[p + 2 : p + 2 + ln]
-    if len(nal) != ln:
+    # bound by the avcC box END, not the whole payload: a corrupt
+    # length field must not read dims out of sibling boxes' bytes
+    if p + 2 + ln > end:
         raise ValueError("truncated avcC SPS")
+    nal = payload[p + 2 : p + 2 + ln]
     return _sps_dims(nal)
 
 

@@ -67,27 +67,27 @@ def _unescape(s: str) -> str:
     return _ENTITY.sub(sub, s)
 
 
-def _read_member(payload: bytes, name: str) -> str:
+def _open(payload: bytes) -> zipfile.ZipFile:
     try:
-        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
-            info = zf.getinfo(name)
-            if info.file_size > _MAX_MEMBER:
-                raise ValueError(f"member {name!r} exceeds the size cap")
-            return zf.read(name).decode("utf-8", "replace")
-    except ValueError:
-        raise
-    except KeyError:
-        raise ValueError(f"missing OOXML part {name!r}") from None
-    except Exception as exc:  # BadZipFile / zlib.error / ...
-        raise ValueError(f"malformed OOXML zip: {exc}") from exc
-
-
-def _member_names(payload: bytes) -> list[str]:
-    try:
-        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
-            return zf.namelist()
+        return zipfile.ZipFile(io.BytesIO(payload))
     except Exception as exc:
         raise ValueError(f"not an OOXML payload: {exc}") from exc
+
+
+def _read_from(zf: zipfile.ZipFile, name: str) -> str:
+    """One member's text from an ALREADY-OPEN archive — the central
+    directory is parsed once per document, not once per member (a
+    many-slide PPTX would otherwise re-parse it per slide)."""
+    try:
+        info = zf.getinfo(name)
+    except KeyError:
+        raise ValueError(f"missing OOXML part {name!r}") from None
+    if info.file_size > _MAX_MEMBER:
+        raise ValueError(f"member {name!r} exceeds the size cap")
+    try:
+        return zf.read(name).decode("utf-8", "replace")
+    except Exception as exc:  # BadZipFile / zlib.error / ...
+        raise ValueError(f"malformed OOXML zip: {exc}") from exc
 
 
 # one regex pass per paragraph: text runs + explicit breaks, in order
@@ -109,28 +109,24 @@ def _w_paragraph_text(par_xml: str) -> str:
     return "".join(out)
 
 
-def docx_text(payload: bytes) -> tuple[str, int]:
-    """(text, n_paragraphs) from a DOCX payload."""
-    xml = _read_member(bytes(payload), "word/document.xml")
+def _docx_from(zf: zipfile.ZipFile) -> tuple[str, int]:
+    xml = _read_from(zf, "word/document.xml")
     pars = re.split(r"</w:p>", xml)[:-1]
     texts = [_w_paragraph_text(p) for p in pars]
     return "\n".join(texts), len(texts)
 
 
-def pptx_text(payload: bytes) -> tuple[str, int]:
-    """(text, n_slides) from a PPTX payload; slides in numeric order."""
-    payload = bytes(payload)
-    names = _member_names(payload)
+def _pptx_from(zf: zipfile.ZipFile) -> tuple[str, int]:
     slides = sorted(
         (int(m.group(1)), n)
-        for n in names
+        for n in zf.namelist()
         if (m := re.fullmatch(r"ppt/slides/slide(\d+)\.xml", n))
     )
     if not slides:
         raise ValueError("PPTX payload has no slides")
     out = []
     for _, name in slides:
-        xml = _read_member(payload, name)
+        xml = _read_from(zf, name)
         pars = []
         for par in re.split(r"</a:p>", xml)[:-1]:
             runs = [
@@ -143,9 +139,8 @@ def pptx_text(payload: bytes) -> tuple[str, int]:
     return "\n\n".join(out), len(slides)
 
 
-def xlsx_strings(payload: bytes) -> tuple[str, int]:
-    """(newline-joined shared strings, count) from an XLSX payload."""
-    xml = _read_member(bytes(payload), "xl/sharedStrings.xml")
+def _xlsx_from(zf: zipfile.ZipFile) -> tuple[str, int]:
+    xml = _read_from(zf, "xl/sharedStrings.xml")
     vals = [
         _unescape(m.group(1))
         for m in _T_TOKEN.finditer(xml)
@@ -154,21 +149,40 @@ def xlsx_strings(payload: bytes) -> tuple[str, int]:
     return "\n".join(vals), len(vals)
 
 
+def docx_text(payload: bytes) -> tuple[str, int]:
+    """(text, n_paragraphs) from a DOCX payload."""
+    with _open(bytes(payload)) as zf:
+        return _docx_from(zf)
+
+
+def pptx_text(payload: bytes) -> tuple[str, int]:
+    """(text, n_slides) from a PPTX payload; slides in numeric order."""
+    with _open(bytes(payload)) as zf:
+        return _pptx_from(zf)
+
+
+def xlsx_strings(payload: bytes) -> tuple[str, int]:
+    """(newline-joined shared strings, count) from an XLSX payload."""
+    with _open(bytes(payload)) as zf:
+        return _xlsx_from(zf)
+
+
 def office_payload_info(payload: bytes) -> dict:
     """Route one OOXML payload by its document part: DOCX / PPTX /
     XLSX → (format, text, n_units) where n_units is paragraphs /
-    slides / shared strings. Raises ValueError otherwise."""
-    payload = bytes(payload)
-    names = set(_member_names(payload))
-    if "word/document.xml" in names:
-        text, n = docx_text(payload)
-        return {"format": "docx", "text": text, "n_units": n}
-    if any(re.fullmatch(r"ppt/slides/slide\d+\.xml", n) for n in names):
-        text, n = pptx_text(payload)
-        return {"format": "pptx", "text": text, "n_units": n}
-    if "xl/sharedStrings.xml" in names:
-        text, n = xlsx_strings(payload)
-        return {"format": "xlsx", "text": text, "n_units": n}
+    slides / shared strings. Raises ValueError otherwise. One
+    ZipFile open serves detection AND extraction."""
+    with _open(bytes(payload)) as zf:
+        names = set(zf.namelist())
+        if "word/document.xml" in names:
+            text, n = _docx_from(zf)
+            return {"format": "docx", "text": text, "n_units": n}
+        if any(re.fullmatch(r"ppt/slides/slide\d+\.xml", n) for n in names):
+            text, n = _pptx_from(zf)
+            return {"format": "pptx", "text": text, "n_units": n}
+        if "xl/sharedStrings.xml" in names:
+            text, n = _xlsx_from(zf)
+            return {"format": "xlsx", "text": text, "n_units": n}
     raise ValueError("unrecognized OOXML payload (no known document part)")
 
 

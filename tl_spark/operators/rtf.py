@@ -80,7 +80,13 @@ def rtf_text(payload: bytes) -> tuple[str, int]:
         if s:
             out.append(s)
 
-    for m in _TOKEN.finditer(payload):
+    pos = 0
+    end = len(payload)
+    while pos < end:
+        m = _TOKEN.match(payload, pos)
+        if m is None:  # a lone trailing backslash
+            raise ValueError("truncated RTF control sequence")
+        pos = m.end()
         if m.group(6):
             if m.group(6) == b"{":
                 depth += 1
@@ -115,7 +121,14 @@ def rtf_text(payload: bytes) -> tuple[str, int]:
             continue
         if m.group(3) is not None:  # control word
             word = m.group(3)
-            if word == b"uc" and m.group(4) is not None:
+            if word == b"bin":
+                # \binN: N raw bytes follow — NEVER document text, and
+                # any {/} bytes inside must not disturb group tracking
+                n_raw = int(m.group(4) or 0)
+                if n_raw < 0 or pos + n_raw > end:
+                    raise ValueError("truncated RTF \\bin run")
+                pos += n_raw
+            elif word == b"uc" and m.group(4) is not None:
                 uc_stack[-1] = max(0, int(m.group(4)))
             elif skip_until is None:
                 if was_first and word in _SKIP_DESTS:
@@ -130,7 +143,12 @@ def rtf_text(payload: bytes) -> tuple[str, int]:
         if m.group(5) is not None:  # control symbol
             sym = m.group(5)
             if sym == b"*" and was_first:
-                skip_until = depth  # \* destinations are ignorable
+                # \* destinations are ignorable — but a nested one
+                # inside an already-skipped group must not RESET the
+                # skip depth (that would end the outer skip early and
+                # leak its metadata into the text)
+                if skip_until is None:
+                    skip_until = depth
                 first_group_char = False
             elif sym in (b"{", b"}", b"\\"):
                 emit(sym.decode("latin-1"))

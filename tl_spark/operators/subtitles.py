@@ -130,6 +130,9 @@ def subtitle_payload_info(text: str) -> dict:
     """
     if not isinstance(text, str):
         raise ValueError("subtitle payload must be a string")
+    # the WebVTT spec explicitly allows an optional U+FEFF before the
+    # magic, and real files very commonly carry it
+    text = text.lstrip("\ufeff")
     if text.startswith("WEBVTT"):
         fmt, cues = "vtt", parse_vtt(text)
     else:

@@ -1839,13 +1839,13 @@ SELECT doc_id,
             WHEN v = 7 THEN 48000
             ELSE 0 END AS BIGINT) AS sample_rate,
   CAST(CASE WHEN v = 3 THEN CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END
-            WHEN v = 5 THEN CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END
+            WHEN v = 5 THEN CASE WHEN doc_id % 16 = 5 THEN 2 ELSE 1 END
             WHEN v = 6 THEN CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END
             WHEN v = 7 THEN 2
             ELSE 0 END AS BIGINT) AS channels,
   CAST(CASE WHEN v = 3 THEN 128
             WHEN v = 5 THEN round(
-                 (CASE WHEN doc_id % 4 = 1 THEN {len2} ELSE {len1} END)
+                 (CASE WHEN doc_id % 16 = 5 THEN {len2} ELSE {len1} END)
                  * 8.0 * sr3 / 2400000.0)
             WHEN v = 6 THEN 96
             ELSE 0 END AS BIGINT) AS bitrate_kbps,
