@@ -106,3 +106,20 @@ def test_on_error_policy(spark):
     assert document_extract(bad, on_error="skip").count() == 0
     with pytest.raises(Exception):
         document_extract(bad, on_error="raise").collect()
+
+
+def test_gzip_envelope_reroutes_inner_payload():
+    import gzip
+
+    from tl_spark.operators.rtf import rtf_bytes
+
+    inner = b"<html><body><p>zipped page</p></body></html>"
+    info = document_payload_info(gzip.compress(inner))
+    assert info["format"] == "gz+html" and info["text"] == "zipped page"
+    info = document_payload_info(gzip.compress(rtf_bytes(["r"])))
+    assert info["format"] == "gz+rtf"
+    # nested gzip is refused, truncated gzip is ValueError
+    with pytest.raises(ValueError, match="nested gzip"):
+        document_payload_info(gzip.compress(gzip.compress(inner)))
+    with pytest.raises(ValueError):
+        document_payload_info(gzip.compress(inner)[:10])

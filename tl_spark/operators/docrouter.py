@@ -52,6 +52,30 @@ def document_payload_info(payload: bytes) -> dict:
     payload = bytes(payload)
     if not payload:
         raise ValueError("empty document payload")
+    if payload[:2] == b"\x1f\x8b":
+        # gzip envelope (crawls ship .html.gz / .json.gz routinely):
+        # decompress with a hard output cap, then re-route the inner
+        # payload. One level only — gzip-in-gzip is an attack shape,
+        # not a corpus shape.
+        import zlib
+
+        d = zlib.decompressobj(wbits=31)
+        try:
+            inner = d.decompress(payload, 256 * 1024 * 1024)
+        except Exception as exc:
+            raise ValueError(f"malformed gzip payload: {exc}") from exc
+        if d.unconsumed_tail:
+            raise ValueError("gzip payload exceeds the output cap")
+        if not d.eof:
+            # zlib does not raise on mid-stream truncation — without
+            # this check a cut-off crawl record would silently route
+            # partial text
+            raise ValueError("truncated gzip payload")
+        if inner[:2] == b"\x1f\x8b":
+            raise ValueError("nested gzip payload refused")
+        info = document_payload_info(inner)
+        info["format"] = "gz+" + info["format"]
+        return info
     if payload[:5] == b"%PDF-":
         from tl_spark.operators.pdf import extract_pdf_pages
 
