@@ -11,6 +11,22 @@ bit-identical values:
 - every computed column is aliased identically here and in ORACLE_SQL;
 - ties in top-k / windows are broken by a unique key.
 
+Round-8 sink optimization: every query's trailing deterministic-order
+sink is ``.repartition(1).sortWithinPartitions(keys)`` instead of
+``.orderBy(keys)``. A global range sort SAMPLES its child to pick
+partition boundaries, which re-executes the entire upstream segment
+since the last materialized exchange — for the map-only battery
+queries that means every kernel/regex pass runs TWICE per action
+(measured exactly 2x: doc_fingerprint 4.88 s -> 2.49 s, doc_pii
+8.24 s -> 4.57 s at sf1.0/local[32]; see OPTIMIZATION_r08.md). The
+sink output is small by construction (driver-check projections), the
+sort keys are a unique tuple in every query, and a single-partition
+sort of the final rows produces the IDENTICAL row sequence with one
+upstream execution and no sampling job (verified row-for-row). The
+``repartition(1)`` (not ``coalesce(1)``) keeps every upstream stage at
+full parallelism. Production callers use the operators directly and
+never pay this sink.
+
 The extraction/sketch queries are made SQL-checkable through two
 patterns (the kernel itself is additionally gated by the golden corpus,
 tests/test_goldens.py — byte parity with the compiled reference):
@@ -121,7 +137,7 @@ def q1_pricing_summary(spark, sf_dir):
             ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .repartition(1).sortWithinPartitions("l_returnflag", "l_linestatus")
     )
     return out
 
@@ -191,7 +207,7 @@ def q5_nation_revenue(spark, sf_dir):
             F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
-        .orderBy("r_name", "n_name")
+        .repartition(1).sortWithinPartitions("r_name", "n_name")
     )
     return out
 
@@ -225,7 +241,7 @@ def top_customers_per_segment(spark, sf_dir):
         totals.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("c_mktsegment", "c_custkey", "c_name", "total_spend", "rnk")
-        .orderBy("c_mktsegment", "rnk")
+        .repartition(1).sortWithinPartitions("c_mktsegment", "rnk")
     )
 
 
@@ -257,7 +273,7 @@ def orders_running_total(spark, sf_dir):
         "o_orderkey",
         "o_orderdate",
         F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double").alias("running_total"),
-    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    ).repartition(1).sortWithinPartitions("o_custkey", "o_orderdate", "o_orderkey")
 
 
 RUNNING_TOTAL_SQL = """
@@ -285,7 +301,7 @@ def events_hourly(spark, sf_dir):
             F.sum(_dec(val, 4)).cast("double").alias("sum_value"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
         )
-        .orderBy("hour", "event_type")
+        .repartition(1).sortWithinPartitions("hour", "event_type")
     )
 
 
@@ -310,7 +326,7 @@ def part_brand_stats(spark, sf_dir):
             F.max("p_size").alias("max_size"),
             F.min("p_size").alias("min_size"),
         )
-        .orderBy("p_brand")
+        .repartition(1).sortWithinPartitions("p_brand")
     )
 
 
@@ -334,7 +350,7 @@ def supplier_region_acctbal(spark, sf_dir):
             F.count(F.lit(1)).alias("n_suppliers"),
             F.sum(_dec(F.col("s_acctbal"))).cast("double").alias("sum_acctbal"),
         )
-        .orderBy("r_name")
+        .repartition(1).sortWithinPartitions("r_name")
     )
 
 
@@ -357,7 +373,7 @@ def order_priority_counts(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             F.count_distinct("o_custkey").alias("n_customers"),
         )
-        .orderBy("o_orderpriority")
+        .repartition(1).sortWithinPartitions("o_orderpriority")
     )
 
 
@@ -394,7 +410,7 @@ def events_sessionized(spark, sf_dir):
             .cast("double")
             .alias("sum_value"),
         )
-        .orderBy("user_id", "sess_id")
+        .repartition(1).sortWithinPartitions("user_id", "sess_id")
     )
 
 
@@ -435,7 +451,7 @@ def events_dedup_latest(spark, sf_dir):
         e.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("user_id", "event_type", "event_id", "ts")
-        .orderBy("user_id", "event_type")
+        .repartition(1).sortWithinPartitions("user_id", "event_type")
     )
 
 
@@ -463,7 +479,7 @@ def media_frame_sample(spark, sf_dir):
     out = sample_frames(media, every_k=10, decode_stub="fake")
     return out.select(
         "media_id", "frame_idx", F.round("frame_mean", 4).alias("frame_mean")
-    ).orderBy("media_id", "frame_idx")
+    ).repartition(1).sortWithinPartitions("media_id", "frame_idx")
 
 
 def events_asof_last_view(spark, sf_dir):
@@ -497,7 +513,7 @@ def events_asof_last_view(spark, sf_dir):
                 F.unix_timestamp("ts") - F.unix_timestamp("last_view_ts"),
             ).alias("secs_since_view"),
         )
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     )
     return out
 
@@ -532,7 +548,7 @@ def order_price_percentiles(spark, sf_dir):
             F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
             F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
         )
-        .orderBy("o_orderpriority")
+        .repartition(1).sortWithinPartitions("o_orderpriority")
     )
 
 
@@ -559,7 +575,7 @@ def doc_token_stats(spark, sf_dir):
         token_count(c).cast("long").alias("n_tokens"),
         F.length(c).cast("long").alias("n_chars_c"),
         punct_count(c).cast("long").alias("n_punct"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 DOC_TOKEN_SQL = f"""
@@ -580,7 +596,7 @@ def doc_bpe_tokens(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", bpe_token_count(F.col("text")).cast("long").alias("n_bpe")
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def _bpe_sql() -> str:
@@ -630,7 +646,7 @@ def doc_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", quality_score(F.col("text")).alias("quality")
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 DOC_QUALITY_SQL = f"""
@@ -658,7 +674,7 @@ def doc_lang_guess(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", lang_guess(F.col("text")).alias("lang_guess")
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def _lang_hits_sql(words):
@@ -705,7 +721,7 @@ def docs_balanced_sample(spark, sf_dir):
         d.select("doc_id", "lang", q)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 25)
-        .orderBy("lang", "rnk")
+        .repartition(1).sortWithinPartitions("lang", "rnk")
     )
 
 
@@ -743,7 +759,7 @@ def doc_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", fingerprint(F.col("text")).alias("fp")
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 DOC_FINGERPRINT_SQL = """
@@ -771,7 +787,7 @@ def doc_rolling_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", rolling_fingerprint(F.col("text")).alias("rfp")
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def _rolling_fp_sql(window: int = 16, base: int = 1000003) -> str:
@@ -854,7 +870,7 @@ def doc_repetition(spark, sf_dir):
             dup_word_frac(F.col("text")).alias("dup_word_frac"),
             tbf.alias("top_bigram_frac"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -915,7 +931,7 @@ def doc_pii_redaction(spark, sf_dir):
         n_email.cast("long").alias("n_emails"),
         n_ip.cast("long").alias("n_ips"),
         n_phone.cast("long").alias("n_phones"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 _PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -952,7 +968,7 @@ def dedup_exact_docs(spark, sf_dir):
     from tl_spark.operators.dedup import exact_dedup
 
     d = _t(spark, sf_dir, "documents")
-    return exact_dedup(d).orderBy("text_hash")
+    return exact_dedup(d).repartition(1).sortWithinPartitions("text_hash")
 
 
 DEDUP_EXACT_SQL = """
@@ -1041,7 +1057,7 @@ def embedding_neardup(spark, sf_dir):
     # .orderBy returns a new DataFrame and drops the plain-attribute
     # cache handle — re-attach so consumers can release the vector
     # cache (tl_spark.cache.keep_handles).
-    return keep_handles(out.orderBy("id_a", "id_b"), out)
+    return keep_handles(out.repartition(1).sortWithinPartitions("id_a", "id_b"), out)
 
 
 NEARDUP_SQL = """
@@ -1070,7 +1086,7 @@ def semantic_dedup_docs(spark, sf_dir):
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
     _kept, dropped = semantic_dedup(e.unionByName(twins), threshold=0.95)
-    return dropped.select("id", "max_cos").orderBy("id")
+    return dropped.select("id", "max_cos").repartition(1).sortWithinPartitions("id")
 
 
 SEMANTIC_DEDUP_SQL = """
@@ -1098,7 +1114,7 @@ def dedup_minhash(spark, sf_dir):
         (F.col("id_b") - F.col("id_a") == 1000000)
         & (F.col("id_a") < 1000000)
         & (F.col("est_jaccard") == 1.0)
-    ).orderBy("id_a")
+    ).repartition(1).sortWithinPartitions("id_a")
     return keep_handles(out, cands)  # carry the sig-table cache handle
 
 
@@ -1113,7 +1129,7 @@ def dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     from tl_spark.operators.dedup import simhash_signatures
 
-    return simhash_signatures(d).orderBy("id")
+    return simhash_signatures(d).repartition(1).sortWithinPartitions("id")
 
 
 # Exact SQL re-expression of the 64-bit SimHash: DuckDB's
@@ -1157,7 +1173,7 @@ def doc_contamination(spark, sf_dir):
     out = ngram_contamination(d, bench, n=13)
     return out.select(
         F.col("id").alias("doc_id"), F.col("n_hits").cast("long").alias("n_hits")
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 DOC_CONTAMINATION_SQL = """
@@ -1194,7 +1210,7 @@ def dedup_simhash_neardup(spark, sf_dir):
     out = simhash_neardup_pairs(d, max_hamming=3, bands=4, max_bucket_size=512)
     final = out.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
-    ).orderBy("id_a", "id_b")
+    ).repartition(1).sortWithinPartitions("id_a", "id_b")
     return keep_handles(final, out)  # carry the sig-table cache handle
 
 
@@ -1228,7 +1244,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     cands = minhash_lsh_candidates(d, n_hashes=32, bands=8)
     verified = ngram_jaccard_pairs(d, cands, threshold=0.5)
-    return keep_handles(verified.orderBy("id_a", "id_b"), verified)
+    return keep_handles(verified.repartition(1).sortWithinPartitions("id_a", "id_b"), verified)
 
 
 # Brute-force exact Jaccard via an exploded-shingle self-join (the
@@ -1302,7 +1318,7 @@ def extract_documents(spark, sf_dir):
         "n_nodes",
         "html_version",
         "error",
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 EXTRACT_DOCS_FULL_SQL = """
@@ -1333,7 +1349,7 @@ def extract_documents_text(spark, sf_dir):
 
     html = _docs_as_html(spark, sf_dir)
     out = extract_main_content(html, passthrough=["doc_id"])
-    return out.select("doc_id", "extracted_text").orderBy("doc_id")
+    return out.select("doc_id", "extracted_text").repartition(1).sortWithinPartitions("doc_id")
 
 
 def main_content_docs(spark, sf_dir):
@@ -1362,7 +1378,7 @@ def main_content_docs(spark, sf_dir):
     return out.select(
         "doc_id", "main_text", "main_tag", "span_start", "span_end",
         "n_candidates",
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def _main_content_sql() -> str:
@@ -1406,7 +1422,7 @@ def selector_extract_p(spark, sf_dir):
     from tl_spark.functions.query import query_selector_extract
 
     html = _docs_as_html(spark, sf_dir)
-    return query_selector_extract(html, "p", mode="inner_text").orderBy(
+    return query_selector_extract(html, "p", mode="inner_text").repartition(1).sortWithinPartitions(
         "doc_id", "node_idx"
     )
 
@@ -1431,7 +1447,7 @@ def _selector_wrapper_query(spark, sf_dir, prefix, mid, suffix, selector):
             F.lit(prefix + mid), F.col("text"), F.lit(suffix)
         ).alias("text"),
     )
-    return query_selector_extract(html, selector, mode="inner_text").orderBy(
+    return query_selector_extract(html, selector, mode="inner_text").repartition(1).sortWithinPartitions(
         "doc_id", "node_idx"
     )
 
@@ -1543,7 +1559,7 @@ def pdf_extract_docs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     pdfs = synth_pdf_media(docs)
-    return pdf_text_pages(pdfs).orderBy("doc_id", "page_no")
+    return pdf_text_pages(pdfs).repartition(1).sortWithinPartitions("doc_id", "page_no")
 
 
 PDF_EXTRACT_SQL = """
@@ -1585,7 +1601,7 @@ def pdf_extract_twocol_docs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     pdfs = synth_pdf_media(docs, layout="twocol")
-    return pdf_text_pages(pdfs, columns="auto").orderBy("doc_id", "page_no")
+    return pdf_text_pages(pdfs, columns="auto").repartition(1).sortWithinPartitions("doc_id", "page_no")
 
 
 def selector_extract_p_outer(spark, sf_dir):
@@ -1596,7 +1612,7 @@ def selector_extract_p_outer(spark, sf_dir):
     from tl_spark.functions.query import query_selector_extract
 
     html = _docs_as_html(spark, sf_dir)
-    return query_selector_extract(html, "p", mode="outer_html").orderBy(
+    return query_selector_extract(html, "p", mode="outer_html").repartition(1).sortWithinPartitions(
         "doc_id", "node_idx"
     )
 
@@ -1616,7 +1632,7 @@ def selector_extract_main_inner(spark, sf_dir):
     from tl_spark.functions.query import query_selector_extract
 
     html = _docs_as_html(spark, sf_dir)
-    return query_selector_extract(html, "main", mode="inner_html").orderBy(
+    return query_selector_extract(html, "main", mode="inner_html").repartition(1).sortWithinPartitions(
         "doc_id", "node_idx"
     )
 
@@ -1643,7 +1659,7 @@ def lookup_by_class_tracked(spark, sf_dir):
             F.lit('<div class="msg user">'), F.col("text"), F.lit("</div>")
         ).alias("text"),
     )
-    return get_elements_by_class(html, "msg", tracked=True).orderBy("doc_id")
+    return get_elements_by_class(html, "msg", tracked=True).repartition(1).sortWithinPartitions("doc_id")
 
 
 def lookup_by_id(spark, sf_dir):
@@ -1660,7 +1676,7 @@ def lookup_by_id(spark, sf_dir):
             F.lit('<div id="payload">'), F.col("text"), F.lit("</div>")
         ).alias("text"),
     )
-    return get_elements_by_id(html, "payload").orderBy("doc_id")
+    return get_elements_by_id(html, "payload").repartition(1).sortWithinPartitions("doc_id")
 
 
 LOOKUP_BY_ID_SQL = """
@@ -1684,7 +1700,7 @@ def lookup_by_id_tracked(spark, sf_dir):
             F.lit('<div id="payload">'), F.col("text"), F.lit("</div>")
         ).alias("text"),
     )
-    return get_elements_by_id(html, "payload", tracked=True).orderBy("doc_id")
+    return get_elements_by_id(html, "payload", tracked=True).repartition(1).sortWithinPartitions("doc_id")
 
 
 def lookup_by_class(spark, sf_dir):
@@ -1699,7 +1715,7 @@ def lookup_by_class(spark, sf_dir):
             F.lit('<div class="msg user">'), F.col("text"), F.lit("</div>")
         ).alias("text"),
     )
-    return get_elements_by_class(html, "msg").orderBy("doc_id")
+    return get_elements_by_class(html, "msg").repartition(1).sortWithinPartitions("doc_id")
 
 
 LOOKUP_BY_CLASS_SQL = LOOKUP_BY_ID_SQL
@@ -1734,7 +1750,7 @@ def doc_outer_html_roundtrip(spark, sf_dir):
             )
 
     html = _docs_as_html(spark, sf_dir)
-    return html.mapInArrow(fn, "doc_id long, outer_html string").orderBy(
+    return html.mapInArrow(fn, "doc_id long, outer_html string").repartition(1).sortWithinPartitions(
         "doc_id"
     )
 
@@ -1759,7 +1775,7 @@ def doc_html_version(spark, sf_dir):
         ),
     )
     out = extract_main_content(html, passthrough=["doc_id"])
-    return out.select("doc_id", "html_version").orderBy("doc_id")
+    return out.select("doc_id", "html_version").repartition(1).sortWithinPartitions("doc_id")
 
 
 DOC_HTML_VERSION_SQL = """
@@ -1795,7 +1811,7 @@ def media_info_docs(spark, sf_dir):
     return out.select(
         "doc_id", "kind", "container", "width", "height", "duration_ms",
         "sample_rate", "channels", "bitrate_kbps", "n_samples",
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def _media_info_sql() -> str:
@@ -1885,7 +1901,7 @@ def _curated_out(curated):
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "quality",
         "lang_guess",
-    ).orderBy("turn_idx")
+    ).repartition(1).sortWithinPartitions("turn_idx")
     return keep_handles(out, curated)  # carry curate's cache handles
 
 
@@ -2031,7 +2047,7 @@ def parse_nodes_docs(spark, sf_dir):
     return out.select(
         "doc_id", "node_idx", "kind", "name", "start", "end",
         "n_children", "parent",
-    ).orderBy("doc_id", "node_idx")
+    ).repartition(1).sortWithinPartitions("doc_id", "node_idx")
 
 
 # (node_idx, kind[0=tag,1=raw], name, start_base, start_has_L,
@@ -2076,7 +2092,7 @@ def media_image_features(spark, sf_dir):
         "media_id",
         F.round("mean_px", 4).alias("mean_px"),
         F.round("std_px", 4).alias("std_px"),
-    ).orderBy("media_id")
+    ).repartition(1).sortWithinPartitions("media_id")
 
 
 def document_extract_docs(spark, sf_dir):
@@ -2090,7 +2106,7 @@ def document_extract_docs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     out = document_extract(synth_document_media(docs))
-    return out.orderBy("doc_id")
+    return out.repartition(1).sortWithinPartitions("doc_id")
 
 
 def rtf_extract_docs(spark, sf_dir):
@@ -2101,7 +2117,7 @@ def rtf_extract_docs(spark, sf_dir):
 
     n = _t(spark, sf_dir, "documents").count()
     out = rtf_extract(synth_rtf_media(spark, min(n, 500)))
-    return out.orderBy("media_id")
+    return out.repartition(1).sortWithinPartitions("media_id")
 
 
 def epub_extract_docs(spark, sf_dir):
@@ -2112,7 +2128,7 @@ def epub_extract_docs(spark, sf_dir):
 
     n = _t(spark, sf_dir, "documents").count()
     out = epub_extract(synth_epub_media(spark, min(n, 500)))
-    return out.orderBy("media_id")
+    return out.repartition(1).sortWithinPartitions("media_id")
 
 
 def office_extract_docs(spark, sf_dir):
@@ -2123,7 +2139,7 @@ def office_extract_docs(spark, sf_dir):
 
     n = _t(spark, sf_dir, "documents").count()
     out = office_extract(synth_office_media(spark, min(n, 500)))
-    return out.orderBy("media_id")
+    return out.repartition(1).sortWithinPartitions("media_id")
 
 
 def subtitle_extract_docs(spark, sf_dir):
@@ -2141,7 +2157,7 @@ def subtitle_extract_docs(spark, sf_dir):
     return out.select(
         "media_id", "format", "transcript", "n_cues", "duration_ms",
         "speech_ms",
-    ).orderBy("media_id")
+    ).repartition(1).sortWithinPartitions("media_id")
 
 
 SELECTOR_COUNTS_SQL = """
@@ -2185,7 +2201,7 @@ def selector_counts(spark, sf_dir):
 
     return html.mapInArrow(
         fn, "doc_id long, n_p int, n_main_nav int, n_nodes_all int"
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 # ---------------------------------------------------------------- registry
@@ -2271,7 +2287,7 @@ def doc_hashed_embedding(spark, sf_dir):
             "slot",
             F.round(F.col("v").cast("double"), 6).alias("val"),
         )
-        .orderBy("id", "slot")
+        .repartition(1).sortWithinPartitions("id", "slot")
     )
 
 
@@ -2339,7 +2355,7 @@ def docs_cap_per_domain(spark, sf_dir):
     capped = cap_per_domain(with_url, max_per_host=3, order_by_hash=False)
     return capped.select(
         "doc_id", url_host(F.col("url")).alias("host")
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 CAP_DOMAIN_SQL = """
@@ -2370,7 +2386,7 @@ def doc_lang_id(spark, sf_dir):
     from tl_spark.operators.langid import ngram_lang_id
 
     d = _t(spark, sf_dir, "documents")
-    return ngram_lang_id(d).orderBy("doc_id")
+    return ngram_lang_id(d).repartition(1).sortWithinPartitions("doc_id")
 
 
 def _doc_lang_id_sql():
@@ -2416,7 +2432,7 @@ def doc_classifier_scores(spark, sf_dir):
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     return emb.select(
         F.col("id").alias("doc_id"), score.alias("cls_score")
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def _classifier_scores_sql():
