@@ -73,8 +73,51 @@ from tl_spark.functions.text import (
 )
 
 
+def _bytes_conf(v: str) -> int:
+    v = v.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    if v and v[-1] in units:
+        return int(v[:-1]) * units[v[-1]]
+    return int(v)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a driver table with SCALE-ADAPTIVE parallelism.
+
+    A small parquet table bin-packs into a handful of scan splits
+    (sf1.0 documents.parquet is one 5.6 MB file -> 1-2 tasks under the
+    bench's 8 MB maxPartitionBytes), which starves every downstream
+    map phase: the round-8 probe measured minhash signatures at 6.2 s
+    on 2 of 32 cores. When the estimated split count is below half the
+    session parallelism AND the input is small enough that one
+    round-robin shuffle is trivial (<= 256 MB), fan the scan out to
+    defaultParallelism; large inputs (the 100 TB regime) already carry
+    >= cores splits and pass through untouched — the guard is derived
+    from input size + session conf, never a local-mode constant
+    (guide §2.2/§2.5: scale-adaptive partitioning, deterministic
+    round-robin via Spark's sort-before-repartition).
+    """
+    from pathlib import Path
+
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    try:
+        p = Path(path)
+        size = (
+            sum(f.stat().st_size for f in p.glob("**/*") if f.is_file())
+            if p.is_dir()
+            else p.stat().st_size
+        )
+        mpb = _bytes_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        par = spark.sparkContext.defaultParallelism
+        est_parts = size // mpb + 1
+        if est_parts * 2 <= par and size <= 256 << 20:
+            df = df.repartition(par)
+    except Exception:
+        pass
+    return df
 
 
 def _dec(col, scale=2):
