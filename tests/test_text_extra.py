@@ -327,3 +327,35 @@ def test_gopher_repetition_battery_matches_duckdb(spark):
     assert set(got) == set(exp)
     mism = [k for k in got if got[k] != exp[k]]
     assert not mism, (mism[:3], [(got[k], exp[k]) for k in mism[:2]])
+
+
+def test_fingerprint_arrow_matches_jvm(spark):
+    """The round-8 Arrow fingerprint kernel must be bit-equal to the
+    JVM expression chain — incl. multi-byte UTF-8 (each byte of a
+    stripped char widens the separator, never a token), tabs/newlines,
+    empty and punctuation-only docs."""
+    from tl_spark.functions.text import fingerprint, fingerprint_arrow
+
+    extra = [
+        (900001, ""),
+        (900002, "   "),
+        (900003, "..!?;"),
+        (900004, "Héllo wörld   mixé"),
+        (900005, "tabs\tand\nnewlines\r kept?"),
+        (900006, "ZEBRA apple Zebra APPLE 42 42"),
+        (900007, "café 中文 token"),
+    ]
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    df = base.select("doc_id", "text").unionByName(
+        spark.createDataFrame(extra, "doc_id long, text string")
+    )
+    jvm = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["fp"] for r in fingerprint_arrow(df).collect()
+    }
+    assert jvm == arrow

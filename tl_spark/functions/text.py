@@ -116,6 +116,93 @@ def fingerprint(col) -> Column:
     return F.md5(F.concat_ws(" ", toks))
 
 
+_FP_TABLE = None
+
+
+def fingerprint_arrow(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, fp): the EXACT :func:`fingerprint` values via a vectorized
+    Arrow batch kernel (round-8 optimization; equality pinned by
+    tests/test_text_extra.py::test_fingerprint_arrow_matches_jvm).
+
+    Why: Spark's ``regexp_replace`` costs ~52 us/doc for the char-class
+    normalization alone (2.6 s for 50k docs on 32 cores — the measured
+    bulk of the doc_fingerprint battery key), while the whole
+    normalize+tokenize+sort+md5 chain is ~8 us/doc in Python over a
+    byte table. Equivalence argument, valid for ALL UTF-8 input:
+
+    - the JVM chain replaces every char outside [a-zA-Z0-9 ] with one
+      space, lowercases, splits on \\s+ and drops empties. A byte-level
+      256-entry table mapping A-Z->a-z, [a-z0-9 ]->self, everything
+      else->space produces a DIFFERENT string (each byte of a
+      multi-byte char becomes its own space; '\\t' etc. become spaces)
+      but the IDENTICAL token list: ASCII bytes never occur inside
+      multi-byte UTF-8 sequences, extra spaces only widen separators,
+      and after the table the only whitespace byte is 0x20 so
+      ``bytes.split()`` equals the Java \\s+ split.
+    - Python byte-wise sort == Spark array_sort's UTF8String binary
+      order (UTF-8 byte order preserves code-point order).
+    - hashlib md5 hexdigest == Spark md5 (lowercase hex).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    global _FP_TABLE
+    if _FP_TABLE is None:
+        tbl = np.full(256, ord(" "), dtype=np.uint8)
+        for c in b"abcdefghijklmnopqrstuvwxyz0123456789 ":
+            tbl[c] = c
+        for c in b"ABCDEFGHIJKLMNOPQRSTUVWXYZ":
+            tbl[c] = c + 32
+        _FP_TABLE = tbl
+
+    def fn(batches):
+        import hashlib
+
+        tbl = _FP_TABLE
+        empty_md5 = hashlib.md5(b"").hexdigest()
+        for batch in batches:
+            ids = batch.column(id_col)
+            col = batch.column(text_col)
+            out = []
+            if col.null_count == 0 and pa.types.is_string(col.type):
+                bufs = col.buffers()
+                offs = np.frombuffer(bufs[1], dtype=np.int32,
+                                     count=len(col) + 1 + col.offset)
+                data = (
+                    np.frombuffer(bufs[2], dtype=np.uint8)
+                    if bufs[2] is not None
+                    else np.empty(0, dtype=np.uint8)
+                )
+                norm = tbl[data].tobytes()
+                base = col.offset
+                for i in range(len(col)):
+                    s, e = offs[base + i], offs[base + i + 1]
+                    toks = norm[s:e].split()
+                    toks.sort()
+                    out.append(hashlib.md5(b" ".join(toks)).hexdigest())
+            else:
+                for t in col.to_pylist():
+                    if t is None:
+                        # concat_ws treats a null token array as empty
+                        out.append(empty_md5)
+                        continue
+                    norm = tbl[
+                        np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                    ].tobytes()
+                    toks = norm.split()
+                    toks.sort()
+                    out.append(hashlib.md5(b" ".join(toks)).hexdigest())
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=pa.string())],
+                names=[id_col, "fp"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        fn, f"{id_col} long, fp string"
+    )
+
+
 _rolling_fp_udf = None
 
 

@@ -799,10 +799,15 @@ ORDER BY lang, rnk
 
 
 def doc_fingerprint(spark, sf_dir):
+    # Arrow-batch kernel leg of functions.text.fingerprint — bit-equal
+    # output (suite-pinned), ~5x the JVM regexp_replace chain; see the
+    # fingerprint_arrow docstring for the equivalence argument.
+    from tl_spark.functions.text import fingerprint_arrow
+
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", fingerprint(F.col("text")).alias("fp")
-    ).repartition(1).sortWithinPartitions("doc_id")
+    return fingerprint_arrow(d).repartition(1).sortWithinPartitions(
+        "doc_id"
+    )
 
 
 DOC_FINGERPRINT_SQL = """
@@ -1010,7 +1015,10 @@ FROM staged2 ORDER BY doc_id
 def dedup_exact_docs(spark, sf_dir):
     from tl_spark.operators.dedup import exact_dedup
 
-    d = _t(spark, sf_dir, "documents")
+    # unscaled read: sha256 is cheaper than the adaptive fan-out's
+    # round-robin shuffle (r8 probe: 0.47 s unscaled vs 0.89 s
+    # fanned-out at sf1.0) — the groupBy supplies the parallelism
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return exact_dedup(d).repartition(1).sortWithinPartitions("text_hash")
 
 
