@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tl_spark.cache import attach_handles, keep_handles
 from tl_spark.functions.text import tokens
 
 
@@ -55,6 +56,10 @@ def bm25_scores(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     q = [t.lower() for t in query_terms]
+    if len(set(q)) <= 16:
+        return _bm25_scores_mapside(
+            df, sorted(set(q)), text_col, id_col, k1, b, stable_sum
+        )
     toks = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_t")
     )
@@ -129,6 +134,90 @@ def bm25_scores(
     return contrib.groupBy("id").agg(score)
 
 
+def _bm25_scores_mapside(
+    df: DataFrame,
+    q: list[str],
+    text_col: str,
+    id_col: str,
+    k1: float,
+    b: float,
+    stable_sum: bool,
+) -> DataFrame:
+    """Round-8 fast path for small query sets (the common retrieval
+    shape): per-term tf is a map-side ``size(filter(tokens))`` column,
+    so the corpus-wide explode, the (id, term) aggregation, the
+    doc-frequency aggregation and the two re-attach joins all
+    disappear. What remains is ONE aggregation to a 1-row stats table
+    (n_docs, exact-integer avgdl, per-term df — broadcast back via the
+    same non-foldable-key BroadcastHashJoin trick as the general path)
+    plus a second map-only pass that folds the per-term contributions
+    in sorted-term order. 20 Exchanges -> 4 (plan diff in plans/r08);
+    scores are bit-identical: a missing term contributes exactly 0.0
+    and IEEE ``x + 0.0 == x`` for the non-negative partial sums, so
+    the fold equals the general path's sorted fold over present terms.
+    ``q`` arrives sorted and deduplicated.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_t")
+    )
+    def _is_term(term):
+        # NB: the HOF lambda must be unary — PySpark dispatches on
+        # arity, and a second parameter would bind the element INDEX
+        def pred(x):
+            return F.lower(x) == F.lit(term)
+
+        return pred
+
+    tf_cols = [
+        F.size(F.filter("_t", _is_term(t))).alias(f"_tf{j}")
+        for j, t in enumerate(q)
+    ]
+    # persist the narrow per-doc projection (id, dl, tf per query
+    # term — a handful of numbers per document) so the corpus is
+    # tokenized ONCE: the stats aggregation and the scoring pass both
+    # read the cache instead of re-running scan+tokenize (guide §5 —
+    # cache the small reused projection, never the corpus). Handle
+    # released by the caller via tl_spark.cache.unpersist_handles.
+    base = toks.select("id", F.size("_t").alias("dl"), *tf_cols).persist()
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{j}") > 0).cast("long")).alias(f"_df{j}")
+            for j in range(len(q))
+        ],
+    ).withColumn("_one", F.pmod(F.col("n_docs"), F.lit(1)).cast("int"))
+    matched = base.filter(
+        sum((F.col(f"_tf{j}") > 0).cast("int") for j in range(len(q)))
+        > 0
+    ).withColumn("_one", F.pmod(F.col("dl"), F.lit(1)).cast("int"))
+    joined = matched.join(F.broadcast(stats), "_one")
+
+    def contrib(j: int):
+        # mirrors the general path's expressions term by term so every
+        # IEEE operation happens in the identical order
+        tf = F.col(f"_tf{j}")
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"_df{j}") + 0.5)
+            / (F.col(f"_df{j}") + 0.5)
+        )
+        return (
+            idf
+            * (tf * (k1 + 1.0))
+            / (tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+
+    score = F.lit(0.0)
+    for j in range(len(q)):  # q is sorted: the stable_sum fold order
+        score = score + contrib(j)
+    out = joined.select("id", F.round(score, 6).alias("bm25"))
+    return attach_handles(out, base)
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
@@ -141,8 +230,6 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k BM25 matches, deterministically tie-broken by id
     (TakeOrderedAndProject — no full sort at scale)."""
-    return (
-        bm25_scores(df, query_terms, text_col, id_col, k1, b, stable_sum)
-        .orderBy(F.col("bm25").desc(), F.col("id"))
-        .limit(k)
-    )
+    scores = bm25_scores(df, query_terms, text_col, id_col, k1, b, stable_sum)
+    out = scores.orderBy(F.col("bm25").desc(), F.col("id")).limit(k)
+    return keep_handles(out, scores)
