@@ -875,51 +875,63 @@ FROM agg ORDER BY doc_id
 
 def doc_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals per document:
-    dup_word_frac (1 - distinct/total tokens, pure JVM array ops) and
-    top_bigram_frac (most frequent adjacent-token bigram's share of
-    all bigrams). The bigram mode is an explode + two map-side-combined
-    HashAggregates keyed by (doc_id, bigram) — no HOF lambdas in the
-    aggregation (house rule 3); element_at runs codegen outside any
-    lambda. At corpus scale the (doc_id, bigram) shuffle is ~n_tokens
-    rows of short strings, the same shape as the shingle pipelines."""
-    from tl_spark.functions.text import dup_word_frac, tokens
+    dup_word_frac (1 - distinct/total tokens) and top_bigram_frac
+    (most frequent adjacent-token bigram's share of all bigrams).
+
+    Round-8 shape: both signals are PER-ROW functions of the token
+    array, so the whole query is one map-side projection — the r7
+    explode + two (doc_id, bigram)-keyed HashAggregates + re-attach
+    join shuffled ~n_tokens short-string rows per doc for a value each
+    row already determines (8.7 s -> ~1 s at sf1.0; guide §2.4). The
+    top bigram count is the longest equal-run in the SORTED bigram
+    array (a fold over ~n_tok elements per row — same shape as
+    functions.text.top_bigram_char_frac); the max multiplicity of a
+    multiset equals its sorted longest run, so top_c is identical to
+    the aggregation formulation value-for-value."""
+    from tl_spark.functions.text import tokens
 
     d = _t(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
-        F.col("text"),
         tokens(F.col("text")).alias("t"),
     ).withColumn("n_tok", F.size("t"))
-    pos = base.filter(F.col("n_tok") >= 2).select(
-        "doc_id",
-        "t",
-        F.explode(F.sequence(F.lit(1), F.col("n_tok") - 1)).alias("i"),
-    )
-    bg = pos.select(
-        "doc_id",
-        F.concat(
-            F.expr("element_at(t, i)"), F.lit(" "), F.expr("element_at(t, i + 1)")
-        ).alias("bg"),
-    )
-    top = (
-        bg.groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"))
-    )
-    tbf = F.when(
-        F.col("n_tok") >= 2,
-        F.round(F.col("top_c").cast("double") / (F.col("n_tok") - 1), 6),
-    ).otherwise(F.lit(0.0))
-    return (
-        base.join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            dup_word_frac(F.col("text")).alias("dup_word_frac"),
-            tbf.alias("top_bigram_frac"),
+    grams = F.sort_array(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tok") - 1),
+            lambda i: F.concat(
+                F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+            ),
         )
-        .repartition(1).sortWithinPartitions("doc_id")
     )
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(run, acc["best"]).alias("best"),
+        )
+
+    top_c = F.aggregate(grams, zero, step)["best"]
+    n = F.col("n_tok")
+    dup = F.when(
+        n > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("t")) / n.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    tbf = F.when(
+        n >= 2,
+        F.round(top_c.cast("double") / (n - 1), 6),
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        dup.alias("dup_word_frac"),
+        tbf.alias("top_bigram_frac"),
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 DOC_REPETITION_SQL = r"""
