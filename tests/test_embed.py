@@ -124,3 +124,49 @@ def test_hashed_embedding_rejects_unknown_hash(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         hashed_embedding(df, hash_fn="sha1")
+
+
+def test_hashed_embedding_arrow_leg_bit_equal(spark):
+    """The round-8 Arrow md5 leg must be BIT-equal to the JVM
+    expression chain — incl. zero-token docs (zero vector), repeated
+    tokens, >55-byte tokens (hashlib fallback path) and mixed case."""
+    from tl_spark.operators.embed import hashed_embedding
+
+    rows = [
+        (1, "alpha beta alpha GAMMA gamma"),
+        (2, ""),
+        (3, "   "),
+        (4, "x" * 80 + " yy zz " + "x" * 80),
+        (5, "The quick brown fox jumps over the lazy dog"),
+        (6, "dup dup dup dup dup dup"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for dim in (16, 64):
+        jvm = {
+            r["id"]: r["embedding"]
+            for r in hashed_embedding(df, dim=dim, hash_fn="md5").collect()
+        }
+        arrow = {
+            r["id"]: r["embedding"]
+            for r in hashed_embedding(
+                df, dim=dim, hash_fn="md5", impl="arrow"
+            ).collect()
+        }
+        assert set(jvm) == set(arrow)
+        for k in jvm:
+            assert jvm[k] == arrow[k], (dim, k, jvm[k], arrow[k])
+    # and on the sf0.01 corpus
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text")
+    jvm = {
+        r["id"]: r["embedding"]
+        for r in hashed_embedding(corpus, dim=16, hash_fn="md5").collect()
+    }
+    arrow = {
+        r["id"]: r["embedding"]
+        for r in hashed_embedding(
+            corpus, dim=16, hash_fn="md5", impl="arrow"
+        ).collect()
+    }
+    assert jvm == arrow

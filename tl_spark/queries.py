@@ -2342,7 +2342,8 @@ def doc_hashed_embedding(spark, sf_dir):
     from tl_spark.operators.embed import hashed_embedding
 
     d = _t(spark, sf_dir, "documents")
-    emb = hashed_embedding(d, dim=_HEMB_DIM, hash_fn="md5")
+    # arrow leg: map-only, bit-equal (see operators/embed.py impl note)
+    emb = hashed_embedding(d, dim=_HEMB_DIM, hash_fn="md5", impl="arrow")
     return (
         emb.select("id", F.posexplode("embedding").alias("slot", "v"))
         .select(
@@ -2486,7 +2487,8 @@ def doc_classifier_scores(spark, sf_dir):
     from tl_spark.operators.embed import hashed_embedding
 
     d = _t(spark, sf_dir, "documents")
-    emb = hashed_embedding(d, dim=_HEMB_DIM, hash_fn="md5")
+    # arrow leg: map-only, bit-equal (see operators/embed.py impl note)
+    emb = hashed_embedding(d, dim=_HEMB_DIM, hash_fn="md5", impl="arrow")
     z = F.lit(0.0)
     for i in range(_HEMB_DIM):
         v = F.round(F.col("embedding")[i].cast("double"), 6)
