@@ -265,3 +265,33 @@ def test_ledger_hadoop_fs_roundtrip(spark, tmp_path):
     # torn content on the hadoop path is also treated as empty
     (tmp_path / "hout" / "_tl_ledger.json").write_text('{"completed_')
     assert read_ledger(out, spark) == set()
+
+
+def test_jvm_fastpath_parity(spark):
+    """The round-8 JVM fast-path branch must yield byte-identical rows
+    to the kernel path for every row class it claims: null, empty,
+    plain ASCII, multi-byte UTF-8 (octet spans!), and must route
+    tagged rows to the kernel unchanged."""
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "plain text turn"),
+        (4, "café héllo wörld"),
+        (5, "<p>tagged</p>"),
+        (6, "a > b still plain"),
+        (7, "ends with angle <"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in extract_main_content(
+            df, passthrough=["doc_id"]
+        ).collect()
+    }
+    slow = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in extract_main_content(
+            df, passthrough=["doc_id"], jvm_fastpath=False
+        ).collect()
+    }
+    assert fast == slow
