@@ -113,7 +113,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
         par = spark.sparkContext.defaultParallelism
         est_parts = size // mpb + 1
-        if est_parts * 2 <= par and size <= 256 << 20:
+        # fan out only when the scan is badly starved (< par/4 splits):
+        # a moderately-split table (sf1.0 lineitem: 14 splits at 32
+        # cores) loses more to the round-robin shuffle — which also
+        # destroys the natural orderkey clustering that makes partial
+        # aggregation effective — than it gains in map parallelism
+        # (q3 probe: 2.2 s natural vs 3.0 s fanned-out)
+        if est_parts * 4 <= par and size <= 256 << 20:
             df = df.repartition(par)
     except Exception:
         pass
@@ -203,16 +209,24 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q3_segment_revenue(spark, sf_dir):
+    # round 8 (VERDICT r7 item 2 + guide §2.3): no F.broadcast on the
+    # SF-growing customer table — AQE broadcasts it while it fits; and
+    # lineitem pre-aggregates revenue per orderkey (exact decimal sum,
+    # associative) BEFORE the join, so the join shuffles one narrow
+    # row per order instead of every lineitem. Revenue per kept
+    # orderkey is unchanged: the inner joins only ever drop whole
+    # orderkey groups.
     c = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
+    lrev = l.groupBy("l_orderkey").agg(F.sum(_rev_dec()).alias("_rev"))
     out = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        lrev.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
+        .agg(F.round(F.sum("_rev"), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -238,8 +252,18 @@ def q5_nation_revenue(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
+    # round 8 (guide §2.3 aggregate-before-shuffle): lineitem
+    # pre-aggregates (exact decimal revenue, row count) per orderkey,
+    # so the orderkey join shuffles ~4x fewer, narrower rows; the
+    # final (r_name, n_name) aggregation sums the per-order partials —
+    # decimal sums are exact and associative, counts add, so values
+    # are identical.
+    lagg = l.groupBy("l_orderkey").agg(
+        F.sum(_rev_dec()).alias("_rev"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
     out = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        lagg.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         # customer is NOT a bounded dimension (it grows with SF) — no
         # broadcast hint; AQE picks broadcast when it actually fits
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -247,8 +271,8 @@ def q5_nation_revenue(spark, sf_dir):
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("_rev"), 2).cast("double").alias("revenue"),
+            F.sum("_cnt").alias("n_lineitems"),
         )
         .repartition(1).sortWithinPartitions("r_name", "n_name")
     )
@@ -270,12 +294,28 @@ ORDER BY r_name, n_name
 
 
 def top_customers_per_segment(spark, sf_dir):
+    # round 8 (VERDICT r7 item 2 + guide §2.3): the F.broadcast hint on
+    # the SF-growing customer table is gone (AQE decides), and orders
+    # aggregates per custkey BEFORE the join — c_custkey is customer's
+    # key, so grouping the joined rows by (segment, custkey, name) is
+    # the same partition of orders as grouping orders by custkey alone
+    # and attaching the unique (segment, name) afterwards; the exact
+    # decimal sum is order-free, so total_spend is identical. The
+    # pre-join shuffle carries (custkey, decimal) instead of every
+    # order row joined with two customer strings.
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    osum = o.groupBy("o_custkey").agg(
+        F.sum(_dec(F.col("o_totalprice"))).alias("_spend")
+    )
     totals = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_mktsegment", "c_custkey", "c_name")
-        .agg(F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_spend"))
+        osum.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_name",
+            F.col("_spend").cast("double").alias("total_spend"),
+        )
     )
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("total_spend"), F.asc("c_custkey")
