@@ -137,10 +137,63 @@ def test_main_content_docs_matches_oracle(spark, ddb):
 
 
 def test_plan_is_map_only_before_the_hash_sort(spark):
-    """The kernel stage must stay shuffle-free: the only Exchange in
-    the plan is the final orderBy the driver's hash check needs."""
+    """The kernel stage must stay shuffle-free: the only Exchanges in
+    the plan are the round-8 adaptive scan fan-out (a round-robin
+    Exchange BELOW the kernel — queries._t) and the single-partition
+    deterministic sink; no hash/range Exchange may appear around the
+    kernel itself."""
     import tl_spark.queries as Q
 
     qdf = Q.queries()["main_content_docs"](spark, SF_DIR)
     plan = qdf._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1  # the orderBy range partition
+    assert plan.count("Exchange") == 2
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_native_main_content_parity():
+    """The round-8 native-arena scoring leg must reproduce
+    select_main_content value-for-value over the golden corpus (774
+    documents of real-world HTML shapes), the three driver page
+    shells, and edge cases (empty doc, no candidate, pure-link nav,
+    nested candidates, strip subtrees inside the winner)."""
+    import json
+    import pyarrow as pa
+    from pathlib import Path
+
+    from tl_spark.functions.readability import (
+        MAIN_HTML_VARIANTS,
+        _native_main_content_batch,
+        select_main_content,
+    )
+
+    docs = []
+    goldens = Path(__file__).parent / "goldens/corpus.jsonl"
+    with goldens.open() as f:
+        for line in f:
+            docs.append(json.loads(line)["html"])
+    for pre, post in MAIN_HTML_VARIANTS:
+        docs.append(pre + "driver document text body here" + post)
+    docs += [
+        "",
+        "plain text only",
+        '<div><a href="/">all link</a></div>',
+        '<div>outer<section>inner text that is longer</section></div>',
+        '<div>keep<script>var x = "drop me";</script>tail</div>',
+        '<body><td>cell one</td><td>cell two longer text</td></body>',
+    ]
+    arr = pa.array(docs, type=pa.string())
+    native = _native_main_content_batch(arr)
+    assert native is not None, "native DOM unavailable"
+    texts, starts, ends, tags, scores, ncs = native
+    for i, d in enumerate(docs):
+        want = select_main_content(d)
+        got = {
+            "text": texts[i],
+            "start": starts[i],
+            "end": ends[i],
+            "tag": tags[i],
+            "score": scores[i],
+            "n_candidates": ncs[i],
+        }
+        assert got == want, (i, d[:120], got, want)
