@@ -1088,7 +1088,10 @@ _QUERY_VEC = [((i * 37 + 11) % 97) / 97.0 - 0.5 for i in range(64)]
 def embedding_cosine_topk(spark, sf_dir):
     from tl_spark.operators.similarity import cosine_topk_bruteforce
 
-    e = _t(spark, sf_dir, "embeddings")
+    # unscaled read: the brute-force dot products are cheaper than the
+    # adaptive fan-out's vector shuffle (r8 bench: 0.37 s unscaled vs
+    # 0.62 s fanned-out at sf1.0)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_topk_bruteforce(e, _QUERY_VEC, k=20)
 
 
@@ -1413,7 +1416,11 @@ def extract_documents(spark, sf_dir):
     from tl_spark.functions.extract import extract_main_content
 
     html = _docs_as_html(spark, sf_dir)
-    out = extract_main_content(html, passthrough=["doc_id"])
+    # jvm_fastpath off: the HTML wrapper guarantees a '<' in every row,
+    # so the tag-free branch would only add an empty second scan
+    out = extract_main_content(
+        html, passthrough=["doc_id"], jvm_fastpath=False
+    )
     return out.select(
         "doc_id",
         "extracted_text",
@@ -1451,7 +1458,10 @@ def extract_documents_text(spark, sf_dir):
     from tl_spark.functions.extract import extract_main_content
 
     html = _docs_as_html(spark, sf_dir)
-    out = extract_main_content(html, passthrough=["doc_id"])
+    # jvm_fastpath off: wrapped docs always contain '<' (see above)
+    out = extract_main_content(
+        html, passthrough=["doc_id"], jvm_fastpath=False
+    )
     return out.select("doc_id", "extracted_text").repartition(1).sortWithinPartitions("doc_id")
 
 
@@ -1877,7 +1887,9 @@ def doc_html_version(spark, sf_dir):
             "text"
         ),
     )
-    out = extract_main_content(html, passthrough=["doc_id"])
+    out = extract_main_content(
+        html, passthrough=["doc_id"], jvm_fastpath=False
+    )
     return out.select("doc_id", "html_version").repartition(1).sortWithinPartitions("doc_id")
 
 
