@@ -177,9 +177,29 @@ def extract_batch_arrays(col, strip_tags):
     n_nodes_arr = pa.Array.from_buffers(
         pa.int32(), n, [None, fbuf(o.n_nodes, 4 * n)]
     )
-    vers = ctypes.cast(o.version, ctypes.POINTER(ctypes.c_int8))
-    version_arr = pa.array(
-        [("HTML5" if vers[i] == 5 else None) for i in range(n)],
-        type=pa.string(),
+    # vectorized version column (the r7 ctypes-pointer list comp cost
+    # ~1 us/row — measurable at 50M rows/round)
+    import numpy as np
+
+    varr = np.frombuffer(
+        (ctypes.c_byte * n).from_address(o.version), dtype=np.int8
     )
+    mask = varr == 5
+    if not mask.any():
+        version_arr = pa.nulls(n, type=pa.string())
+    else:
+        v_offs = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(mask.astype(np.int32) * 5, out=v_offs[1:])
+        validity = pa.py_buffer(
+            np.packbits(mask, bitorder="little").tobytes()
+        )
+        version_arr = pa.Array.from_buffers(
+            pa.utf8(),
+            n,
+            [
+                validity,
+                pa.py_buffer(v_offs.tobytes()),
+                pa.py_buffer(b"HTML5" * int(mask.sum())),
+            ],
+        )
     return text_arr, spans_arr, n_nodes_arr, version_arr
