@@ -81,7 +81,9 @@ def _bytes_conf(v: str) -> int:
     return int(v)
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, fanout: str = "auto"
+) -> DataFrame:
     """Read a driver table with SCALE-ADAPTIVE parallelism.
 
     A small parquet table bin-packs into a handful of scan splits
@@ -113,13 +115,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
         par = spark.sparkContext.defaultParallelism
         est_parts = size // mpb + 1
-        # fan out only when the scan is badly starved (< par/4 splits):
-        # a moderately-split table (sf1.0 lineitem: 14 splits at 32
-        # cores) loses more to the round-robin shuffle — which also
-        # destroys the natural orderkey clustering that makes partial
-        # aggregation effective — than it gains in map parallelism
-        # (q3 probe: 2.2 s natural vs 3.0 s fanned-out)
-        if est_parts * 4 <= par and size <= 256 << 20:
+        # "auto": fan out only when the scan is badly starved (< par/4
+        # splits): a moderately-split table (sf1.0 lineitem: 14 splits
+        # at 32 cores) loses more to the round-robin shuffle — which
+        # also destroys the natural orderkey clustering that makes
+        # partial aggregation effective — than it gains in map
+        # parallelism (q3 probe: 2.2 s natural vs 3.0 s fanned-out).
+        # "force": fan out below full parallelism — for pure
+        # scan+aggregate queries whose map work dominates and whose
+        # partial aggregation collapses regardless of clustering
+        # (q1 probe: 1.91 s natural vs 1.35 s fanned-out).
+        need = est_parts < par if fanout == "force" else est_parts * 4 <= par
+        if fanout != "off" and need and size <= 256 << 20:
             df = df.repartition(par)
     except Exception:
         pass
@@ -157,7 +164,8 @@ _CHARGE_SQL = f"({_REV_SQL}) * (1 + CAST(l_tax AS DECIMAL(6,4)))"
 
 
 def q1_pricing_summary(spark, sf_dir):
-    l = _t(spark, sf_dir, "lineitem")
+    # forced fan-out: pure scan+aggregate to 4 groups — see _t
+    l = _t(spark, sf_dir, "lineitem", fanout="force")
     out = (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
