@@ -216,6 +216,36 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+
+def _tbl_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a driver table — the scale signal for the
+    adaptive join shapes below (0 when unreadable: conservative)."""
+    from pathlib import Path
+
+    try:
+        pth = Path(f"{sf_dir}/{name}.parquet")
+        if pth.is_dir():
+            return sum(
+                f.stat().st_size for f in pth.glob("**/*") if f.is_file()
+            )
+        return pth.stat().st_size
+    except Exception:
+        return 0
+
+
+# pre-aggregation (guide §2.3 aggregate-before-shuffle) trades one
+# extra aggregation stage for a smaller, narrower join shuffle. The
+# trade only pays once the fact table is large enough that shuffle
+# bytes dominate fixed stage cost — measured crossover between the
+# driver scales (sf0.1 lineitem 11 MB: pre-agg LOSES 0.9 s of stage
+# overhead; sf1.0 110 MB: pre-agg WINS 0.8 s). 64 MB ~ 2 MB/core at
+# local[32] and is size-derived, not scale-factor-derived, so the
+# choice follows the data at any SF; both shapes produce identical
+# values (exact decimal sums are associative; inner joins drop whole
+# orderkey groups).
+_PREAGG_MIN_BYTES = 64 << 20
+
+
 def q3_segment_revenue(spark, sf_dir):
     # round 8 (VERDICT r7 item 2 + guide §2.3): no F.broadcast on the
     # SF-growing customer table — AQE broadcasts it while it fits; and
@@ -229,16 +259,28 @@ def q3_segment_revenue(spark, sf_dir):
     )
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    lrev = l.groupBy("l_orderkey").agg(F.sum(_rev_dec()).alias("_rev"))
-    out = (
-        lrev.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.round(F.sum("_rev"), 2).cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-        .limit(10)
-    )
-    return out
+    if _tbl_bytes(sf_dir, "lineitem") >= _PREAGG_MIN_BYTES:
+        lrev = l.groupBy("l_orderkey").agg(
+            F.sum(_rev_dec()).alias("_rev")
+        )
+        grouped = (
+            lrev.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.round(F.sum("_rev"), 2).cast("double").alias("revenue"))
+        )
+    else:
+        grouped = (
+            l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(
+                F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue")
+            )
+        )
+    return grouped.orderBy(
+        F.desc("revenue"), F.asc("o_orderkey")
+    ).limit(10)
 
 
 Q3_SQL = f"""
@@ -260,18 +302,26 @@ def q5_nation_revenue(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    # round 8 (guide §2.3 aggregate-before-shuffle): lineitem
+    # round 8 (guide §2.3 aggregate-before-shuffle, size-adaptive —
+    # see _PREAGG_MIN_BYTES): above the crossover lineitem
     # pre-aggregates (exact decimal revenue, row count) per orderkey,
     # so the orderkey join shuffles ~4x fewer, narrower rows; the
     # final (r_name, n_name) aggregation sums the per-order partials —
     # decimal sums are exact and associative, counts add, so values
     # are identical.
-    lagg = l.groupBy("l_orderkey").agg(
-        F.sum(_rev_dec()).alias("_rev"),
-        F.count(F.lit(1)).alias("_cnt"),
-    )
+    if _tbl_bytes(sf_dir, "lineitem") >= _PREAGG_MIN_BYTES:
+        lside = l.groupBy("l_orderkey").agg(
+            F.sum(_rev_dec()).alias("_rev"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        rev_col, cnt_col = F.sum("_rev"), F.sum("_cnt")
+    else:
+        lside = l.select(
+            "l_orderkey", _rev_dec().alias("_rev"), F.lit(1).alias("_cnt")
+        )
+        rev_col, cnt_col = F.sum("_rev"), F.count(F.lit(1))
     out = (
-        lagg.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        lside.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         # customer is NOT a bounded dimension (it grows with SF) — no
         # broadcast hint; AQE picks broadcast when it actually fits
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -279,8 +329,8 @@ def q5_nation_revenue(spark, sf_dir):
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum("_rev"), 2).cast("double").alias("revenue"),
-            F.sum("_cnt").alias("n_lineitems"),
+            F.round(rev_col, 2).cast("double").alias("revenue"),
+            cnt_col.alias("n_lineitems"),
         )
         .repartition(1).sortWithinPartitions("r_name", "n_name")
     )
@@ -313,18 +363,29 @@ def top_customers_per_segment(spark, sf_dir):
     # order row joined with two customer strings.
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    osum = o.groupBy("o_custkey").agg(
-        F.sum(_dec(F.col("o_totalprice"))).alias("_spend")
-    )
-    totals = (
-        osum.join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .select(
-            "c_mktsegment",
-            "c_custkey",
-            "c_name",
-            F.col("_spend").cast("double").alias("total_spend"),
+    if _tbl_bytes(sf_dir, "orders") >= _PREAGG_MIN_BYTES // 4:
+        osum = o.groupBy("o_custkey").agg(
+            F.sum(_dec(F.col("o_totalprice"))).alias("_spend")
         )
-    )
+        totals = (
+            osum.join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .select(
+                "c_mktsegment",
+                "c_custkey",
+                "c_name",
+                F.col("_spend").cast("double").alias("total_spend"),
+            )
+        )
+    else:
+        totals = (
+            o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment", "c_custkey", "c_name")
+            .agg(
+                F.sum(_dec(F.col("o_totalprice")))
+                .cast("double")
+                .alias("total_spend")
+            )
+        )
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("total_spend"), F.asc("c_custkey")
     )
@@ -380,7 +441,10 @@ ORDER BY o_custkey, o_orderdate, o_orderkey
 
 
 def events_hourly(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
+    # fanout off: the two-phase count_distinct aggregation supplies
+    # its own parallelism; fanning the scan measured neutral at sf1.0
+    # and -0.35 s at sf0.1
+    e = _t(spark, sf_dir, "events", fanout="off")
     val = F.round(F.col("value"), 4)
     return (
         e.groupBy(
