@@ -247,37 +247,28 @@ _PREAGG_MIN_BYTES = 64 << 20
 
 
 def q3_segment_revenue(spark, sf_dir):
-    # round 8 (VERDICT r7 item 2 + guide §2.3): no F.broadcast on the
-    # SF-growing customer table — AQE broadcasts it while it fits; and
-    # lineitem pre-aggregates revenue per orderkey (exact decimal sum,
-    # associative) BEFORE the join, so the join shuffles one narrow
-    # row per order instead of every lineitem. Revenue per kept
-    # orderkey is unchanged: the inner joins only ever drop whole
-    # orderkey groups.
-    c = _t(spark, sf_dir, "customer").filter(
+    # round 8 (VERDICT r7 item 2): no F.broadcast on the SF-growing
+    # customer table — AQE broadcasts it while it fits.
+    # fanout off on every side: the join/aggregation shuffles supply
+    # the parallelism, and the round-robin fan-out both adds an
+    # Exchange per table and destroys lineitem's natural orderkey
+    # clustering (r8 probe at sf0.1: 0.70 s natural vs 1.54 s fanned)
+    # NO lineitem pre-aggregation here, unlike q5/top_customers: q3's
+    # own grouping key IS the orderkey, so pre-aggregating would do
+    # the same per-orderkey grouping twice (A/B at sf1.0: 1.95 s
+    # simple vs 2.37 s pre-agged); the join's hash partitioning on
+    # l_orderkey is reused by the groupBy, so the agg adds no Exchange
+    c = _t(spark, sf_dir, "customer", fanout="off").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem")
-    if _tbl_bytes(sf_dir, "lineitem") >= _PREAGG_MIN_BYTES:
-        lrev = l.groupBy("l_orderkey").agg(
-            F.sum(_rev_dec()).alias("_rev")
-        )
-        grouped = (
-            lrev.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(c, F.col("o_custkey") == F.col("c_custkey"))
-            .groupBy("o_orderkey", "o_orderdate")
-            .agg(F.round(F.sum("_rev"), 2).cast("double").alias("revenue"))
-        )
-    else:
-        grouped = (
-            l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(c, F.col("o_custkey") == F.col("c_custkey"))
-            .groupBy("o_orderkey", "o_orderdate")
-            .agg(
-                F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue")
-            )
-        )
+    o = _t(spark, sf_dir, "orders", fanout="off")
+    l = _t(spark, sf_dir, "lineitem", fanout="off")
+    grouped = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
+    )
     return grouped.orderBy(
         F.desc("revenue"), F.asc("o_orderkey")
     ).limit(10)
@@ -297,11 +288,12 @@ LIMIT 10
 
 
 def q5_nation_revenue(spark, sf_dir):
-    r = _t(spark, sf_dir, "region")
-    n = _t(spark, sf_dir, "nation")
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem")
+    # fanout off: see q3 — join shuffles supply the parallelism
+    r = _t(spark, sf_dir, "region", fanout="off")
+    n = _t(spark, sf_dir, "nation", fanout="off")
+    c = _t(spark, sf_dir, "customer", fanout="off")
+    o = _t(spark, sf_dir, "orders", fanout="off")
+    l = _t(spark, sf_dir, "lineitem", fanout="off")
     # round 8 (guide §2.3 aggregate-before-shuffle, size-adaptive —
     # see _PREAGG_MIN_BYTES): above the crossover lineitem
     # pre-aggregates (exact decimal revenue, row count) per orderkey,
@@ -361,8 +353,9 @@ def top_customers_per_segment(spark, sf_dir):
     # decimal sum is order-free, so total_spend is identical. The
     # pre-join shuffle carries (custkey, decimal) instead of every
     # order row joined with two customer strings.
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    # fanout off: see q3 — join/aggregation shuffles supply parallelism
+    c = _t(spark, sf_dir, "customer", fanout="off")
+    o = _t(spark, sf_dir, "orders", fanout="off")
     if _tbl_bytes(sf_dir, "orders") >= _PREAGG_MIN_BYTES // 4:
         osum = o.groupBy("o_custkey").agg(
             F.sum(_dec(F.col("o_totalprice"))).alias("_spend")
@@ -494,9 +487,9 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 
 
 def supplier_region_acctbal(spark, sf_dir):
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
+    s = _t(spark, sf_dir, "supplier", fanout="off")
+    n = _t(spark, sf_dir, "nation", fanout="off")
+    r = _t(spark, sf_dir, "region", fanout="off")
     return (
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
