@@ -490,7 +490,6 @@ def test_sketch_caches_released_by_handle_protocol(spark, documents, embeddings)
     emb = embeddings.filter(F.col("vec_id") % 7 != 3)
     cases = [
         lambda: minhash_lsh_candidates(docs),
-        lambda: simhash_neardup_pairs(docs, max_hamming=3),
         lambda: embedding_neardup_pairs(emb, threshold=0.99),
     ]
     for make in cases:
@@ -504,6 +503,17 @@ def test_sketch_caches_released_by_handle_protocol(spark, documents, embeddings)
             "persisted sketch cache leaked past unpersist_handles"
         )
         assert not carried_handles(out)  # idempotent release
+    # round 8: simhash_neardup_pairs no longer persists anything — the
+    # signature rides the band shuffle and verification happens inside
+    # the bucket, so there is no re-read to cache. The invariant is
+    # now the ABSENCE of persistent state.
+    before = _persisted_rdd_ids(spark)
+    out = simhash_neardup_pairs(docs, max_hamming=3)
+    assert not carried_handles(out)
+    out.collect()
+    assert _persisted_rdd_ids(spark) == before, (
+        "simhash_neardup_pairs should not persist anything"
+    )
 
 
 def test_curate_releases_all_caches_including_child_sig_table(spark, tmp_path):

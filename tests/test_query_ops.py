@@ -174,3 +174,27 @@ def test_query_selector_scoped_duckdb_oracle(spark, ddb_documents):
 
     n_unscoped = query_selector_extract(html, "p").count()
     assert n_unscoped == 2 * len(oracle)
+
+
+def test_no_broadcast_hint_on_sf_growing_tables():
+    """Plan-hygiene sweep (VERDICT r7 item 2): no declared query may
+    force-broadcast an SF-growing driver table (customer bit q3/q5 in
+    r6/r7). Only the bounded dimensions (nation: 25 rows, region: 5)
+    may carry an explicit hint; everything else is AQE's decision."""
+    import inspect
+    import re
+
+    import tl_spark.queries as Q
+
+    src = inspect.getsource(Q)
+    growing = (
+        "customer", "orders", "lineitem", "events", "documents",
+        "embeddings", "supplier", "part",
+    )
+    hints = re.findall(r"F\.broadcast\(\s*(\w+)\s*[),]", src)
+    assert hints and set(hints) <= {"n", "r"}, hints
+    # and the bound names really are the bounded dimensions
+    for t in growing:
+        assert not re.search(
+            rf'{t}\s*=\s*F\.broadcast|F\.broadcast\(\s*_t\([^)]*"{t}"', src
+        ), t

@@ -1544,7 +1544,7 @@ def main_content_docs(spark, sf_dir):
 
     Plan: the kernel stage is map-only (mapInArrow, zero Exchange);
     the final orderBy exists for the driver's deterministic hash
-    check and is a global sort Exchange, as in extract_documents."""
+    check — a single-partition sort since round 8 (module note)."""
     from tl_spark.functions.readability import (
         docs_as_variant_html,
         main_content_extract,
@@ -1730,7 +1730,7 @@ def pdf_extract_docs(spark, sf_dir):
     (8 words/line, 5 lines/page): the oracle reproduces the exact page
     text. Plan: the kernel stage (synth + extract co-located) is
     map-only; the trailing orderBy exists only for the driver's
-    deterministic hash check and adds one range-partition Exchange —
+    deterministic hash check (single-partition sort since round 8) —
     drop it in production and the job is zero-Exchange.
     """
     from tl_spark.operators.pdf import pdf_text_pages, synth_pdf_media
@@ -1978,8 +1978,8 @@ def media_info_docs(spark, sf_dir):
     uses verbatim subframes so even its compressed length — hence the
     real mean bitrate — is a constant; rounding was audited to have
     no half-integer cases, so DuckDB round == Python round).
-    Plan: synth + route co-located, map-only; the trailing orderBy is
-    the driver-hash determinism Exchange, drop it in production."""
+    Plan: synth + route co-located, map-only; the trailing sink is
+    the driver-hash determinism sort, drop it in production."""
     from tl_spark.operators.media_info import (
         media_stream_info,
         synth_media_for_docs,
