@@ -1379,10 +1379,11 @@ def dedup_simhash_neardup(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     out = simhash_neardup_pairs(d, max_hamming=3, bands=4, max_bucket_size=512)
-    final = out.select(
+    # no cache handle since round 8: the in-bucket verify removed the
+    # operator's persisted signature table
+    return out.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     ).repartition(1).sortWithinPartitions("id_a", "id_b")
-    return keep_handles(final, out)  # carry the sig-table cache handle
 
 
 def _simhash_neardup_sql() -> str:
