@@ -9,10 +9,13 @@ the output plugs straight into the engine's vector stack
 closing a complete text -> vector -> retrieval path with zero
 external dependencies.
 
-Scale shape: tokenize/explode/hash are map-side; ONE shuffle on the
-doc id aggregates slot sums; the dense vector materializes from the
-aggregated map via JVM ``transform(sequence(...))`` — no Python, no
-UDF, fully codegen'd.
+Scale shape, JVM leg: tokenize/explode/hash are map-side; ONE
+shuffle on the doc id aggregates slot sums; the dense vector
+materializes from the aggregated map via JVM
+``transform(sequence(...))`` — no Python, no UDF, fully codegen'd.
+Arrow leg (round 8, md5 family only): a single map-only
+``mapInArrow`` computes the identical vectors per batch with zero
+shuffles — bit-equal, suite-pinned (see ``impl="arrow"``).
 """
 
 from __future__ import annotations

@@ -2,22 +2,24 @@
 
 Okapi BM25 (Robertson et al.), the standard sparse-retrieval baseline
 a corpus engine needs next to its ANN path. Everything is JVM-side
-DataFrame expressions — no Python in the hot path — and every shuffle
-key is a term or a doc id:
+DataFrame expressions — no Python in the hot path.
 
-- per-doc term frequencies: explode -> map-side-combined count
-  aggregation, filtered to the (tiny, broadcast-literal) query term
-  set BEFORE the aggregation, so the corpus-wide explode never
-  shuffles non-query terms;
-- document frequency per term and the corpus (N, avgdl) aggregates
-  are computed once and broadcast-joined back (1-row and
-  |query|-row tables);
-- the final score is one map-side expression + a per-doc sum.
+Two plans, picked by query size (round 8):
 
-At 100 TB: the only corpus-sized shuffle carries (doc, term, tf)
-triples for query terms only — proportional to the query's posting
-lists, not the corpus. The same shape serves batched query sets
-(pass more terms).
+- <= 16 distinct terms (the common retrieval shape): per-term tf is a
+  map-side ``size(filter(tokens))`` column — no explode, no (id, term)
+  aggregation, no re-attach joins; one aggregation to a 1-row stats
+  table (n_docs, exact avgdl, per-term df) broadcast back, and the
+  narrow per-doc projection persisted so the corpus is tokenized once
+  (see :func:`_bm25_scores_mapside`).
+- larger (batched) query sets: explode -> map-side-combined count
+  aggregation, filtered to the query term set BEFORE the aggregation;
+  document frequency and corpus aggregates broadcast-joined back.
+
+At 100 TB: neither plan shuffles corpus text — the general path's
+only corpus-sized shuffle carries (doc, term, tf) triples for query
+terms; the map-side path shuffles one narrow cached row per doc into
+a single 1-row aggregation.
 """
 
 from __future__ import annotations
